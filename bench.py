@@ -1,0 +1,70 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is fully evaluated through the `noop` sink (no driver-side
+row transfer, no result truncation) — the honest cost of the plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hridaya_steam_market_tracker_spark.queries import load_all
+from hridaya_steam_market_tracker_spark.session import get_spark
+
+# The headline set: the reference's dominant read shapes + the scale
+# extensions. Keep to ~10 so per-round bench stays fast but representative.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "e1_latest_per_key",
+    "e2_recent_n_per_key",
+    "d5_daily_rollup",
+    "d6_volatility_per_key",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("hridaya-bench")
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry] or sorted(registry)[:5]
+
+    # Warm the JVM/codegen path once on a trivial action so q1 doesn't pay
+    # session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        df = registry[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Fixture-table access for the driver testdata (TESTDATA.md).
+
+Ten parquet tables per scale factor. Loaded lazily and returned as a
+dict so query definitions read declaratively. Session timezone is
+re-pinned to UTC on every load — the driver may hand us a session with
+different defaults, and timestamp/string parity with the DuckDB oracle
+requires UTC (reference pins UTC too: api/databasePool.py:60).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Runtime-settable confs the engine depends on, idempotent."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # The driver testdata stores some timestamps as TIMESTAMP(NANOS), which
+    # Spark's parquet reader rejects. Read them as long and convert below
+    # (DuckDB truncates ns -> us the same way).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+@lru_cache(maxsize=None)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown fixture table {name!r}")
+    pin_session(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
