@@ -1,0 +1,205 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the reason these exist — 100 TB corpora):
+
+* exact: md5(normalized text) -> hash groupBy. One shuffle on the hash,
+  perfectly balanced unless the corpus is one giant duplicate cluster.
+* n-gram Jaccard: exact pairwise similarity via a shingle inverted
+  index (explode -> self-join on shingle -> count). Quadratic in
+  cluster size — correct but only viable as a VERIFIER or at small n.
+* MinHash+LSH: the scale path. Per-doc k-minimum hashing (one explode +
+  groupBy), banding, candidate pairs only from shared LSH buckets, then
+  exact-Jaccard verification of candidates. Cost ~ O(docs x shingles) +
+  O(candidates), no quadratic blowup.
+* SimHash: 64-bit weighted-bit signature per doc; near-dups = small
+  Hamming distance; blocking on signature bytes gives candidates.
+
+All hashing is md5-derived (seeded by hash index), so signatures are
+deterministic and reproducible in any engine — the DuckDB oracles
+recompute them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.operators.text import tokens
+
+# 60-bit hash from a salted md5 — portable across engines:
+# spark: conv(substr(md5(s),1,15),16,10) ; duckdb: ('0x'||substr(md5(s),1,15))::BIGINT
+def _h60(col: Column, seed: int) -> Column:
+    salted = F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the whitespace-tokenized text.
+
+    Documents shorter than n tokens produce no shingles (Spark's
+    sequence(1, 0) would count DOWN, so the short case is guarded).
+    """
+    toks = tokens(F.lower(text))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one survivor (min id) per group."""
+    normalized = F.array_join(tokens(F.lower(F.col(text_col))), " ")
+    hashed = df.select(F.col(id_col), F.md5(normalized).alias("content_hash"))
+    return hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("survivor_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted index + per-doc shingle counts."""
+    sh = df.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    sh = sh.withColumn("n_sh", F.size("sh"))
+    return sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold via inverted index.
+
+    intersection(a,b) counted by joining postings on the shingle;
+    union = |A| + |B| - intersection.
+    """
+    idx = shingle_index(df, text_col, id_col, n)
+    a = idx.select(
+        F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"), "shingle"
+    )
+    b = idx.select(
+        F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j", "n_i", "n_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of h_seed(shingle),
+    one column pass via explode + groupBy (single shuffle on doc_id)."""
+    idx = shingle_index(df, text_col, id_col, n)
+    aggs = [
+        F.min(_h60(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)
+    ]
+    return idx.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become a
+    candidate pair. rows_per_band = num_hashes // bands."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
+    right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard (candidates only).
+
+    With 16 bands x 2 rows the s-curve catches pairs at j=0.5 with
+    p ~= 1-(1-0.25)^16 > 0.99; verification removes false positives, so
+    the output equals the exact-threshold pair set w.h.p. (cross-checked
+    against jaccard_pairs in tests and by the driver oracle).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+
+    idx = shingle_index(df, text_col, id_col, n)
+    a = idx.select(F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"), "shingle")
+    b = idx.select(F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j", "n_i", "n_j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["i", "j"], "left_semi")
+    )
+    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60) -> DataFrame:
+    """60-bit SimHash: per-token 60-bit hash votes on each bit position;
+    signature bit b is 1 iff the weighted vote is positive.
+
+    One explode + one groupBy(doc) with `bits` conditional sums — all
+    JVM-side; at 100 TB this is a single shuffle keyed by doc_id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    hashed = toks.withColumn("h", _h60(F.col("tok"), 0))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    voted = hashed.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return voted.select("doc_id", sig.alias("simhash"))

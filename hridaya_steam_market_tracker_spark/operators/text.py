@@ -1,0 +1,94 @@
+"""Text-analysis operators for document pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — all native column expressions, designed to
+ride inside the parquet scan stage at 100 TB (no Python in the hot
+path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small, deterministic English stopword set (public knowledge).
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "this", "that", "be",
+]
+
+# Whitespace tokenizer + a BPE-ish regex splitting off punctuation runs
+# and digit runs (public GPT-2-style pre-tokenization family, simplified).
+WS_SPLIT_RE = "\\s+"
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.trim(text), WS_SPLIT_RE), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct runs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    stops = F.filter(toks, lambda t: t.isin(EN_STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length sweet-spot, stopword presence,
+    low punctuation density (the standard web-corpus heuristics family,
+    cf. public C4/Gopher filtering rules)."""
+    n = token_count_ws(text)
+    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.3)
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(text) <= 0.2, 1.0).otherwise(0.4)
+    return F.round((length_ok * 0.4 + stop_ok * 0.4 + punct_ok * 0.2), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: English if the stopword ratio clears a
+    floor, else unknown. (N-gram models plug in the same slot.)"""
+    return F.when(stopword_ratio(text) >= 0.02, "en").otherwise("und")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 over the
+    whitespace-normalized, lowercased text (rolling-hash family)."""
+    normalized = F.array_join(tokens(F.lower(text)), " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count_ws(t))
+        .withColumn("n_tokens_bpe", token_count_bpe_ish(t))
+        .withColumn("avg_token_len", F.round(avg_token_len(t), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(t), 6))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+        .withColumn("quality_score", quality_score(t))
+        .withColumn("lang_pred", lang_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

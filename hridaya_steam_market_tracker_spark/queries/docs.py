@@ -1,0 +1,250 @@
+"""Document-pipeline queries over the `documents` fixture: text
+analysis, exact dedup, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These are the 100 TB training-data operators (BASELINE.json north
+star). Every hash is md5-derived so the DuckDB oracle recomputes
+signatures bit-for-bit — the dedup outputs are hash-checked, not just
+row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.operators import dedup as D
+from hridaya_steam_market_tracker_spark.operators.text import (
+    EN_STOPWORDS,
+    with_text_stats,
+)
+from hridaya_steam_market_tracker_spark.queries import register
+from hridaya_steam_market_tracker_spark.tables import table
+
+# DuckDB fragments mirroring operators/text.py exactly.
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+_STOPLIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+_SHINGLES = (
+    f"list_distinct([array_to_string(w[i:i+2], ' ') "
+    f"for i in range(1, len(w) - 1)])"
+)
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks, {_TOKS_LOWER} AS toksl FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS INTEGER) AS n_tokens_bpe,
+           round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           round(CAST(len(list_filter(toksl, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+           round(CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text), 6) AS punct_ratio,
+           round(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END * 0.4
+               + CASE WHEN CAST(len(list_filter(toksl, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len(toks) >= 0.05 THEN 1.0 ELSE 0.5 END * 0.4
+               + CASE WHEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) <= 0.2 THEN 1.0 ELSE 0.4 END * 0.2, 6) AS quality_score,
+           CASE WHEN CAST(len(list_filter(toksl, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len(toks) >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred,
+           md5(array_to_string(toksl, ' ')) AS fingerprint
+    FROM t
+    """,
+    doc=(
+        "Text analysis bundle: token counts (whitespace + BPE-ish regex), quality "
+        "scoring (length/stopword/punct heuristics), language-ID heuristic, document "
+        "fingerprint. North-star extension over `documents`."
+    ),
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_tokens_bpe",
+        "avg_token_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(array_to_string({_TOKS_LOWER}, ' ')) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM corpus GROUP BY 1
+    """,
+    doc=(
+        "Exact dedup via content-hash groupBy (SURVEY §2 extension; same family as the "
+        "reference's ON CONFLICT DO NOTHING idempotency, src/SQLinserts.py:579-584). "
+        "Fixture has no exact dups, so a 20% re-injected slice creates them."
+    ),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup_slice = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup_slice)
+    return D.exact_duplicates(corpus)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3)
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    doc=(
+        "Exact pairwise 3-gram Jaccard near-dup pairs (threshold 0.5) via a shingle "
+        "inverted index — the verifier-grade dedup path."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3)
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+    doc=(
+        "MinHash(32) + LSH(16 bands x 2 rows) candidates, verified by exact Jaccard — "
+        "the SCALE dedup path: no quadratic pair enumeration. Verified output equals the "
+        "exact-threshold pair set (the oracle), which the banding catches with "
+        "p > 0.99 at j = 0.5; tests cross-check against dedup_ngram_jaccard."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    vote = lambda b: (
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN {vote(b)} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+        for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h FROM toks
+    )
+    SELECT doc_id, {sig_terms} AS simhash
+    FROM hashed GROUP BY doc_id
+    """
+
+
+@register(
+    "simhash_signatures",
+    oracle=_simhash_oracle(),
+    doc=(
+        "60-bit SimHash signatures per document (token votes on bit positions) — the "
+        "Hamming-distance near-dup family; signature computation is hash-checked "
+        "against the oracle bit-for-bit."
+    ),
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5('0:' || tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, {SIG} AS simhash FROM hashed GROUP BY doc_id
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """.replace(
+        "{SIG}",
+        " + ".join(
+            f"(CASE WHEN sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+            for b in range(60)
+        ),
+    ),
+    doc=(
+        "SimHash near-dup pairs (Hamming <= 6 over 60 bits). Spark side uses lossless "
+        "chunk blocking — 10 chunks of 6 bits; Hamming <= 6 pairs must share at least "
+        "one chunk (pigeonhole: 6 flipped bits touch at most 6 of 10 chunks) — so the "
+        "bucket join replaces the cross join with identical output."
+    ),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sigs = D.simhash(docs)  # (doc_id, simhash)
+    n_chunks, chunk_bits = 10, 6
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    blocked = sigs.select(
+        "doc_id", "simhash", F.explode(chunks).alias("ch")
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = blocked.select(
+        F.col("doc_id").alias("i"), F.col("simhash").alias("sig_i"), "chunk_idx", "chunk_val"
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("j"), F.col("simhash").alias("sig_j"), "chunk_idx", "chunk_val"
+    )
+    pairs = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "sig_i", "sig_j")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_i").bitwiseXOR(F.col("sig_j")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 6)
+        .select("i", "j", "hamming")
+    )

@@ -1,0 +1,104 @@
+"""Similarity-search queries over the `embeddings` fixture.
+
+Brute-force cosine top-k is the exact baseline (oracle-checked); the
+LSH-bucketed variant is the approximate scale path (rows-only check +
+recall test in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.operators import similarity as S
+from hridaya_steam_market_tracker_spark.queries import register
+from hridaya_steam_market_tracker_spark.tables import table
+
+# cosine on DOUBLE[] in DuckDB — same formula/accumulation as the Spark
+# fold in operators/similarity.py.
+_COS = (
+    "list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+    " / sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))"
+    " * list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS vec_id,
+             round({_COS}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings q ON q.vec_id < 10 AND a.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc=(
+        "Brute-force cosine top-5 per query vector (queries = vec_id < 10, broadcast) — "
+        "the exact ANN baseline; ranking on the rounded score so both engines order "
+        "identically."
+    ),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate: recall vs brute force is pinned in tests
+    doc=(
+        "Multi-table LSH approximate top-5 (8 tables x 4 hyperplanes; bucket equi-join "
+        "replaces the cross join). Rows-only driver check; recall >= 0.6 vs the exact "
+        "baseline is asserted in tests/test_similarity.py."
+    ),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_topk(emb, queries, k=5)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH expl AS (
+      SELECT label, i AS pos, embedding[i]::DOUBLE AS x
+      FROM embeddings, generate_series(1, 64) AS g(i)
+    ),
+    means AS (
+      SELECT label, pos, avg(x) AS mean_x FROM expl GROUP BY label, pos
+    )
+    SELECT label,
+           round(sqrt(sum(mean_x * mean_x)), 6) AS centroid_norm,
+           CAST((SELECT count(*) FROM embeddings e WHERE e.label = means.label) AS BIGINT) AS n_members
+    FROM means GROUP BY label
+    """,
+    doc=(
+        "Per-label centroid (IVF coarse-quantizer building block): element-wise mean via "
+        "posexplode + two-level groupBy; emitted as the centroid L2 norm for "
+        "cross-engine hashing."
+    ),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = S.label_centroids(emb)
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        centroids.join(counts, "label")
+        .select("label", F.round(norm, 6).alias("centroid_norm"), "n_members")
+    )

@@ -1,0 +1,203 @@
+"""Streaming-plane tests (SURVEY.md §J): rate limiter, scheduler
+state machine, watermark-dedup ingest with idempotent replay, and
+subscription-routed push.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.streaming.ingest import (
+    dedup_in_stream,
+    idempotent_append,
+)
+from hridaya_steam_market_tracker_spark.streaming.push import latest_per_key, route_batch
+from hridaya_steam_market_tracker_spark.streaming.ratelimiter import (
+    SlidingWindowRateLimiter,
+)
+from hridaya_steam_market_tracker_spark.streaming.reconcile import (
+    Debouncer,
+    diff_control_sets,
+    feasibility,
+    soft_delete,
+)
+from hridaya_steam_market_tracker_spark.streaming.scheduler import PollScheduler
+
+
+# ---------------------------------------------------------------- J1
+def test_rate_limiter_budget_and_window():
+    t = [0.0]
+    rl = SlidingWindowRateLimiter(budget=3, window_seconds=60, clock=lambda: t[0])
+    assert all(rl.try_acquire() for _ in range(3))
+    assert not rl.try_acquire()  # budget exhausted
+    assert rl.time_until_token() == 60.0
+    t[0] = 59.9
+    assert not rl.try_acquire()
+    t[0] = 60.01  # the t=0 stamps all exit the window together
+    assert rl.try_acquire()
+    assert rl.used == 1
+
+
+# ------------------------------------------------------------- J2/J4
+def test_scheduler_urgency_and_backoff():
+    s = PollScheduler()
+    s.upsert(("item", "priceoverview"), interval=10.0)
+    # never polled -> infinite urgency, fires immediately
+    assert s.due(now=0.0)[0].key == ("item", "priceoverview")
+    s.record_success(("item", "priceoverview"), now=0.0)
+    assert s.due(now=5.0) == []  # not due yet
+    assert s.next_wake(now=5.0) == 5.0
+    assert len(s.due(now=10.0)) == 1  # urgency 1.0
+    # failures: cooldown interval * min(2^(n-1), 8)
+    assert s.record_failure(("item", "priceoverview"), now=10.0) == 10.0
+    assert s.due(now=15.0) == []  # cooling down, urgency 0
+    assert s.record_failure(("item", "priceoverview"), now=30.0) == 20.0
+    for _ in range(5):
+        s.record_failure(("item", "priceoverview"), now=30.0)
+    assert s.record_failure(("item", "priceoverview"), now=30.0) == 80.0  # capped x8
+    s.record_success(("item", "priceoverview"), now=100.0)
+    assert s.items[("item", "priceoverview")].consecutive_backoffs == 0
+    # empty scheduler idles at 2 s
+    s.remove(("item", "priceoverview"))
+    assert s.next_wake(now=0.0) == 2.0
+
+
+# ---------------------------------------------------------------- J6
+def test_idempotent_append_replay(spark, tmp_path):
+    sink = str(tmp_path / "history")
+    batch = spark.createDataFrame(
+        [("AK-47", "2024-01-01 10:00:00", 1.5), ("AK-47", "2024-01-01 11:00:00", 1.6)],
+        "market_hash_name string, time_s string, value double",
+    ).select("market_hash_name", F.col("time_s").cast("timestamp").alias("time"), "value")
+    idempotent_append(batch, sink)
+    assert spark.read.parquet(sink).count() == 2
+    # replay the same micro-batch: zero new rows (reference 'up to date')
+    idempotent_append(batch, sink)
+    assert spark.read.parquet(sink).count() == 2
+    # overlapping batch: only the genuinely new point lands
+    batch2 = spark.createDataFrame(
+        [("AK-47", "2024-01-01 11:00:00", 9.9), ("AK-47", "2024-01-01 12:00:00", 1.7)],
+        "market_hash_name string, time_s string, value double",
+    ).select("market_hash_name", F.col("time_s").cast("timestamp").alias("time"), "value")
+    idempotent_append(batch2, sink)
+    stored = spark.read.parquet(sink)
+    assert stored.count() == 3
+    # the conflicting re-send did NOT overwrite (DO NOTHING semantics)
+    v11 = stored.filter(F.col("time") == "2024-01-01 11:00:00").collect()[0]["value"]
+    assert v11 == 1.6
+
+
+def test_streaming_dedup_end_to_end(spark, tmp_path):
+    """Drive the watermark+dropDuplicates plan through a real streaming
+    query (memory sink)."""
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    stream = src.select(
+        (F.col("value") % 5).cast("string").alias("market_hash_name"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("time"),  # all dupes
+        F.col("value").cast("double").alias("value"),
+    )
+    q = (
+        dedup_in_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) FROM dedup_sink").collect()[0][0]
+            if n >= 5:
+                break
+            time.sleep(1)
+        # 5 distinct (key, time) pairs no matter how many rows arrived
+        assert spark.sql("SELECT count(*) FROM dedup_sink").collect()[0][0] == 5
+    finally:
+        q.stop()
+
+
+# ------------------------------------------------------------- J9/J10
+def test_push_routing_prunes_unsubscribed(spark):
+    batch = spark.createDataFrame(
+        [
+            ("AK-47", "priceoverview", "2024-01-01 10:00:00", 1.5),
+            ("AK-47", "priceoverview", "2024-01-01 11:00:00", 1.6),  # latest wins
+            ("M4A4", "priceoverview", "2024-01-01 10:00:00", 2.0),  # unwatched
+        ],
+        "market_hash_name string, stream string, time_s string, value double",
+    ).select(
+        "market_hash_name", "stream",
+        F.col("time_s").cast("timestamp").alias("time"), "value",
+    )
+    subs = spark.createDataFrame(
+        [("AK-47", "priceoverview", "sock-1"), ("AK-47", "priceoverview", "sock-2")],
+        "market_hash_name string, stream string, subscriber_id string",
+    )
+    sent = []
+    n = route_batch(batch, subs, emit=sent.extend)
+    assert n == 2  # two subscribers, one (latest) frame each
+    frames = sorted((r["subscriber_id"], r["frame"]) for r in sent)
+    assert frames[0][0] == "sock-1" and frames[1][0] == "sock-2"
+    assert '"name":"AK-47"' in frames[0][1] and '"value":1.6' in frames[0][1]
+    assert all("M4A4" not in f for _, f in frames)  # short-circuit pruned
+
+
+def test_latest_per_key_shared_definition(spark):
+    df = spark.createDataFrame(
+        [("a", "s", "2024-01-01 10:00:00", 1.0), ("a", "s", "2024-01-02 10:00:00", 2.0)],
+        "market_hash_name string, stream string, time_s string, value double",
+    ).select("market_hash_name", "stream", F.col("time_s").cast("timestamp").alias("time"), "value")
+    out = latest_per_key(df, ["market_hash_name", "stream"]).collect()
+    assert len(out) == 1 and out[0]["value"] == 2.0
+
+
+# ------------------------------------------------------------- J7/J8
+def test_reconcile_diff_and_noop_suppression(spark):
+    cols = (
+        "market_hash_name string, appid int, item_nameid bigint, stream string, "
+        "currency int, country string, language string, poll_interval_sec int, enabled boolean"
+    )
+    current = spark.createDataFrame(
+        [
+            ("AK-47", 730, 1, "priceoverview", 1, "US", "english", 10, True),
+            ("M4A4", 730, 2, "priceoverview", 1, "US", "english", 10, True),
+            ("AWP", 730, 3, "histogram", 1, "US", "english", 10, True),
+        ],
+        cols,
+    )
+    desired = spark.createDataFrame(
+        [
+            ("AK-47", 730, 1, "priceoverview", 1, "US", "english", 10, True),  # no-op
+            ("M4A4", 730, 2, "priceoverview", 3, "DE", "german", 10, True),  # changed
+            ("Glock", 730, 4, "priceoverview", 1, "US", "english", 30, True),  # added
+        ],
+        cols,
+    )
+    diff = {r["market_hash_name"]: r["status"] for r in diff_control_sets(current, desired).collect()}
+    # AK-47 suppressed entirely — the reconcile-storm loop breaker
+    assert diff == {"M4A4": "changed", "Glock": "added", "AWP": "removed"}
+
+    verdict = feasibility(desired, budget=15).collect()[0]
+    assert verdict["required"] == 6 + 6 + 2 and not verdict["feasible"] is None
+
+    sd = soft_delete(current, desired.select("market_hash_name", "stream"))
+    awp = [r for r in sd.collect() if r["market_hash_name"] == "AWP"][0]
+    assert awp["enabled"] is False  # disabled, not deleted
+
+
+def test_debouncer_coalesces_bursts():
+    t = [0.0]
+    d = Debouncer(quiet_seconds=0.25, clock=lambda: t[0])
+    assert not d.ready()
+    for _ in range(7):
+        d.signal()
+        t[0] += 0.1  # signals keep arriving inside the quiet window
+        assert not d.ready()
+    t[0] += 0.25
+    assert d.ready()
+    assert d.consume() == 7  # one reconcile for the whole burst
+    assert not d.ready()
