@@ -60,8 +60,22 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition by doc id to the session's parallelism.
+
+    Fixture parquet arrives as ONE partition; the hashing-heavy
+    operators below would otherwise run on a single core. At 100 TB the
+    input is already many splits and this is a near-no-op (same key, so
+    downstream groupBy(doc_id) reuses the partitioning with no second
+    shuffle).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
 def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(doc_id, shingle) inverted index + per-doc shingle counts."""
+    df = _spread(df, id_col)
     sh = df.select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
     sh = sh.withColumn("n_sh", F.size("sh"))
     return sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
@@ -100,6 +114,20 @@ def jaccard_pairs(
     )
 
 
+def signatures_from_sets(sets: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signatures from a (doc_id, sh: array<string>) frame via
+    higher-order functions: mh_s = array_min(transform(sh, h_s)).
+
+    ZERO shuffle — the whole signature computation is a narrow map over
+    the shingle array, so at 100 TB it rides inside the scan stage.
+    """
+    cols = [
+        F.array_min(F.transform(F.col("sh"), lambda x: _h60(x, s))).alias(f"mh_{s}")
+        for s in range(num_hashes)
+    ]
+    return sets.select("doc_id", *cols)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -107,13 +135,11 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: min over shingles of h_seed(shingle),
-    one column pass via explode + groupBy (single shuffle on doc_id)."""
-    idx = shingle_index(df, text_col, id_col, n)
-    aggs = [
-        F.min(_h60(F.col("shingle"), s)).alias(f"mh_{s}") for s in range(num_hashes)
-    ]
-    return idx.groupBy("doc_id").agg(*aggs)
+    """Per-doc MinHash signature (see signatures_from_sets)."""
+    sets = _spread(df, id_col).select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    return signatures_from_sets(sets, num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -157,22 +183,29 @@ def minhash_near_duplicates(
     the output equals the exact-threshold pair set w.h.p. (cross-checked
     against jaccard_pairs in tests and by the driver oracle).
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    # One materialization of the shingle sets feeds signatures, the
+    # banded self-join AND verification — without it Spark recomputes
+    # the md5-heavy subtree once per consumer (4x the work).
+    sets = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+        .cache()
+    )
+    sigs = signatures_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
 
-    idx = shingle_index(df, text_col, id_col, n)
-    a = idx.select(F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"), "shingle")
-    b = idx.select(F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j", "n_i", "n_j")
-        .agg(F.count(F.lit(1)).alias("inter"))
-        .join(cands, ["i", "j"], "left_semi")
-    )
-    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    # Verify ONLY the candidate pairs: bring each side's shingle SET to
+    # the pair row and intersect natively. This is the whole point of
+    # LSH — the quadratic pair enumeration never happens; cost is
+    # O(candidates x shingles-per-doc).
+    a = sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
+    b = sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
+    paired = cands.join(a, "i").join(b, "j")
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    jac = inter.cast("double") / union
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
@@ -185,7 +218,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     One explode + one groupBy(doc) with `bits` conditional sums — all
     JVM-side; at 100 TB this is a single shuffle keyed by doc_id.
     """
-    toks = df.select(
+    toks = _spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
