@@ -1,0 +1,101 @@
+"""Physical layout: time partitioning + key clustering + lifecycle.
+
+The reference's physical choices (SURVEY.md §4) and their Spark
+equivalents, implemented here:
+
+* Timescale hypertable chunking on time  -> `partitionBy(date)` parquet
+  layout; Catalyst partition-prunes the B2 range predicates for free.
+* `(market_hash_name, timestamp DESC)` index -> sortWithinPartitions by
+  (key, time): parquet row-group min/max stats give data skipping on
+  the key, and RLE on the sorted key compresses like Timescale's
+  `compress_segmentby` (src/SQLinserts.py:270-297).
+* retention: drop chunks older than N days (src/SQLinserts.py:279-297,
+  351-357) -> partition-directory drop, no row rewrites.
+* compaction: many small appended files per partition -> periodic
+  rewrite to few files (the Timescale compress-after-age analog).
+
+100 TB posture: every job here is per-partition metadata work or an
+embarrassingly-parallel rewrite of one date partition; nothing scans
+the whole table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_COL = "date"
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    time_col: str = "time",
+    key_col: str = "market_hash_name",
+    mode: str = "append",
+) -> None:
+    """Date-partitioned, key-clustered columnar write."""
+    (
+        df.withColumn(PARTITION_COL, F.to_date(F.col(time_col)))
+        .repartition(F.col(PARTITION_COL))
+        .sortWithinPartitions(key_col, time_col)
+        .write.mode(mode)
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def list_partitions(path: str) -> list[date]:
+    out = []
+    if not os.path.isdir(path):
+        return out
+    for entry in os.listdir(path):
+        if entry.startswith(f"{PARTITION_COL}="):
+            out.append(date.fromisoformat(entry.split("=", 1)[1]))
+    return sorted(out)
+
+
+def apply_retention(path: str, keep_days: int, today: date | None = None) -> list[date]:
+    """Drop partitions older than keep_days (chunk-drop analog).
+
+    Pure partition-directory removal — O(#partitions), no data scan, no
+    row rewrites; exactly how drop_chunks behaves.
+    """
+    today = today or date.today()
+    cutoff = today - timedelta(days=keep_days)
+    dropped = []
+    for part in list_partitions(path):
+        if part < cutoff:
+            shutil.rmtree(os.path.join(path, f"{PARTITION_COL}={part.isoformat()}"))
+            dropped.append(part)
+    return dropped
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    part: date,
+    key_col: str = "market_hash_name",
+    time_col: str = "time",
+    target_files: int = 1,
+) -> int:
+    """Rewrite one date partition into `target_files` key-sorted files
+    (compress-after-age analog). Returns rows rewritten. Only the one
+    partition directory is read and atomically replaced."""
+    part_dir = os.path.join(path, f"{PARTITION_COL}={part.isoformat()}")
+    df = spark.read.parquet(part_dir)
+    n = df.count()
+    tmp_dir = part_dir + ".compact.tmp"
+    (
+        df.coalesce(target_files)
+        .sortWithinPartitions(key_col, time_col)
+        .write.mode("overwrite")
+        .parquet(tmp_dir)
+    )
+    shutil.rmtree(part_dir)
+    os.rename(tmp_dir, part_dir)
+    return n
