@@ -24,11 +24,15 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "e1_latest_per_key",
     "e2_recent_n_per_key",
     "d5_daily_rollup",
     "d6_volatility_per_key",
+    "w5_sliding_window_6h_1h",
+    "w6_asof_join_purchase_click",
     "dedup_minhash_lsh",
+    "simhash_near_pairs",
     "ann_cosine_topk",
     "text_quality_stats",
 ]
@@ -41,8 +45,12 @@ def main() -> None:
     registry = load_all()
     names = [n for n in HEADLINE if n in registry] or sorted(registry)[:5]
 
-    # Warm the JVM/codegen path once on a trivial action so q1 doesn't pay
-    # session startup.
+    # Warm the JVM/codegen/parquet-reader path so q1 doesn't pay session
+    # startup: touch every fixture table's footer + one real scan.
+    from hridaya_steam_market_tracker_spark.tables import TABLE_NAMES, table
+
+    for t in TABLE_NAMES:
+        table(spark, sf_dir, t).limit(1).count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}

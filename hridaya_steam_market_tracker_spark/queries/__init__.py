@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
         timeseries,
         tpch,
         vectors,
+        windows,
     )
 
     return REGISTRY

@@ -75,6 +75,19 @@ def apply_retention(path: str, keep_days: int, today: date | None = None) -> lis
     return dropped
 
 
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """A10 CSV export (reference DOCUMENTATION.md:312-315's
+    `sqlite3 -csv` dump). Nested columns are JSON-encoded first (CSV is
+    flat); single_file coalesces for small extracts only."""
+    flat = df
+    for f in df.schema.fields:
+        if f.dataType.simpleString().startswith(("array", "map", "struct")):
+            flat = flat.withColumn(f.name, F.to_json(F.col(f.name)))
+    if single_file:
+        flat = flat.coalesce(1)
+    flat.write.mode("overwrite").option("header", True).csv(path)
+
+
 def compact_partition(
     spark: SparkSession,
     path: str,
