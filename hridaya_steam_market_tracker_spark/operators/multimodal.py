@@ -61,14 +61,28 @@ def _fake_decode(payload: bytes, fmt: str | None) -> list[float]:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + featurize every blob via Arrow-batched mapInPandas."""
+    """Decode + featurize every blob via Arrow-batched mapInPandas.
+
+    `op` is a self-contained closure (decode nested inside) so
+    cloudpickle ships it by value — executors need neither this package
+    on PYTHONPATH nor addPyFile.
+    """
+    feat_dim = _FEAT_DIM
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def decode(payload: bytes, fmt: str | None) -> list[float]:
+            if fmt != "fake":
+                raise NotImplementedError(f"no codec for format {fmt!r}")
+            digest = hashlib.sha256(payload or b"").digest()
+            return [b / 255.0 for b in digest[:feat_dim]]
+
         for pdf in batches:
             feats, oks = [], []
             for payload, fmt in zip(pdf["payload"], pdf["format"]):
                 try:
-                    feats.append(_fake_decode(payload, fmt))
+                    feats.append(decode(payload, fmt))
                     oks.append(True)
                 except NotImplementedError:
                     feats.append(None)
