@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -148,6 +148,105 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _elementwise_mean(assigned: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    exploded = assigned.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy(group_col, "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("mean_x"))
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("mean_x")))).alias("pairs")
+        )
+        .select(group_col, F.transform(F.col("pairs"), lambda s: s["mean_x"]).alias("centroid"))
+    )
+
+
+def kmeans_lite(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mini k-means (IVF coarse quantizer): seed with the
+    k lowest-id vectors, run `iters` assign/recompute rounds.
+
+    Fully distributed: assignment is a broadcast cross join + argmin
+    (k is small), recomputation is the posexplode element-wise mean —
+    the standard Lloyd iteration as two Catalyst plans per round.
+    Returns (cell, centroid).
+    """
+    seeds = embeddings.orderBy(id_col).limit(k)
+    centroids = seeds.select(
+        F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(iters):
+        assigned = assign_cells(embeddings, centroids, id_col, vec_col)
+        centroids = _elementwise_mean(
+            assigned.select("cell", F.col(vec_col)), "cell", vec_col
+        )
+    return centroids
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid (max cosine) cell per vector; broadcast argmin."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "centroid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the n_probe cells nearest to
+    each query. Candidate generation is a (cell) equi-join against the
+    inverted file — at 100 TB the corpus is bucketed by cell on disk
+    and a probe reads n_probe/n_cells of the data."""
+    centroids = kmeans_lite(embeddings, k=n_cells, id_col=id_col, vec_col=vec_col)
+    inverted = assign_cells(embeddings, centroids, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine(F.col("q_vec"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cands = inverted.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 

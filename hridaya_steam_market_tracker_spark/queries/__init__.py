@@ -51,6 +51,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: registration) and return the registry."""
     from hridaya_steam_market_tracker_spark.queries import (  # noqa: F401
+        analytics_ext,
         docs,
         joins,
         parsers,

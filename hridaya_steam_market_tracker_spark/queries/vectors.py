@@ -69,6 +69,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate: recall vs brute force pinned in tests
+    doc=(
+        "IVF approximate top-5: kmeans-lite coarse quantizer (16 cells, 3 Lloyd "
+        "rounds, deterministic seeding), n_probe=4 — candidates come from a cell "
+        "equi-join, reading n_probe/n_cells of the corpus at scale. Rows-only driver "
+        "check; recall asserted in tests/test_scale_operators.py."
+    ),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
     WITH expl AS (

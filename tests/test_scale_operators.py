@@ -58,6 +58,23 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall(spark):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.cosine_topk(emb, queries, k=5).select("query_id", "vec_id").collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
 def test_multimodal_feature_extraction(spark):
     media = fake_media_df(spark, n=64)
     feats = extract_features(media)
