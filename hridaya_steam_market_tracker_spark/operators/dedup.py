@@ -114,18 +114,46 @@ def jaccard_pairs(
     )
 
 
+# 2-universal MinHash family: two 31-bit md5-derived values per shingle
+# (a, b), then h_s = (a + s*b) mod P — one md5 pair instead of
+# `num_hashes` md5s per shingle (the classic affine construction from
+# Carter-Wegman universal hashing).
+MINHASH_P = (1 << 31) - 1  # Mersenne prime
+
+
+def _h31(col: Column, salt: str) -> Column:
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10).cast(
+        "long"
+    ) % MINHASH_P
+
+
 def signatures_from_sets(sets: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signatures from a (doc_id, sh: array<string>) frame via
-    higher-order functions: mh_s = array_min(transform(sh, h_s)).
+    higher-order functions: mh_s = array_min(transform(pairs, affine_s)).
 
-    ZERO shuffle — the whole signature computation is a narrow map over
-    the shingle array, so at 100 TB it rides inside the scan stage.
+    ZERO shuffle and only TWO md5s per shingle — the affine family
+    (a + s*b) mod P supplies all `num_hashes` permutations. The whole
+    computation is a narrow map over the shingle array, so at 100 TB it
+    rides inside the scan stage.
     """
+    with_pairs = sets.withColumn(
+        "__ab",
+        F.transform(
+            F.col("sh"),
+            lambda x: F.struct(
+                _h31(x, "a:").alias("a"), _h31(x, "b:").alias("b")
+            ),
+        ),
+    )
     cols = [
-        F.array_min(F.transform(F.col("sh"), lambda x: _h60(x, s))).alias(f"mh_{s}")
+        F.array_min(
+            F.transform(
+                F.col("__ab"), lambda p: (p["a"] + s * p["b"]) % MINHASH_P
+            )
+        ).alias(f"mh_{s}")
         for s in range(num_hashes)
     ]
-    return sets.select("doc_id", *cols)
+    return with_pairs.select("doc_id", *cols)
 
 
 def minhash_signatures(
