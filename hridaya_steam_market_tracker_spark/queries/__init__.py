@@ -52,10 +52,13 @@ def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: registration) and return the registry."""
     from hridaya_steam_market_tracker_spark.queries import (  # noqa: F401
         analytics_ext,
+        behavior,
         docs,
         joins,
         parsers,
         rollups,
+        sampling,
+        sketches,
         timeseries,
         tpch,
         vectors,

@@ -1,0 +1,101 @@
+"""Heavy hitters + stratified sampling — training-data curation ops.
+
+A 100 TB corpus pipeline needs (a) skew diagnosis — which keys dominate
+the distribution (heavy hitters are exactly the keys that break shuffle
+partitioning; cf. operators/skew.py), and (b) class-balanced
+downsampling — take an exact per-stratum fraction of rows without
+collecting anything.
+
+Exact heavy hitters are a two-pass aggregate (count per key, filter by
+share of total) and oracle-checkable. The one-pass approximate path is
+`DataFrame.stat.freqItems` (Karp-Papadimitriou-Shenker): it guarantees a
+SUPERSET of all items with frequency >= support — pytest asserts that
+containment against the exact answer. Stratified sampling is
+`sampleBy` — per-row Bernoulli with a per-stratum fraction: embarrassingly
+parallel, no shuffle at all; the engine-specific RNG means rows-only
+driver checks, with proportions and seed-determinism pytest-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.queries import register
+from hridaya_steam_market_tracker_spark.tables import table
+
+HH_SHARE = 0.008  # heavy-hitter threshold: >= 0.8% of all events
+SAMPLE_FRACTIONS = {"click": 0.1, "view": 0.05, "purchase": 1.0}
+SAMPLE_SEED = 42
+
+
+@register(
+    "heavy_hitter_users",
+    oracle=f"""
+    WITH totals AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+    per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           round(n_events / CAST(total AS DOUBLE), 6) AS share
+    FROM per_user, totals
+    WHERE n_events >= {HH_SHARE} * total
+    """,
+    doc=(
+        "Exact heavy-hitter users (>= 0.8% of all events): per-key count vs a "
+        "broadcast one-row total (C3 scalar-subquery shape). These keys are the "
+        "shuffle-skew risks that operators/skew.py salts."
+    ),
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    total = events.agg(F.count(F.lit(1)).alias("total"))
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        per_user.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") >= HH_SHARE * F.col("total"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+@register(
+    "freq_items_users",
+    oracle=None,  # KPS sketch output is engine-specific; superset guarantee pytest-checked
+    doc=(
+        "One-pass approximate heavy hitters (freqItems / Karp-Papadimitriou-"
+        "Shenker, support=0.8%): guaranteed superset of every key with "
+        "frequency >= support, constant memory per partition. The scale path "
+        "when a second exact pass over 100 TB is too expensive; exploded to "
+        "one row per candidate for a stable driver schema."
+    ),
+)
+def freq_items_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    freq = events.stat.freqItems(["user_id"], support=HH_SHARE)
+    return freq.select(
+        F.explode("user_id_freqItems").alias("user_id")
+    ).orderBy("user_id")
+
+
+@register(
+    "stratified_sample_events",
+    oracle=None,  # Bernoulli RNG is engine-specific; proportions + determinism pytest-checked
+    doc=(
+        "Class-balanced downsampling: sampleBy(event_type, {click:0.1, view:0.05, "
+        "purchase:1.0}, seed=42). Per-row Bernoulli draw keyed by stratum — no "
+        "shuffle, no collect; the canonical rebalance step before training-data "
+        "export. Unlisted strata default to fraction 0."
+    ),
+)
+def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.sampleBy("event_type", SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

@@ -1,0 +1,98 @@
+"""Error bounds for the sketch/approximate scale paths (queries/sketches.py).
+
+The approximate operators carry no DuckDB oracle (estimator internals are
+engine-specific); their contract is instead a bound against the exact
+oracle-checked baselines on the same fixture data:
+
+  * HLL distinct estimates within 5% relative error of exact distincts
+    (rsd=2% configured; 5% leaves slack for small groups).
+  * approx_percentile within the value span of a +-1% rank neighborhood
+    of the exact percentile.
+  * session_window_native produces exactly the sessions of the
+    gap-and-islands decomposition (same split boundaries).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hridaya_steam_market_tracker_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _by_key(rows, key="event_type"):
+    return {r[key]: r for r in rows}
+
+
+def test_hll_variants_within_5pct_of_exact(spark, registry):
+    exact = _by_key(registry["distinct_users_per_stream"].fn(spark, SF_DIR).collect())
+    approx = _by_key(
+        registry["approx_distinct_users_per_stream"].fn(spark, SF_DIR).collect()
+    )
+    sketch = _by_key(registry["hll_sketch_rollup"].fn(spark, SF_DIR).collect())
+    assert set(exact) == set(approx) == set(sketch)
+    for k, row in exact.items():
+        n = row["n_users"]
+        assert abs(approx[k]["n_users_approx"] - n) / n <= 0.05
+        assert abs(sketch[k]["n_users_est"] - n) / n <= 0.05
+
+
+def test_approx_percentiles_within_rank_tolerance(spark, registry):
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    approx = _by_key(
+        registry["approx_percentiles_per_stream"].fn(spark, SF_DIR).collect()
+    )
+    values = {
+        r["event_type"]: sorted(r["vals"])
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg({"value": "collect_list"})
+        .withColumnRenamed("collect_list(value)", "vals")
+        .collect()
+    }
+    for k, vals in values.items():
+        n = len(vals)
+        for q, col in [(0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")]:
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n) + 1)]
+            assert lo <= approx[k][col] <= hi, (k, q, lo, approx[k][col], hi)
+
+
+def test_session_window_native_matches_islands(spark, registry):
+    native = registry["session_window_native"].fn(spark, SF_DIR)
+    # Reuse the query's own oracle shape: recompute islands in Spark SQL with
+    # the same >= boundary rule and compare session sets exactly.
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    table(spark, SF_DIR, "events").createOrReplaceTempView("ev")
+    islands = spark.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM numbered GROUP BY user_id, grp
+        """
+    )
+    assert native.exceptAll(islands).isEmpty()
+    assert islands.exceptAll(native).isEmpty()
