@@ -248,3 +248,48 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 6)
         .select("i", "j", "hamming")
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component,
+           min(lab) = node AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "Near-dup CLUSTER formation: transitive closure of the 3-gram Jaccard "
+        ">= 0.5 pair graph via iterative min-label propagation "
+        "(operators/components.py), one canonical survivor per cluster. The "
+        "step after pair mining that an actual curation pipeline executes; "
+        "oracle is a DuckDB recursive CTE over the same md5-free exact pair "
+        "set, so cluster labels are value-checked, not just counted."
+    ),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5).select("i", "j")
+    labels = connected_components(docs.select("doc_id"), pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -223,3 +223,45 @@ def c8_set_equality_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing = cfg.exceptAll(db).withColumn("side", F.lit("missing"))
     extra = db.exceptAll(cfg).withColumn("side", F.lit("extra"))
     return missing.unionByName(extra)
+
+
+@register(
+    "range_join_views_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+           round(epoch(p.ts - v.ts), 3) AS lead_sec
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    doc=(
+        "Interval join (every view in the trailing hour before each same-user "
+        "purchase) via operators/rangejoin.py bucketization: the range predicate "
+        "becomes an equi-join on (user_id, hour-bucket) with a 2-candidate "
+        "explode + residual filter — no BroadcastNestedLoopJoin. SURVEY §2 C "
+        "lists range joins as the natural extension the reference lacks; the "
+        "as-of join (w6) is its latest-only cousin."
+    ),
+)
+def range_join_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.rangejoin import (
+        interval_join_trailing,
+    )
+
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    out = interval_join_trailing(purchases, views, key="user_id", window_sec=3600)
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("r_event_id").alias("view_id"),
+        "user_id",
+        F.round(F.col("ts").cast("double") - F.col("r_ts").cast("double"), 3).alias(
+            "lead_sec"
+        ),
+    )
