@@ -218,3 +218,117 @@ def nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders)
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders, maxd
+    WHERE o_orderdate >= md - INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 family (order-priority checking), adapted to the reduced "
+        "schema: orders in the trailing quarter with at least one lineitem "
+        "shipped after the order date, counted per priority. The EXISTS is a "
+        "LEFT SEMI hash join on l_orderkey with the date inequality as a "
+        "residual — the fact table is never duplicated into the aggregate, "
+        "which is what keeps the shape safe when lineitem is the 100 TB side."
+    ),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    maxd = orders.agg(F.max("o_orderdate").alias("md"))
+    recent = orders.crossJoin(F.broadcast(maxd)).filter(
+        F.col("o_orderdate") >= F.col("md") - F.expr("INTERVAL 90 DAYS")
+    )
+    shipped_late = recent.join(
+        li,
+        (recent["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > recent["o_orderdate"]),
+        "left_semi",
+    )
+    return shipped_late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc=(
+        "TPC-H Q13 family (customer order distribution): outer join with an "
+        "ON-clause predicate (kept customers with zero qualifying orders must "
+        "survive, so the filter CANNOT be a WHERE), two-level aggregate. "
+        "Exercises null-generating join + count(col) null semantics."
+    ),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders,
+            (customer["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           round(o_totalprice, 2) AS total_price,
+           round(q, 2) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 200) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc=(
+        "TPC-H Q18 family (large-volume customers): aggregate lineitem per "
+        "order FIRST, filter to the rare heavy orders, THEN join orders + "
+        "customer. Agg-before-join is the decisive scale ordering — the "
+        "join input shrinks from every lineitem row to the handful of "
+        "qualifying orders; the customer dimension broadcasts."
+    ),
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 200)
+    )
+    return (
+        big.join(orders, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("q", 2).alias("total_qty"),
+        )
+    )
