@@ -1,0 +1,77 @@
+"""Physical-plan regression gates for the scale posture.
+
+Correctness is the oracle suite's job; this file pins the PLAN
+properties that make the same queries viable at 100 TB, so a refactor
+that silently de-optimizes (drops a pushdown, un-broadcasts a
+dimension, sneaks a Python UDF into the hot path, adds a shuffle)
+fails CI even though results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hridaya_steam_market_tracker_spark.queries import load_all
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _plan(registry, spark, name: str) -> str:
+    return (
+        registry[name]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_q6_pushdown_pruning_single_agg_shuffle(spark, registry):
+    plan = _plan(registry, spark, "tpch_q6_forecast_revenue")
+    # Range predicates reach the parquet scan...
+    assert "l_discount" in plan.split("DataFilters")[1].split("]")[0]
+    # ...and unused money columns are pruned from the fact scan.
+    fact_scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "l_discount" in l
+    )
+    assert "l_tax" not in fact_scan and "l_returnflag" not in fact_scan
+    # Scalar-max + global agg: at most 2 exchanges, no join shuffle.
+    assert plan.count("Exchange") <= 2
+
+
+def test_e1_latest_per_key_is_one_shuffle(spark, registry):
+    plan = _plan(registry, spark, "e1_latest_per_key")
+    assert plan.count("Exchange") == 1
+
+
+def test_q18_broadcasts_customer_dimension(spark, registry):
+    plan = _plan(registry, spark, "tpch_q18_large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
+    plan = _plan(registry, spark, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_quality_stats",
+        "dedup_minhash_lsh",
+        "simhash_near_pairs",
+        "ann_cosine_topk",
+        "sessionize_events",
+        "session_window_native",
+        "dedup_clusters",
+        "range_join_views_before_purchase",
+    ],
+)
+def test_no_python_eval_in_data_path(spark, registry, name):
+    plan = _plan(registry, spark, name)
+    assert "EvalPython" not in plan  # Batch/ArrowEvalPython = row-level Python
