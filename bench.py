@@ -71,7 +71,22 @@ def main() -> None:
         df2.write.format("noop").mode("overwrite").save()
         pass2[name] = round(time.perf_counter() - t0, 4)
 
-    best = {n: min(pass1[n], pass2[n]) for n in pass1}
+    # Adaptive third pass: if the two timings disagree by >2x, a steal
+    # spike hit one of them — take one more sample so a single spike
+    # can't define the recorded minimum.
+    pass3: dict[str, float] = {}
+    for name in names:
+        lo, hi = sorted((pass1[name], pass2[name]))
+        if hi > 2 * lo:
+            df3 = registry[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df3.write.format("noop").mode("overwrite").save()
+            pass3[name] = round(time.perf_counter() - t0, 4)
+
+    best = {
+        n: min(p for p in (pass1[n], pass2[n], pass3.get(n)) if p is not None)
+        for n in pass1
+    }
     print(
         json.dumps(
             {
@@ -81,6 +96,7 @@ def main() -> None:
                 "queries": best,
                 "pass1": pass1,
                 "pass2": pass2,
+                "pass3": pass3,
                 "sf": sf,
             }
         )
