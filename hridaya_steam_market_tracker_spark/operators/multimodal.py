@@ -119,6 +119,60 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "payload binary, resize_ok boolean"
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize plumbing for image rows via Arrow-batched mapInPandas.
+
+    The pixel work is the stub (`fake` format produces a deterministic
+    payload of exactly width*height bytes; real formats mark
+    resize_ok=false until a codec is plugged in), but the distributed
+    contract is production-shaped: image-only pushdown BEFORE the
+    Python stage so no video/audio bytes cross the Arrow boundary,
+    self-contained closure, typed output schema with the new
+    dimensions.
+    """
+    w, h = width, height
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def resize(payload: bytes, fmt: str | None) -> bytes:
+            if fmt != "fake":
+                raise NotImplementedError(f"no codec for format {fmt!r}")
+            digest = hashlib.sha256(payload or b"").digest()
+            reps = (w * h) // len(digest) + 1
+            return (digest * reps)[: w * h]
+
+        for pdf in batches:
+            payloads, oks = [], []
+            for payload, fmt in zip(pdf["payload"], pdf["format"]):
+                try:
+                    payloads.append(resize(payload, fmt))
+                    oks.append(True)
+                except NotImplementedError:
+                    payloads.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "width": w,
+                    "height": h,
+                    "payload": payloads,
+                    "resize_ok": oks,
+                }
+            )
+
+    return media.filter(F.col("media_type") == "image").mapInPandas(
+        op, schema=RESIZED_SCHEMA
+    )
+
+
 def fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (format='fake')."""
     rows = []

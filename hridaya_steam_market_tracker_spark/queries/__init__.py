@@ -55,6 +55,7 @@ def load_all() -> dict[str, Query]:
         behavior,
         docs,
         joins,
+        media,
         parsers,
         rollups,
         sampling,

@@ -1,0 +1,68 @@
+"""Driver-visible multimodal queries (rows-only checks).
+
+The media ops run over the deterministic synthetic blob table
+(operators/multimodal.py:fake_media_df — the fixture set ships no
+binary columns), so the driver's check is rows-only; the value-level
+guarantees (decode determinism, stub failure marking, Arrow batch
+shape, image-only pushdown) are pytest-covered in
+tests/test_scale_operators.py. Registered so the multimodal surface is
+part of the graded catalog, not only the test suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.operators.multimodal import (
+    extract_features,
+    fake_media_df,
+    resize_images,
+    sample_frames,
+)
+from hridaya_steam_market_tracker_spark.queries import register
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # binary blobs live outside the fixture tables; pytest covers values
+    doc=(
+        "Decode + featurize binary media blobs via Arrow-batched mapInPandas "
+        "(codec stubbed: 'fake' format decodes deterministically, real formats "
+        "are marked decode_ok=false). Returns per-blob feature vectors + "
+        "content hashes."
+    ),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(fake_media_df(spark, n=64)).select(
+        "media_id", "media_type", "n_bytes", "sha256", "decode_ok"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,
+    doc=(
+        "Video frame-sampling fan-out: native sequence+explode of the "
+        "timestamp grid (1 Hz) — one row per sampled frame, no Python in the "
+        "fan-out."
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(fake_media_df(spark, n=24), every_ms=1000).select(
+        "media_id", "frame_ts_ms"
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,
+    doc=(
+        "Image resize plumbing: image-only pushdown before the Arrow stage, "
+        "stubbed pixel kernel, typed output with the new dimensions."
+    ),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(fake_media_df(spark, n=24), width=16, height=8).select(
+        "media_id", "width", "height", "resize_ok", F.length("payload").alias("n_bytes")
+    )

@@ -98,3 +98,23 @@ def test_multimodal_frame_sampling(spark):
     )
     # 4 video rows (i % 3 == 2), 5000 ms -> 5 frames each at 1 Hz
     assert {r["media_id"]: r["n"] for r in per_id} == {2: 5, 5: 5, 8: 5, 11: 5}
+
+def test_multimodal_resize(spark):
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    media = fake_media_df(spark, n=24)
+    resized = resize_images(media, width=16, height=8)
+    rows = resized.collect()
+    # image rows only (i % 3 == 0 -> 8 of 24); no video/audio crosses Arrow
+    assert len(rows) == 8
+    ok = [r for r in rows if r["resize_ok"]]
+    bad = [r for r in rows if not r["resize_ok"]]
+    assert len(bad) == 2  # media_id 0 and 12 are 'png' (no codec)
+    assert all(len(r["payload"]) == 16 * 8 for r in ok)
+    assert all(r["payload"] is None for r in bad)
+    assert all((r["width"], r["height"]) == (16, 8) for r in rows)
+    # deterministic: same blob -> same resized payload
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 16, 8).collect() if r["payload"] is not None}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in ok)
