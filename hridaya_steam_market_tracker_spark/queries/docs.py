@@ -293,3 +293,111 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+@register(
+    "corpus_curation_rollup",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, source, n_chars,
+             {_TOKS} AS toks, {_TOKS_LOWER} AS toksl, text
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, source, n_chars,
+             round(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END * 0.4
+           + CASE WHEN CAST(len(list_filter(toksl, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len(toks) >= 0.05 THEN 1.0 ELSE 0.5 END * 0.4
+           + CASE WHEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) <= 0.2 THEN 1.0 ELSE 0.4 END * 0.2, 6)
+               AS quality_score,
+             CASE WHEN CAST(len(list_filter(toksl, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len(toks) >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+      FROM t
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           round(avg(quality_score), 6) AS avg_quality,
+           round(avg(CASE WHEN (lang_pred = 'en') = (lang = 'en') THEN 1.0 ELSE 0.0 END), 6) AS en_id_agreement
+    FROM scored GROUP BY lang, source
+    """,
+    doc=(
+        "Corpus curation rollup per (lang, source): doc counts, mean length, "
+        "mean heuristic quality, and agreement rate between the en-vs-other "
+        "language-ID heuristic and the labeled lang column — the acceptance "
+        "dashboard a training-data pipeline runs per ingest batch. One scan, "
+        "one hash aggregate; the text scoring is all JVM expressions."
+    ),
+)
+def corpus_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs)
+    agree = F.when(
+        (F.col("lang_pred") == "en") == (F.col("lang") == "en"), 1.0
+    ).otherwise(0.0)
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg(agree), 6).alias("en_id_agreement"),
+    )
+
+
+@register(
+    "curation_pipeline_kept_docs",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT doc_id, source,
+             round(CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END * 0.4
+           + CASE WHEN CAST(len(list_filter({_TOKS_LOWER}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len({_TOKS}) >= 0.05 THEN 1.0 ELSE 0.5 END * 0.4
+           + CASE WHEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) <= 0.2 THEN 1.0 ELSE 0.4 END * 0.2, 6)
+               AS quality_score
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(quality_score), 6) AS avg_quality
+    FROM scored s JOIN comp c USING (doc_id)
+    WHERE s.doc_id = c.component AND s.quality_score >= 0.7
+    GROUP BY source
+    """,
+    doc=(
+        "End-to-end curation pipeline: score -> quality gate (>= 0.7) -> "
+        "near-dup cluster formation -> keep only each cluster's canonical "
+        "doc -> per-source acceptance rollup. The full compose of "
+        "operators/text.py, operators/dedup.py and operators/components.py "
+        "in one plan — what an ingest batch actually runs before export."
+    ),
+)
+def curation_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs).select("doc_id", "source", "quality_score")
+    pairs = D.jaccard_pairs(docs, threshold=0.5).select("i", "j")
+    comp = connected_components(docs.select("doc_id"), pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    kept = (
+        scored.join(comp, "doc_id")
+        .filter((F.col("doc_id") == F.col("component")) & (F.col("quality_score") >= 0.7))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
