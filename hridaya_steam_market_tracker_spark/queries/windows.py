@@ -219,3 +219,69 @@ def h5_iso8601_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iso_ts"
         ),
     )
+
+
+@register(
+    "w7_trailing_1h_range_avg",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
+               AS trailing_1h_avg,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_in_window
+    FROM events
+    """,
+    doc=(
+        "Trailing 1-hour RANGE frame per key (value-based, not row-count-"
+        "based): both engines order by epoch microseconds with a numeric "
+        "range so frame boundaries agree exactly. The event-time analog of "
+        "w1's ROWS frame; complements the w5 hopping-window aggregate with "
+        "a per-row continuous window."
+    ),
+)
+def w7_trailing_1h_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("trailing_1h_avg"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@register(
+    "w8_rank_distributions",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc=(
+        "Distribution window functions per stream: percent_rank, cume_dist, "
+        "ntile(4). ORDER BY carries event_id as a tiebreak so ntile's "
+        "bucket assignment is deterministic across engines."
+    ),
+)
+def w8_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
