@@ -75,3 +75,43 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
 def test_no_python_eval_in_data_path(spark, registry, name):
     plan = _plan(registry, spark, name)
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython = row-level Python
+
+
+def test_partitioned_layout_prunes_on_date(spark, tmp_path):
+    """The storage layout's date partitioning must turn a time-range
+    predicate into partition pruning (the Spark analog of Timescale
+    chunk exclusion): the scan's PartitionFilters must carry the
+    predicate, and non-matching date directories must not be read."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.storage.layout import (
+        PARTITION_COL,
+        write_partitioned,
+    )
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    events = (
+        table(spark, SF_DIR, "events")
+        .select(
+            F.col("user_id").cast("string").alias("market_hash_name"),
+            F.col("ts").alias("time"),
+            "value",
+        )
+    )
+    sink = str(tmp_path / "sink")
+    write_partitioned(events, sink, key_col="market_hash_name", time_col="time")
+
+    cutoff = datetime.date(2024, 1, 20)
+    read = spark.read.parquet(sink).filter(F.col(PARTITION_COL) >= F.lit(cutoff))
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert PARTITION_COL in pf  # predicate reached the partition layer
+    # Only the 11 matching date dirs (Jan 20-30) are actually read
+    # (input_file_name at execution time, after pruning).
+    scanned = {
+        r[0].split(f"{PARTITION_COL}=")[1].split("/")[0]
+        for r in read.select(F.input_file_name()).distinct().collect()
+    }
+    assert scanned == {f"2024-01-{d:02d}" for d in range(20, 31)}
