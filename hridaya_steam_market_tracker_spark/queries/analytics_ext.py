@@ -133,3 +133,46 @@ def x4_above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
     )
+
+
+@register(
+    "x5_grouping_sets_events",
+    oracle="""
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS stream,
+           CASE WHEN GROUPING(hh) = 1 THEN 'ALL' ELSE hh END AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, strftime(ts, '%H') AS hh, value FROM events)
+    GROUP BY GROUPING SETS ((event_type), (hh), (event_type, hh))
+    """,
+    doc=(
+        "Explicit GROUPING SETS (per-stream, per-hour, and per-stream-hour "
+        "aggregates in ONE pass): the arbitrary-set sibling of x1 ROLLUP and "
+        "x2 CUBE. One scan + one expand + one hash aggregate, vs three "
+        "scans if issued as separate queries."
+    ),
+)
+def x5_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", F.date_format("ts", "HH").alias("hh"), "value"
+    )
+    gs = base.groupingSets(
+        [["event_type"], ["hh"], ["event_type", "hh"]], "event_type", "hh"
+    ).agg(
+        # grouping() is only resolvable inside the agg, not a later select
+        F.grouping("event_type").alias("g_stream"),
+        F.grouping("hh").alias("g_hh"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return gs.select(
+        F.when(F.col("g_stream") == 1, "ALL")
+        .otherwise(F.col("event_type"))
+        .alias("stream"),
+        F.when(F.col("g_hh") == 1, "ALL").otherwise(F.col("hh")).alias(
+            "hour_of_day"
+        ),
+        "n",
+        "total_value",
+    )
