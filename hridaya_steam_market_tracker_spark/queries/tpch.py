@@ -332,3 +332,60 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
             F.round("q", 2).alias("total_qty"),
         )
     )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    WITH maxd AS (SELECT max(o_orderdate) AS md FROM orders),
+    rev AS (
+      SELECT c_custkey, c_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey, maxd
+      WHERE l_returnflag = 'R' AND o_orderdate >= md - INTERVAL 90 DAY
+      GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rn FROM rev)
+    WHERE rn <= 20
+    """,
+    doc=(
+        "TPC-H Q10 family (returned-item top customers): fact-to-fact join "
+        "filtered to returns in the trailing quarter, revenue per customer, "
+        "top-20. Ranking is on the ROUNDED revenue with c_custkey tiebreak so "
+        "cross-engine float summation order can't reorder the cut. The "
+        "returnflag + date filters push to the scans before the join."
+    ),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    nation = table(spark, sf_dir, "nation")
+    maxd = orders.agg(F.max("o_orderdate").alias("md"))
+    recent = orders.crossJoin(F.broadcast(maxd)).filter(
+        F.col("o_orderdate") >= F.col("md") - F.expr("INTERVAL 90 DAYS")
+    )
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(recent, li["l_orderkey"] == recent["o_orderkey"])
+        .join(F.broadcast(customer), recent["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
