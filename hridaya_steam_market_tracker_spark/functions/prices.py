@@ -106,10 +106,14 @@ def to_major_units(col: Column) -> Column:
 
 
 def parse_volume(col: Column) -> Column:
-    """G3: "1,234" -> 1234 (strip ',' and '.'), NULL on failure/empty."""
+    """G3: "1,234" -> 1234 (strip ',' and '.'), NULL on failure/empty.
+
+    Long-typed: the reference's int() is unbounded, so a 32-bit cast
+    would silently NULL volumes >= 2^31 that the reference accepts.
+    """
     cleaned = F.regexp_replace(F.trim(col), "[,.]", "")
-    return F.when(cleaned.rlike(_INT_RE), cleaned.cast("int")).otherwise(
-        F.lit(None).cast("int")
+    return F.when(cleaned.rlike(_INT_RE), cleaned.cast("long")).otherwise(
+        F.lit(None).cast("long")
     )
 
 

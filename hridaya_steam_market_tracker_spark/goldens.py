@@ -44,6 +44,7 @@ VOLUME_GOLDENS: list[tuple[str | None, int | None]] = [
     ("1,234", 1234),
     ("1.234", 1234),  # '.' also stripped (reference quirk)
     ("12", 12),
+    ("2,200,000,000", 2200000000),  # > 2^31: reference int() is unbounded
     ("", None),
     (None, None),
     ("abc", None),

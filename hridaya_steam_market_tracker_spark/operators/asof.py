@@ -44,10 +44,14 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     lastr = F.last(F.col("__carry"), ignorenulls=True).over(w)
+    # Right-only columns arrive via the union as all-NULL on left rows;
+    # drop the originals so the output carries them solely under their
+    # 'right_'-prefixed names.
+    stray = [c for c in right.columns if c not in left.columns]
     out = (
         unioned.withColumn("__last", lastr)
         .filter(F.col("__side") == 1)
-        .drop("__side", "__carry")
+        .drop("__side", "__carry", *stray)
     )
     if tolerance is not None:
         fresh = F.col("__last.__rts") >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")

@@ -87,28 +87,74 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold via inverted index.
 
-    intersection(a,b) counted by joining postings on the shingle;
-    union = |A| + |B| - intersection.
+    With ``max_shingle_df=None``: intersection(a,b) counted by joining
+    postings on the shingle; union = |A| + |B| - intersection. A shingle
+    shared by k docs fans out k^2 pair rows — a boilerplate shingle at
+    corpus scale is a shuffle bomb, which is why this is the VERIFIER
+    path (the scale path is minhash_near_duplicates).
+
+    With ``max_shingle_df=c``: shingles appearing in more than c docs
+    are excluded from CANDIDATE generation (bounding the self-join
+    fan-out at c per posting list), and every candidate is then verified
+    against the FULL shingle sets, so reported jaccard values are exact.
+    Output equals the unguarded pair set whenever every qualifying pair
+    shares at least one shingle with document frequency <= c — at
+    threshold 0.5 a missed pair requires ALL of its shared shingles to
+    sit in > c documents, i.e. a duplicate cluster wider than c, exactly
+    the regime where the quadratic path is unrunnable anyway.
     """
-    idx = shingle_index(df, text_col, id_col, n)
-    a = idx.select(
-        F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"), "shingle"
+    if max_shingle_df is None:
+        idx = shingle_index(df, text_col, id_col, n)
+        a = idx.select(
+            F.col("doc_id").alias("i"), F.col("n_sh").alias("n_i"), "shingle"
+        )
+        b = idx.select(
+            F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"), "shingle"
+        )
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("i") < F.col("j"))
+            .groupBy("i", "j", "n_i", "n_j")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+        return (
+            inter.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("i", "j", "jaccard")
+        )
+
+    sets = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+        .cache()
     )
-    b = idx.select(
-        F.col("doc_id").alias("j"), F.col("n_sh").alias("n_j"), "shingle"
+    idx = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = idx.join(
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle"),
+        "shingle",
     )
-    inter = (
-        a.join(b, "shingle")
+    cands = (
+        rare.select(F.col("doc_id").alias("i"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("j"), "shingle"), "shingle")
         .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j", "n_i", "n_j")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select("i", "j")
+        .distinct()
     )
-    jac = F.col("inter") / (F.col("n_i") + F.col("n_j") - F.col("inter"))
+    paired = cands.join(
+        sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i")), "i"
+    ).join(sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")), "j")
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    jac = inter.cast("double") / (F.size("sh_i") + F.size("sh_j") - inter)
     return (
-        inter.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
@@ -243,24 +289,48 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """60-bit SimHash: per-token 60-bit hash votes on each bit position;
     signature bit b is 1 iff the weighted vote is positive.
 
-    One explode + one groupBy(doc) with `bits` conditional sums — all
-    JVM-side; at 100 TB this is a single shuffle keyed by doc_id.
+    One explode + one groupBy(doc) — all JVM-side; at 100 TB this is a
+    single shuffle keyed by doc_id.
+
+    The per-bit votes are BIT-PACKED: each token's hash expands to
+    bits/4 longs of four 16-bit lanes, and one SUM per packed long
+    accumulates four bit-counters at once (lanes can't carry into each
+    other while a document stays under 2^16 tokens — far above any real
+    shingled doc). That is bits/4 aggregate columns instead of `bits`
+    conditional sums; the sign vote 2*S_b - N > 0 is then decoded from
+    the lanes, bit-exact with the naive per-bit +-1 sum.
     """
+    lanes_per_long = 4
+    n_packed = (bits + lanes_per_long - 1) // lanes_per_long
     toks = _spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
     )
     hashed = toks.withColumn("h", _h60(F.col("tok"), 0))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(bits)
+
+    def packed(g: int) -> Column:
+        term = None
+        for k in range(lanes_per_long):
+            b = g * lanes_per_long + k
+            if b >= bits:
+                break
+            lane = F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")), 16 * k
+            )
+            term = lane if term is None else term + lane
+        return term
+
+    aggs = [F.sum(packed(g)).alias(f"p_{g}") for g in range(n_packed)] + [
+        F.count(F.lit(1)).alias("n_tok")
     ]
-    voted = hashed.groupBy("doc_id").agg(*votes)
+    voted = hashed.groupBy("doc_id").agg(*aggs)
     sig = None
     for b in range(bits):
-        bit = F.when(F.col(f"v_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        g, k = b // lanes_per_long, b % lanes_per_long
+        s_b = F.shiftright(F.col(f"p_{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF).cast("long"))
+        bit = F.when(2 * s_b > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return voted.select("doc_id", sig.alias("simhash"))

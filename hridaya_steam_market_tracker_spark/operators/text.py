@@ -81,14 +81,52 @@ def fingerprint(text: Column) -> Column:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All eight stats from a single tokenization pass.
+
+    Layered projections: (1) materialize the token arrays once, (2) reduce
+    them to scalars, (3) derive ratios/scores from the scalars. Catalyst's
+    CollapseProject keeps the layers separate (the array-producing
+    expressions are non-cheap and multiply referenced), so ``split`` /
+    ``filter`` run once per row instead of once per stat — this operator is
+    pure per-row map work riding in the scan stage, so per-row CPU is the
+    whole cost at corpus scale.
+    """
     t = F.col(text_col)
+    toks, toksl = F.col("__toks"), F.col("__toksl")
+    n, n_stops = F.col("n_tokens"), F.col("__n_stops")
+    sw_ratio = F.when(n > 0, n_stops / n).otherwise(F.lit(0.0))
+    p_ratio = F.when(F.length(t) > 0, F.col("__n_punct") / F.length(t)).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.3)
+    stop_ok = F.when(sw_ratio >= 0.05, 1.0).otherwise(0.5)
+    punct_ok = F.when(p_ratio <= 0.2, 1.0).otherwise(0.4)
     return (
-        df.withColumn("n_tokens", token_count_ws(t))
-        .withColumn("n_tokens_bpe", token_count_bpe_ish(t))
-        .withColumn("avg_token_len", F.round(avg_token_len(t), 6))
-        .withColumn("stopword_ratio", F.round(stopword_ratio(t), 6))
-        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
-        .withColumn("quality_score", quality_score(t))
-        .withColumn("lang_pred", lang_id(t))
-        .withColumn("fingerprint", fingerprint(t))
+        df.withColumns({"__toks": tokens(t), "__toksl": tokens(F.lower(t))})
+        .withColumns(
+            {
+                "n_tokens": F.size(toks),
+                "n_tokens_bpe": token_count_bpe_ish(t),
+                "__n_stops": F.size(F.filter(toksl, lambda x: x.isin(EN_STOPWORDS))),
+                "__tok_len_sum": F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ),
+                "__n_punct": F.length(F.regexp_replace(t, "[A-Za-z0-9\\s]", "")),
+                "fingerprint": F.md5(F.array_join(toksl, " ")),
+            }
+        )
+        .withColumns(
+            {
+                "avg_token_len": F.round(
+                    F.when(n > 0, F.col("__tok_len_sum") / n).otherwise(F.lit(0.0)), 6
+                ),
+                "stopword_ratio": F.round(sw_ratio, 6),
+                "punct_ratio": F.round(p_ratio, 6),
+                "quality_score": F.round(
+                    length_ok * 0.4 + stop_ok * 0.4 + punct_ok * 0.2, 6
+                ),
+                "lang_pred": F.when(sw_ratio >= 0.02, "en").otherwise("und"),
+            }
+        )
+        .drop("__toks", "__toksl", "__n_stops", "__tok_len_sum", "__n_punct")
     )

@@ -49,8 +49,23 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (side-effect: registration) and return the registry."""
+    """Import every query module (side-effect: registration) and return the registry.
+
+    Import order IS registry order (dict insertion), and the driver's
+    correctness gate samples the registry front-to-back. Round 1 verified the
+    first ~50 entries under alphabetical order; this round front-loads the
+    modules whose queries have no driver CORRECTNESS row yet (tpch, timeseries,
+    windows, vectors, sampling, sketches) so they are sampled first, while the
+    round-1-green modules trail. Keep this ordering deliberate when adding
+    modules.
+    """
     from hridaya_steam_market_tracker_spark.queries import (  # noqa: F401
+        tpch,
+        timeseries,
+        windows,
+        vectors,
+        sampling,
+        sketches,
         analytics_ext,
         behavior,
         docs,
@@ -58,12 +73,6 @@ def load_all() -> dict[str, Query]:
         media,
         parsers,
         rollups,
-        sampling,
-        sketches,
-        timeseries,
-        tpch,
-        vectors,
-        windows,
     )
 
     return REGISTRY

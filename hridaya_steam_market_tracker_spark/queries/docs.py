@@ -277,7 +277,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(operators/components.py), one canonical survivor per cluster. The "
         "step after pair mining that an actual curation pipeline executes; "
         "oracle is a DuckDB recursive CTE over the same md5-free exact pair "
-        "set, so cluster labels are value-checked, not just counted."
+        "set, so cluster labels are value-checked, not just counted. Pair "
+        "mining uses the MinHash+LSH SCALE path (banded candidates + exact-"
+        "Jaccard verify, no quadratic postings self-join); jaccard_pairs "
+        "stays as the exact cross-check in tests and the oracle."
     ),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +289,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.jaccard_pairs(docs, threshold=0.5).select("i", "j")
+    pairs = D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5).select("i", "j")
     labels = connected_components(docs.select("doc_id"), pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -379,7 +382,8 @@ def corpus_curation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "near-dup cluster formation -> keep only each cluster's canonical "
         "doc -> per-source acceptance rollup. The full compose of "
         "operators/text.py, operators/dedup.py and operators/components.py "
-        "in one plan — what an ingest batch actually runs before export."
+        "in one plan — what an ingest batch actually runs before export. "
+        "Pair mining is the MinHash+LSH scale path (see dedup_clusters)."
     ),
 )
 def curation_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,7 +393,7 @@ def curation_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     scored = with_text_stats(docs).select("doc_id", "source", "quality_score")
-    pairs = D.jaccard_pairs(docs, threshold=0.5).select("i", "j")
+    pairs = D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5).select("i", "j")
     comp = connected_components(docs.select("doc_id"), pairs).withColumnRenamed(
         "node", "doc_id"
     )

@@ -77,7 +77,7 @@ _make_scalar_parser_query(
     "g3_parse_volume",
     goldens.VOLUME_GOLDENS,
     parse_volume,
-    "INTEGER",
+    "BIGINT",
     "G3 volume parse — reference src/SQLinserts.py:658-675.",
 )
 _make_scalar_parser_query(

@@ -361,8 +361,6 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
     ),
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     customer = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
@@ -383,9 +381,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        rev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # orderBy + limit compiles to TakeOrderedAndProject: each partition keeps
+    # its local top-20 and only those reach the driver-side merge — no
+    # single-partition global Sort (which a row_number() window would force).
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)

@@ -184,23 +184,20 @@ def w6_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
           / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)) >= 0.4
     """,
     doc=(
-        "Embedding-cosine near-duplicate pairs (brute-force baseline of the dedup "
-        "family); the LSH-bucketed variant (ann_lsh_topk machinery) is the scale path."
+        "Embedding-cosine near-duplicate pairs, EXACT, via the tiled block "
+        "self-join (operators/similarity.py:cosine_self_join) — equi-join on a "
+        "tile grid, no CartesianProduct, bounded per-task memory. Exact "
+        "mid-threshold cosine is inherently O(n^2 d) FLOPs; the sub-quadratic "
+        "approximate paths are ann_lsh_topk / ann_ivf_topk."
     ),
 )
 def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hridaya_steam_market_tracker_spark.operators.similarity import cosine
+    from hridaya_steam_market_tracker_spark.operators.similarity import (
+        cosine_self_join,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("i") < F.col("j"))
-    c = cosine(F.col("va"), F.col("vb"))
-    return (
-        pairs.withColumn("cos_sim", F.round(c, 6))
-        .filter(c >= 0.4)
-        .select("i", "j", "cos_sim")
-    )
+    return cosine_self_join(emb, threshold=0.4, n_blocks=16)
 
 
 @register(

@@ -56,7 +56,7 @@ PRICE_OVERVIEW = T.StructType(
         *_IDENTITY,
         T.StructField("lowest_price", T.DoubleType(), True),
         T.StructField("median_price", T.DoubleType(), True),
-        T.StructField("volume", T.IntegerType(), True),
+        T.StructField("volume", T.LongType(), True),
     ]
 )
 
@@ -68,8 +68,8 @@ ORDERS_HISTOGRAM = T.StructType(
         T.StructField("sell_order_table", T.ArrayType(ORDER_TABLE_ENTRY), True),
         T.StructField("buy_order_graph", T.ArrayType(ORDER_GRAPH_POINT), True),
         T.StructField("sell_order_graph", T.ArrayType(ORDER_GRAPH_POINT), True),
-        T.StructField("buy_order_count", T.IntegerType(), True),
-        T.StructField("sell_order_count", T.IntegerType(), True),
+        T.StructField("buy_order_count", T.LongType(), True),
+        T.StructField("sell_order_count", T.LongType(), True),
         T.StructField("highest_buy_order", T.DoubleType(), True),  # MAJOR units
         T.StructField("lowest_sell_order", T.DoubleType(), True),
     ]
@@ -91,7 +91,7 @@ PRICE_HISTORY = T.StructType(
         T.StructField("time", T.TimestampType(), False),  # natural key with name
         *_IDENTITY,
         T.StructField("price", T.DoubleType(), True),
-        T.StructField("volume", T.IntegerType(), True),
+        T.StructField("volume", T.LongType(), True),
         T.StructField("fetched_at", T.TimestampType(), True),
     ]
 )

@@ -54,8 +54,11 @@ def has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle Exchange (excluding
     broadcast exchanges) — the thing bucketing exists to remove."""
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # Substring match, not line-prefix: Exchange nodes under the non-last
+    # child of a binary operator render with a ':' gutter prefix
+    # (':  +- Exchange hashpartitioning...'), which a startswith check
+    # would miss — letting a one-sided shuffle regression false-pass.
     return any(
-        line.strip().startswith("+- Exchange") or line.strip().startswith("Exchange")
+        "Exchange" in line and "BroadcastExchange" not in line
         for line in plan.splitlines()
-        if "BroadcastExchange" not in line
     )

@@ -27,8 +27,17 @@ SNAPSHOT_STREAMS = ("histogram", "activity")
 
 def latest_per_key(df: DataFrame, key_cols: list[str], ts_col: str = "time") -> DataFrame:
     """THE latest-1 definition — shared by batch readers and the push
-    plane so payload shapes agree (SURVEY §7 hard-part #5)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    plane so payload shapes agree (SURVEY §7 hard-part #5).
+
+    Ties on the timestamp break on every remaining column (descending),
+    mirroring e1_latest_per_key's event_id tiebreak: without it the
+    surviving row on equal timestamps depends on partition scan order and
+    the push payload would not be byte-for-byte reproducible vs batch.
+    """
+    tiebreak = [
+        F.col(c).desc() for c in df.columns if c not in key_cols and c != ts_col
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc(), *tiebreak)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 

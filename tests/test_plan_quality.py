@@ -77,6 +77,44 @@ def test_no_python_eval_in_data_path(spark, registry, name):
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython = row-level Python
 
 
+def test_emb_cosine_near_dup_is_not_cartesian(spark, registry):
+    """The exact cosine self-join must run as the tiled block equi-join:
+    no CartesianProduct / BroadcastNestedLoopJoin over the pair space."""
+    plan = _plan(registry, spark, "emb_cosine_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_clusters", "curation_pipeline_kept_docs"])
+def test_curation_mines_pairs_via_minhash_not_postings_join(
+    spark, registry, name, monkeypatch
+):
+    """Pair mining inside the curation pipeline must be the banded-LSH
+    candidate path (bucket equi-join + exact verify), never the quadratic
+    shingle-postings self-join that fans out k^2 rows per hot shingle.
+    (connected_components checkpoints its edge input, so the mining
+    subtree is not visible in the final physical plan — assert on the
+    call path instead.)"""
+    from hridaya_steam_market_tracker_spark.operators import dedup as D
+
+    used_minhash = []
+    real = D.minhash_near_duplicates
+    monkeypatch.setattr(
+        D,
+        "minhash_near_duplicates",
+        lambda *a, **k: used_minhash.append(1) or real(*a, **k),
+    )
+    monkeypatch.setattr(
+        D,
+        "jaccard_pairs",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("quadratic jaccard_pairs used in curation pipeline")
+        ),
+    )
+    assert registry[name].fn(spark, SF_DIR).count() > 0
+    assert used_minhash
+
+
 def test_partitioned_layout_prunes_on_date(spark, tmp_path):
     """The storage layout's date partitioning must turn a time-range
     predicate into partition pruning (the Spark analog of Timescale

@@ -47,6 +47,71 @@ def test_simhash_blocking_equals_bruteforce(spark):
     assert blocked == brute
 
 
+def test_hot_shingle_guard_output_unchanged(spark):
+    """Pathological corpus: one boilerplate shingle in EVERY doc. The
+    DF-cutoff guard must exclude it from candidate generation (bounding
+    the postings self-join fan-out) without changing the pair output —
+    the qualifying pair is still found through its rare shared shingles,
+    and verification against the full shingle sets keeps jaccard exact."""
+    boiler = "terms of service apply"
+    rows = [(i, f"{boiler} unique{i} token{i} tail{i} word{i}") for i in range(20)]
+    # One true near-dup pair (docs 100/101 share most of their shingles).
+    rows += [
+        (100, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (101, f"{boiler} alpha beta gamma delta epsilon eta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = {
+        (r["i"], r["j"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    guarded = {
+        (r["i"], r["j"], r["jaccard"])
+        for r in D.jaccard_pairs(docs, threshold=0.3, max_shingle_df=5).collect()
+    }
+    assert guarded == unguarded
+    assert any(p[0] == 100 and p[1] == 101 for p in guarded)  # non-vacuous
+
+    # The guard actually bounds the join: every posting list feeding
+    # candidate generation has df <= cutoff (the boilerplate shingles,
+    # df = 22 here, are out).
+    idx = D.shingle_index(docs).groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    assert idx.agg(F.max("df")).first()[0] > 5  # pathology is real
+    rare_max = (
+        idx.filter(F.col("df") <= 5).agg(F.max("df")).first()[0]
+    )
+    assert rare_max <= 5
+
+
+def test_cosine_self_join_equals_bruteforce(spark):
+    """The tiled block self-join must emit exactly the brute-force pair
+    set — tiling is an execution shape, not an approximation."""
+    emb = table(spark, SF, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a)
+        nb = sum(float(y) * float(y) for y in b)
+        return dot / (na * nb) ** 0.5
+
+    ids = sorted(vecs)
+    brute = {
+        (i, j)
+        for ii, i in enumerate(ids)
+        for j in ids[ii + 1 :]
+        if cos(vecs[i], vecs[j]) >= 0.4
+    }
+    tiled = {
+        (r["i"], r["j"])
+        for r in S.cosine_self_join(emb, threshold=0.4, n_blocks=7).collect()
+    }
+    assert tiled == brute
+    assert len(brute) > 0  # fixture contains qualifying pairs — non-vacuous
+
+
 def test_lsh_topk_recall(spark):
     emb = table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
