@@ -1,16 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio libraries, so the codec step is a
-clearly-marked stub (deterministic fake decode / NotImplementedError
-for real formats) — but the Spark-side contract is real and tested:
-schemas, batch iteration, partition behavior, and UDF signatures are
-exactly what a production decode would use; swapping `_fake_decode`
-for PIL/ffmpeg is a one-function change.
+REAL codecs (pure stdlib, no image libraries needed): uncompressed
+24-bit BI_RGB **BMP** and binary **PPM (P6)** decode to RGB pixel
+arrays and re-encode; feature extraction and resize operate on actual
+pixels for those formats. Compressed formats (png/jpg/wav/mp4) remain
+clearly-marked NotImplementedError stubs until a codec library is
+plugged in; the 'fake' format keeps its digest-based deterministic
+pseudo-decode for plumbing tests.
 
 Scale posture: mapInPandas streams Arrow batches — memory is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
 sizes; decode parallelism == partition count; no driver involvement.
+All decode closures are self-contained (built by `_pixel_codec()` and
+captured by value via cloudpickle), so executors need neither this
+package on PYTHONPATH nor addPyFile.
 """
 
 from __future__ import annotations
@@ -28,7 +32,7 @@ MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("media_type", T.StringType(), False),  # image|audio|video
-        T.StructField("format", T.StringType(), True),  # png|jpg|wav|mp4|fake
+        T.StructField("format", T.StringType(), True),  # bmp|ppm|png|jpg|wav|mp4|fake
         T.StructField("payload", T.BinaryType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -44,47 +48,150 @@ FEATURE_SCHEMA = (
 _FEAT_DIM = 8
 
 
-def _fake_decode(payload: bytes, fmt: str | None) -> list[float]:
-    """STUB: deterministic fake feature extraction.
+def _pixel_codec():
+    """Build self-contained (decode, encode) closures for the real
+    pure-stdlib raster codecs.
 
-    Real formats raise until a codec library is installed; the 'fake'
-    format hashes the payload into a small feature vector so the
-    distributed plumbing is testable end-to-end.
+    decode(payload, fmt) -> (width, height, rgb) where rgb is row-major
+    RGB bytes (3 per pixel). Supported: 'bmp' (uncompressed 24-bit
+    BI_RGB, bottom-up or top-down), 'ppm' (binary P6, maxval 255,
+    header comments allowed). encode(w, h, rgb, fmt) is the inverse.
+    Anything else raises NotImplementedError — the honest stub seam for
+    compressed formats.
+
+    Returned closures capture no module globals, so cloudpickle ships
+    them by value into mapInPandas workers.
     """
-    if fmt != "fake":
+    import struct
+
+    def decode(payload: bytes, fmt: str | None) -> tuple[int, int, bytes]:
+        if not payload:
+            raise ValueError("empty payload")
+        payload = bytes(payload)
+        if fmt == "ppm":
+            def token(pos: int) -> tuple[bytes, int]:
+                while pos < len(payload):
+                    if payload[pos : pos + 1].isspace():
+                        pos += 1
+                    elif payload[pos : pos + 1] == b"#":
+                        while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                            pos += 1
+                    else:
+                        break
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                return payload[start:pos], pos
+
+            magic, pos = token(0)
+            if magic != b"P6":
+                raise ValueError("not a binary PPM (P6)")
+            wtok, pos = token(pos)
+            htok, pos = token(pos)
+            mtok, pos = token(pos)
+            w, h, maxval = int(wtok), int(htok), int(mtok)
+            if maxval != 255:
+                raise ValueError(f"unsupported PPM maxval {maxval}")
+            pos += 1  # exactly one whitespace byte separates header and raster
+            rgb = payload[pos : pos + 3 * w * h]
+            if len(rgb) != 3 * w * h:
+                raise ValueError("truncated PPM raster")
+            return w, h, rgb
+        if fmt == "bmp":
+            if payload[:2] != b"BM" or len(payload) < 54:
+                raise ValueError("not a BMP")
+            data_off = struct.unpack_from("<I", payload, 10)[0]
+            w, h_signed = struct.unpack_from("<ii", payload, 18)
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            compression = struct.unpack_from("<I", payload, 30)[0]
+            if bpp != 24 or compression != 0:
+                raise NotImplementedError(
+                    f"only uncompressed 24-bit BMP supported (bpp={bpp})"
+                )
+            top_down, h = h_signed < 0, abs(h_signed)
+            stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+            if len(payload) < data_off + stride * h:
+                raise ValueError("truncated BMP raster")
+            out = bytearray(3 * w * h)
+            for row in range(h):
+                src = data_off + (row if top_down else h - 1 - row) * stride
+                for x in range(w):
+                    b, g, r = payload[src + 3 * x : src + 3 * x + 3]
+                    o = 3 * (row * w + x)
+                    out[o], out[o + 1], out[o + 2] = r, g, b
+            return w, h, bytes(out)
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment — "
             "plug PIL/torchaudio/ffmpeg here"
         )
-    digest = hashlib.sha256(payload or b"").digest()
-    return [b / 255.0 for b in digest[:_FEAT_DIM]]
+
+    def encode(w: int, h: int, rgb: bytes, fmt: str | None) -> bytes:
+        if fmt == "ppm":
+            return b"P6\n%d %d\n255\n" % (w, h) + bytes(rgb)
+        if fmt == "bmp":
+            stride = (w * 3 + 3) & ~3
+            raster = bytearray()
+            for row in range(h - 1, -1, -1):  # bottom-up
+                line = bytearray()
+                for x in range(w):
+                    o = 3 * (row * w + x)
+                    line += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))  # BGR
+                raster += line.ljust(stride, b"\x00")
+            size = 54 + len(raster)
+            header = (
+                b"BM"
+                + struct.pack("<IHHI", size, 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+            )
+            return bytes(header + raster)
+        raise NotImplementedError(f"no encoder for format {fmt!r}")
+
+    return decode, encode
+
+
 
 
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode + featurize every blob via Arrow-batched mapInPandas.
 
-    `op` is a self-contained closure (decode nested inside) so
-    cloudpickle ships it by value — executors need neither this package
-    on PYTHONPATH nor addPyFile.
+    'bmp'/'ppm' rows decode to REAL pixels (pure-stdlib codecs) and
+    featurize as per-channel mean/std + aspect; 'fake' keeps the
+    digest pseudo-decode; compressed formats mark decode_ok=false.
+    `op` is a self-contained closure (codec closures captured by
+    value) — executors need neither this package on PYTHONPATH nor
+    addPyFile.
     """
     feat_dim = _FEAT_DIM
+    pixel_decode, _ = _pixel_codec()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        def decode(payload: bytes, fmt: str | None) -> list[float]:
-            if fmt != "fake":
-                raise NotImplementedError(f"no codec for format {fmt!r}")
-            digest = hashlib.sha256(payload or b"").digest()
-            return [b / 255.0 for b in digest[:feat_dim]]
+        def featurize(payload: bytes, fmt: str | None) -> list[float]:
+            if fmt == "fake":
+                digest = hashlib.sha256(payload or b"").digest()
+                return [b / 255.0 for b in digest[:feat_dim]]
+            w, h, rgb = pixel_decode(payload, fmt)
+            n = w * h
+            feats = []
+            for ch in range(3):
+                s = sum(rgb[3 * i + ch] for i in range(n))
+                s2 = sum(rgb[3 * i + ch] ** 2 for i in range(n))
+                mean = s / n
+                var = s2 / n - mean * mean
+                feats.append(mean / 255.0)
+                feats.append((var if var > 0 else 0.0) ** 0.5 / 255.0)
+            feats.append(w / (w + h))
+            feats.append(h / (w + h))
+            return feats
 
         for pdf in batches:
             feats, oks = [], []
             for payload, fmt in zip(pdf["payload"], pdf["format"]):
                 try:
-                    feats.append(decode(payload, fmt))
+                    feats.append(featurize(payload, fmt))
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     feats.append(None)
                     oks.append(False)
             yield pd.DataFrame(
@@ -126,27 +233,37 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Resize plumbing for image rows via Arrow-batched mapInPandas.
+    """Resize image rows via Arrow-batched mapInPandas.
 
-    The pixel work is the stub (`fake` format produces a deterministic
-    payload of exactly width*height bytes; real formats mark
-    resize_ok=false until a codec is plugged in), but the distributed
-    contract is production-shaped: image-only pushdown BEFORE the
+    'bmp'/'ppm' rows are REALLY resized: decode to pixels,
+    nearest-neighbor sample to (width, height), re-encode in the same
+    format. 'fake' keeps its digest payload of width*height bytes;
+    compressed formats mark resize_ok=false until a codec library is
+    plugged in. Distributed contract: image-only pushdown BEFORE the
     Python stage so no video/audio bytes cross the Arrow boundary,
-    self-contained closure, typed output schema with the new
+    self-contained closures, typed output schema with the new
     dimensions.
     """
     w, h = width, height
+    pixel_decode, pixel_encode = _pixel_codec()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         def resize(payload: bytes, fmt: str | None) -> bytes:
-            if fmt != "fake":
-                raise NotImplementedError(f"no codec for format {fmt!r}")
-            digest = hashlib.sha256(payload or b"").digest()
-            reps = (w * h) // len(digest) + 1
-            return (digest * reps)[: w * h]
+            if fmt == "fake":
+                digest = hashlib.sha256(payload or b"").digest()
+                reps = (w * h) // len(digest) + 1
+                return (digest * reps)[: w * h]
+            sw, sh, rgb = pixel_decode(payload, fmt)
+            out = bytearray(3 * w * h)
+            for y in range(h):
+                sy = min(y * sh // h, sh - 1)
+                for x in range(w):
+                    sx = min(x * sw // w, sw - 1)
+                    src, dst = 3 * (sy * sw + sx), 3 * (y * w + x)
+                    out[dst : dst + 3] = rgb[src : src + 3]
+            return pixel_encode(w, h, bytes(out), fmt)
 
         for pdf in batches:
             payloads, oks = [], []
@@ -154,7 +271,7 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                 try:
                     payloads.append(resize(payload, fmt))
                     oks.append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     payloads.append(None)
                     oks.append(False)
             yield pd.DataFrame(
@@ -174,19 +291,37 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 
 
 def fake_media_df(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for tests (format='fake')."""
+    """Deterministic synthetic media table for tests.
+
+    Image rows alternate REAL encoded rasters ('bmp'/'ppm', 6x4 pixels
+    derived from md5) so the real codecs run end-to-end; every 4th row
+    stays 'png' (undecodable — exercises the failure marking) and the
+    rest are 'fake' digest blobs."""
+    _, encode = _pixel_codec()
     rows = []
     for i in range(n):
-        payload = hashlib.md5(f"blob{i}".encode()).digest() * 4
         mtype = ["image", "audio", "video"][i % 3]
+        if i % 4 == 0:
+            fmt = "png"  # undecodable without a codec library
+        elif mtype == "image":
+            fmt = "bmp" if i % 2 == 0 else "ppm"
+        else:
+            fmt = "fake"
+        if fmt in ("bmp", "ppm"):
+            w, h = 6, 4
+            rgb = (hashlib.md5(f"img{i}".encode()).digest() * 5)[: 3 * w * h]
+            payload = encode(w, h, rgb, fmt)
+        else:
+            w = h = 64 if mtype == "image" else None
+            payload = hashlib.md5(f"blob{i}".encode()).digest() * 4
         rows.append(
             (
                 i,
                 mtype,
-                "fake" if i % 4 != 0 else "png",  # some undecodable rows
+                fmt,
                 bytearray(payload),
-                64 if mtype == "image" else None,
-                64 if mtype == "image" else None,
+                w if mtype == "image" else None,
+                h if mtype == "image" else None,
                 5000 if mtype == "video" else None,
             )
         )

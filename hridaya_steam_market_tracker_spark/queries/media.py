@@ -27,10 +27,11 @@ from hridaya_steam_market_tracker_spark.queries import register
     "multimodal_feature_extract",
     oracle=None,  # binary blobs live outside the fixture tables; pytest covers values
     doc=(
-        "Decode + featurize binary media blobs via Arrow-batched mapInPandas "
-        "(codec stubbed: 'fake' format decodes deterministically, real formats "
-        "are marked decode_ok=false). Returns per-blob feature vectors + "
-        "content hashes."
+        "Decode + featurize binary media blobs via Arrow-batched mapInPandas. "
+        "REAL pure-stdlib codecs for BMP (24-bit BI_RGB) and PPM (P6) decode "
+        "actual pixels into per-channel mean/std features; compressed formats "
+        "are marked decode_ok=false until a codec library is plugged in. "
+        "Returns per-blob feature vectors + content hashes."
     ),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +59,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle=None,
     doc=(
-        "Image resize plumbing: image-only pushdown before the Arrow stage, "
-        "stubbed pixel kernel, typed output with the new dimensions."
+        "Image resize: image-only pushdown before the Arrow stage; BMP/PPM "
+        "rows are really resized (nearest-neighbor on decoded pixels, "
+        "re-encoded in-format), typed output with the new dimensions."
     ),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -177,9 +177,89 @@ def test_multimodal_resize(spark):
     ok = [r for r in rows if r["resize_ok"]]
     bad = [r for r in rows if not r["resize_ok"]]
     assert len(bad) == 2  # media_id 0 and 12 are 'png' (no codec)
-    assert all(len(r["payload"]) == 16 * 8 for r in ok)
+    # Real re-encoded rasters: PPM = header ("P6\n16 8\n255\n", 12 bytes)
+    # + 3*w*h raster; BMP = 54-byte header + 4-byte-padded BGR rows
+    # (16*3 = 48 is already aligned).
+    expected_len = {"ppm": 12 + 3 * 16 * 8, "bmp": 54 + 48 * 8}
+    assert all(len(r["payload"]) == expected_len[r["format"]] for r in ok)
     assert all(r["payload"] is None for r in bad)
     assert all((r["width"], r["height"]) == (16, 8) for r in rows)
     # deterministic: same blob -> same resized payload
     again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 16, 8).collect() if r["payload"] is not None}
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in ok)
+
+
+def test_bmp_codec_golden_image(spark):
+    """2x2 golden BMP (red, green / blue, white): decode must return the
+    exact pixels and the pixel features must match hand-computed stats."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+    )
+
+    decode, encode = _pixel_codec()
+    rgb = bytes(
+        [255, 0, 0,  0, 255, 0,   # row 0: red, green
+         0, 0, 255,  255, 255, 255]  # row 1: blue, white
+    )
+    bmp = encode(2, 2, rgb, "bmp")
+    assert bmp[:2] == b"BM"
+    assert decode(bmp, "bmp") == (2, 2, rgb)
+
+    media = spark.createDataFrame(
+        [(1, "image", "bmp", bytearray(bmp), 2, 2, None)], MEDIA_SCHEMA
+    )
+    feat = extract_features(media).collect()[0]
+    assert feat["decode_ok"]
+    # Each channel has values {255, 0, 0, 255} or {0, 255, 0, 255} etc:
+    # mean 510/4 = 127.5, population std = 127.5 for every channel.
+    assert feat["feat"] == [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]
+
+
+def test_ppm_codec_golden_image_with_comment(spark):
+    """P6 with a header comment decodes; encode->decode round-trips."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _pixel_codec,
+    )
+
+    decode, encode = _pixel_codec()
+    rgb = bytes([10, 20, 30, 40, 50, 60])  # 2x1
+    ppm = b"P6\n# a comment\n2 1\n255\n" + rgb
+    assert decode(ppm, "ppm") == (2, 1, rgb)
+    assert decode(encode(2, 1, rgb, "ppm"), "ppm") == (2, 1, rgb)
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    """2x1 -> 4x1 nearest-neighbor: each source pixel doubles; the
+    output payload is the re-encoded PPM of exactly those pixels."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+        resize_images,
+    )
+
+    decode, encode = _pixel_codec()
+    rgb = bytes([100, 110, 120, 200, 210, 220])
+    media = spark.createDataFrame(
+        [(7, "image", "ppm", bytearray(encode(2, 1, rgb, "ppm")), 2, 1, None)],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(media, width=4, height=1).collect()[0]
+    assert out["resize_ok"]
+    expect = bytes([100, 110, 120, 100, 110, 120, 200, 210, 220, 200, 210, 220])
+    assert decode(bytes(out["payload"]), "ppm") == (4, 1, expect)
+
+
+def test_truncated_raster_marks_decode_failure(spark):
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+    )
+
+    _, encode = _pixel_codec()
+    good = encode(6, 4, bytes(range(72)), "ppm")
+    media = spark.createDataFrame(
+        [(1, "image", "ppm", bytearray(good[:-5]), 6, 4, None)], MEDIA_SCHEMA
+    )
+    row = extract_features(media).collect()[0]
+    assert not row["decode_ok"] and row["feat"] is None
