@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
         vectors,
         sampling,
         sketches,
+        tpch_deep,
         analytics_ext,
         behavior,
         docs,
