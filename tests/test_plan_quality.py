@@ -115,6 +115,36 @@ def test_curation_mines_pairs_via_minhash_not_postings_join(
     assert used_minhash
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q14_promo_effect",
+        "tpch_q19_discounted_revenue",
+    ],
+)
+def test_deep_tpch_broadcasts_dims_single_fact_shuffle(spark, registry, name):
+    """Q7/Q8/Q14/Q19: every dimension must broadcast; the only shuffle
+    is the aggregate (orders broadcasts at fixture size; at real scale
+    it degrades to a keyed SortMergeJoin, never a cartesian)."""
+    plan = _plan(registry, spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert shuffles <= 1
+
+
+def test_q22_dormancy_is_anti_join(spark, registry):
+    plan = _plan(registry, spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partitioned_layout_prunes_on_date(spark, tmp_path):
     """The storage layout's date partitioning must turn a time-range
     predicate into partition pruning (the Spark analog of Timescale
