@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         sampling,
         sketches,
         tpch_deep,
+        tpch_rest,
         analytics_ext,
         behavior,
         docs,

@@ -145,6 +145,45 @@ def test_q22_dormancy_is_anti_join(spark, registry):
     assert "CartesianProduct" not in plan
 
 
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # groupBy(part,supp) partial-agg + partkey window on pair grain
+        ("tpch_q2_min_cost_supplier", 2),
+        # single fact⋈fact shuffle, all dimensions broadcast
+        ("tpch_q9_product_type_profit", 1),
+        ("tpch_q12_priority_by_linestatus", 1),
+        # two-phase distinct aggregation
+        ("tpch_q16_supplier_relationship", 2),
+        # pair-grain agg + partkey window; NO totals self-join
+        ("tpch_q20_dominant_supplier", 2),
+        # ONE orderkey shuffle (collect_set windows, no join-back) + agg
+        ("tpch_q21_suppliers_who_kept_waiting", 2),
+    ],
+)
+def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
+    """Q2/Q9/Q12/Q16/Q20/Q21: decorrelated shapes stay within their
+    shuffle budget and never fall back to a cartesian. (Q11's plan has
+    a legitimate one-row BroadcastNestedLoopJoin for the global-total
+    scalar, so it is asserted separately.)"""
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert shuffles <= max_shuffles
+
+
+def test_q11_threshold_is_broadcast_scalar_not_collect(spark, registry):
+    plan = _plan(registry, spark, "tpch_q11_important_stock")
+    assert "CartesianProduct" not in plan
+    # The one-row global total joins as a broadcast, never a driver collect.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_partitioned_layout_prunes_on_date(spark, tmp_path):
     """The storage layout's date partitioning must turn a time-range
     predicate into partition pruning (the Spark analog of Timescale
