@@ -334,3 +334,59 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         term = F.shiftleft(bit, b)
         sig = term if sig is None else sig.bitwiseOR(term)
     return voted.select("doc_id", sig.alias("simhash"))
+
+
+def ngram_decontaminate(
+    df: DataFrame,
+    eval_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/eval decontamination by n-gram overlap (the public GPT-3 /
+    PaLM decontamination recipe: flag training docs sharing long n-grams
+    with an evaluation set; real pipelines use n=13, the word-soup
+    fixture uses n=5 to be non-vacuous).
+
+    Per training doc: ``overlap_frac`` = |distinct n-grams ∩ eval n-gram
+    set| / |distinct n-grams|; ``contaminated`` when the 6dp-rounded
+    fraction >= threshold.
+
+    Scale shape: the eval n-gram set is DISTINCT and broadcast — eval
+    suites are tiny next to a training corpus, so the corpus side never
+    shuffles for the membership test; the single shuffle is the per-doc
+    hit count, keyed on the doc id (no hot keys). The doc's gram total
+    rides through the explode on each row, so totals need no second pass
+    over the text and no join-back. At 100 TB the corpus is streamed
+    once, map-side, against a broadcast hash set.
+    """
+    sh = df.select(
+        F.col(id_col),
+        eval_pred.alias("__is_eval"),
+        shingles(F.col(text_col), n).alias("s"),
+    ).filter(F.size("s") > 0)
+    ev = (
+        sh.filter(F.col("__is_eval"))
+        .select(F.explode("s").alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    exploded = sh.filter(~F.col("__is_eval")).select(
+        F.col(id_col),
+        F.size("s").cast("long").alias("n_grams"),
+        F.explode("s").alias("gram"),
+    )
+    frac = F.round(F.col("n_hit") / F.col("n_grams").cast("double"), 6)
+    return (
+        exploded.join(F.broadcast(ev), "gram", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"))
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            frac.alias("overlap_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )

@@ -80,6 +80,89 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def word_grams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams, NOT deduplicated — repetition metrics
+    need occurrence counts, unlike ``dedup.shingles`` which dedups for
+    set semantics. Short arrays (< n tokens) yield an empty array (the
+    descending-``sequence`` guard, same as shingles)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-family repetition signals (public Rae et al. 2021 rules,
+    adapted to single-line docs), as pure per-row expressions:
+
+    * ``dup_token_frac`` — fraction of token occurrences that are
+      repeats of an earlier token.
+    * ``top_bigram_char_frac`` — fraction of (normalized) characters
+      covered by occurrences of the single most frequent bigram.
+    * ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      duplicates.
+    * ``repetitive`` — the gate: top-bigram coverage > 0.15 or
+      duplicated trigrams > 0.02 (thresholds compared on the 6dp-rounded
+      values so the flag is engine-portable).
+
+    Zero shuffles: everything is map-side array algebra in the scan
+    stage. The per-row bigram mode is O(distinct² ) comparisons, bounded
+    by document length — the classic time/space trade vs an
+    explode+groupBy, which would shuffle the whole corpus; at 100 TB the
+    shuffle loses. Ties on the mode count break to the lexicographically
+    greatest bigram (struct max), mirroring the oracle's
+    ``ORDER BY c DESC, gram DESC``.
+    """
+    toksl, bg, tg = F.col("__toksl"), F.col("__bg"), F.col("__tg")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda g: F.struct(
+                F.size(F.filter(bg, lambda x: x == g)).alias("c"), g.alias("g")
+            ),
+        )
+    )
+    dup_tok = F.round(
+        (F.size(toksl) - F.size(F.array_distinct(toksl)))
+        / F.size(toksl).cast("double"),
+        6,
+    )
+    dup_tri = F.round(
+        (F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg).cast("double"), 6
+    )
+    top_bg = F.round(
+        F.col("__top.c")
+        * F.length(F.col("__top.g"))
+        / F.length(F.array_join(toksl, " ")).cast("double"),
+        6,
+    )
+    return (
+        df.withColumn("__toksl", tokens(F.lower(F.col(text_col))))
+        .withColumns({"__bg": word_grams(toksl, 2), "__tg": word_grams(toksl, 3)})
+        .withColumn("__top", top)
+        .withColumns(
+            {
+                "n_tokens": F.size(toksl).cast("long"),
+                "dup_token_frac": dup_tok,
+                "top_bigram_char_frac": top_bg,
+                "dup_trigram_frac": dup_tri,
+            }
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("top_bigram_char_frac") > 0.15)
+            | (F.col("dup_trigram_frac") > 0.02),
+        )
+        .drop("__toksl", "__bg", "__tg", "__top")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All eight stats from a single tokenization pass.
 

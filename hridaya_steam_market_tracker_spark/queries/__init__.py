@@ -68,6 +68,7 @@ def load_all() -> dict[str, Query]:
         sketches,
         tpch_deep,
         tpch_rest,
+        curation_ext,
         analytics_ext,
         behavior,
         docs,

@@ -263,3 +263,73 @@ def test_truncated_raster_marks_decode_failure(spark):
     )
     row = extract_features(media).collect()[0]
     assert not row["decode_ok"] and row["feat"] is None
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computed doc: 'a b a b c' -> tokens 5, distinct 3;
+    bigrams [a b, b a, a b, b c] -> top 'a b' x2, chars 3, text len 9;
+    trigrams [a b a, b a b, a b c] all distinct."""
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    df = spark.createDataFrame([(1, "a b a b c")], "doc_id long, text string")
+    row = with_repetition_stats(df).collect()[0]
+    assert row["n_tokens"] == 5
+    assert row["dup_token_frac"] == round((5 - 3) / 5, 6)
+    assert row["top_bigram_char_frac"] == round(2 * 3 / 9, 6)
+    assert row["dup_trigram_frac"] == 0.0
+    assert bool(row["repetitive"]) is True  # bigram coverage 0.667 > 0.15
+
+
+def test_repetition_bigram_mode_tiebreak(spark):
+    """Equal-count bigrams break to the lexicographically greatest,
+    matching the oracle's ORDER BY c DESC, gram DESC."""
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    # bigrams: 'x y', 'y z' - both count 1; tie -> 'y z' (len 3)
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    row = with_repetition_stats(df).collect()[0]
+    assert row["top_bigram_char_frac"] == round(1 * 3 / 5, 6)
+
+
+def test_decontaminate_exact_copy_and_disjoint(spark):
+    """A training doc identical to an eval doc -> overlap 1.0,
+    contaminated; a disjoint doc -> 0.0; a half-overlapping doc in
+    between."""
+    eval_text = "one two three four five six seven eight"
+    rows = [
+        (1, eval_text, "train"),
+        (2, "alpha beta gamma delta epsilon zeta", "train"),
+        (3, eval_text + " alpha beta gamma delta epsilon", "train"),
+        (100, eval_text, "eval"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in D.ngram_decontaminate(
+            df, eval_pred=F.col("source") == "eval", n=5, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["overlap_frac"] == 1.0 and bool(out[1]["contaminated"])
+    assert out[2]["overlap_frac"] == 0.0 and not out[2]["contaminated"]
+    assert 0.0 < out[3]["overlap_frac"] < 1.0
+
+
+def test_repetition_stats_plan_has_no_shuffle(spark):
+    """The repetition operator must stay a scan-stage projection."""
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    docs = table(spark, SF, "documents")
+    plan = (
+        with_repetition_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
