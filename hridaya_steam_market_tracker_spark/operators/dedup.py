@@ -390,3 +390,98 @@ def ngram_decontaminate(
             (frac >= threshold).alias("contaminated"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (public Schleimer/Wilkerson/Aiken
+    SIGMOD'03 algorithm, word-gram variant): hash every k-word gram,
+    slide a w-hash window, keep each window's minimum, dedup. Guarantees
+    any shared run of >= k+w-1 words between two docs shares at least
+    one selected fingerprint, at ~1/w the storage of all-gram sets.
+
+    Output: (id, fp) exploded pairs — the joinable inverted-index form.
+
+    Scale shape: selection is pure per-row array algebra in the scan
+    stage (zero shuffles); fingerprints are 60-bit md5-derived (same
+    portable recipe as MinHash: DuckDB recomputes them bit-for-bit).
+    Docs shorter than k+w-1 words degrade to their single minimum hash,
+    so every tokenizable doc fingerprints.
+    """
+    # Layered projections: materialize tokens -> gram hashes ONCE per
+    # row before the window pass references them ~w times. Inlining `h`
+    # into every slice() would re-run the md5-heavy transform per
+    # window element — O(len * w) digests instead of O(len).
+    toks = F.col("__toks")
+    h = F.col("__h")
+    grams_nondistinct = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    windows = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(h) - (w - 1)),
+            lambda i: F.array_min(F.slice(h, i, w)),
+        )
+    )
+    fps = (
+        F.when(F.size(toks) < k, F.array().cast("array<bigint>"))
+        .when(F.size(h) < w, F.array(F.array_min(h)))
+        .otherwise(windows)
+    )
+    return (
+        df.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+        .withColumn(
+            "__h",
+            F.when(
+                F.size(toks) >= k,
+                F.transform(grams_nondistinct, lambda g: _h60(g, 0)),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
+    )
+
+
+def winnow_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (the MOSS match
+    step): inverted-index self-join on fp, pairs sharing >= min_shared.
+
+    60-bit fingerprints collide only for genuinely shared k-grams, so a
+    bucket's size is the number of docs sharing that text run — tiny
+    except for boilerplate, which the document-frequency cutoff drops
+    (same hot-key guard as jaccard_pairs: a fp in > max_df docs is
+    boilerplate by definition and cannot evidence a pairwise near-dup
+    anyway). Join fan-out is bounded by max_df^2 per fp.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp", "left_semi")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("i"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("j"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

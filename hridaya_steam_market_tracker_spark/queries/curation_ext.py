@@ -129,3 +129,103 @@ def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         threshold=0.5,
     )
+
+
+# DuckDB twin of operators.dedup._h60(gram, seed=0): 60-bit md5 prefix.
+_H60_SQL = "('0x' || substr(md5('0:' || {g}), 1, 15))::BIGINT"
+
+_WINNOW_SQL = f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    g AS (SELECT doc_id,
+                 [{_H60_SQL.format(g="array_to_string(w[i:i+2], ' ')")}
+                  for i in range(1, len(w) - 1)] AS h
+          FROM d WHERE len(w) >= 3),
+    win AS (SELECT doc_id,
+                   CASE WHEN len(h) >= 4
+                        THEN list_distinct([list_min(h[i:i+3])
+                                            for i in range(1, len(h) - 2)])
+                        ELSE [list_min(h)] END AS fps
+            FROM g)
+"""
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=_WINNOW_SQL
+    + """
+    SELECT doc_id, fp FROM win, unnest(fps) AS t(fp)
+    """,
+    doc=(
+        "Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03, "
+        "3-word grams, window 4): per-window minimum of 60-bit gram "
+        "hashes, deduped, exploded to the joinable (doc_id, fp) form. "
+        "Selection is zero-shuffle per-row array algebra; the oracle "
+        "recomputes every hash bit-for-bit."
+    ),
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.winnow_fingerprints(docs, k=3, w=4)
+
+
+@register(
+    "winnow_near_pairs",
+    oracle=_WINNOW_SQL
+    + """
+    , fps AS (SELECT doc_id, fp FROM win, unnest(fps) AS t(fp)),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+    SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+    FROM fps a
+    JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE a.fp IN (SELECT fp FROM rare)
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    doc=(
+        "MOSS-style near-dup pairs: docs sharing >= 3 winnowing "
+        "fingerprints, via the fp inverted index. Boilerplate "
+        "fingerprints (document frequency > 50) are dropped before the "
+        "self-join — the same hot-key guard as jaccard_pairs — so join "
+        "fan-out per fp is bounded."
+    ),
+)
+def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.winnow_near_pairs(docs, k=3, w=4, min_shared=3, max_df=50)
+
+
+@register(
+    "hash_split_assignment",
+    oracle="""
+    SELECT source, split, count(*) AS n_docs FROM (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    ) GROUP BY 1, 2
+    """,
+    doc=(
+        "Deterministic 90/10 train/val split by salted 60-bit hash of "
+        "the doc id — stable across runs, engines, and partitionings "
+        "(the property random() cannot give a distributed pipeline). "
+        "Grouped by source to show per-source balance; the assignment "
+        "expression itself is the reusable operator."
+    ),
+)
+def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.withColumn(
+            "split", F.when(h % 100 < 90, "train").otherwise("val")
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -333,3 +333,45 @@ def test_repetition_stats_plan_has_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing's core property (SIGMOD'03): two docs sharing a run of
+    >= k+w-1 words (here 6) must share at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "intro words then " + shared + " and a tail"),
+        (2, shared + " completely different ending here now"),
+        (3, "nothing in common with either document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = D.winnow_fingerprints(df, k=3, w=4)
+    by_doc = {
+        r["doc_id"]: set(r["s"])
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("s")).collect()
+    }
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_doc_degrades_to_min_hash(spark):
+    df = spark.createDataFrame(
+        [(1, "just four small words"), (2, "ab")], "doc_id long, text string"
+    )
+    fps = D.winnow_fingerprints(df, k=3, w=4).collect()
+    # doc 1: 2 grams -> fewer than w hashes -> exactly one fp (the min);
+    # doc 2: < k tokens -> no fingerprints at all.
+    assert [r["doc_id"] for r in fps] == [1]
+
+
+def test_winnow_fingerprints_plan_is_scan_stage(spark):
+    docs = table(spark, SF, "documents")
+    plan = (
+        D.winnow_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
