@@ -229,3 +229,80 @@ def hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "bm25_search_scores",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    lens AS (SELECT doc_id, len(w) AS dl FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM lens),
+    post AS (SELECT doc_id, len(w) AS dl, t AS term
+             FROM d, unnest(w) AS u(t)
+             WHERE t IN ('spark', 'join', 'table')),
+    tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM post GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * 2.2
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+    doc=(
+        "Okapi BM25(k1=1.2, b=0.75) scores for the query {spark, join, "
+        "table} over all matching docs (Lucene idf variant). The "
+        "exploded term stream filters to query terms before any "
+        "aggregation (inverted-index pushdown); corpus stats and "
+        "per-term document frequencies broadcast; doc length rides with "
+        "the postings so there is no corpus-sized join-back."
+    ),
+)
+def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.retrieval import bm25_scores
+
+    docs = table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["spark", "join", "table"], k1=1.2, b=0.75)
+
+
+@register(
+    "sequence_pack_assignment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT % 8 AS INTEGER) AS bucket,
+             len({_TOKS_LOWER}) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT *,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum_before // 512 AS chunk,
+           cum_before % 512 AS chunk_offset,
+           ((cum_before + n_tokens - 1) // 512) > (cum_before // 512)
+             AS spans_boundary
+    FROM s
+    """,
+    doc=(
+        "Concat-and-chunk sequence packing (public GPT pretraining "
+        "layout): where each doc's tokens land in 512-token context "
+        "windows. Docs salt into 8 independent streams by a 60-bit id "
+        "hash so the cumulative sum parallelizes per bucket instead of "
+        "serializing into one global sort — n_buckets scales with the "
+        "cluster at 100 TB."
+    ),
+)
+def sequence_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.packing import pack_sequences
+
+    docs = table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, n_buckets=8)

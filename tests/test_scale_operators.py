@@ -375,3 +375,64 @@ def test_winnow_fingerprints_plan_is_scan_stage(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_bm25_hand_computed_single_term(spark):
+    """3-doc corpus, query {x}: doc1 has x twice of 4 tokens, doc2 once
+    of 2, doc3 none. Scores recomputed by hand with k1=1.2, b=0.75."""
+    import math
+
+    from hridaya_steam_market_tracker_spark.operators.retrieval import bm25_scores
+
+    rows = [(1, "x y x z"), (2, "x y"), (3, "a b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["x"]).collect()}
+    n, avgdl = 3.0, (4 + 2 + 3) / 3.0
+    idf = math.log(1 + (n - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return round(idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+
+    assert got == {1: s(2, 4), 2: s(1, 2)}
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants per bucket: docs in id order, offsets follow
+    the running token sum mod budget, chunks are the running sum div
+    budget, and spans_boundary marks exactly the straddlers."""
+    from hridaya_steam_market_tracker_spark.operators.packing import pack_sequences
+
+    docs = table(spark, SF, "documents")
+    out = pack_sequences(docs, budget=100, n_buckets=4).collect()
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) == {0, 1, 2, 3}
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["chunk"] == cum // 100
+            assert r["chunk_offset"] == cum % 100
+            assert bool(r["spans_boundary"]) == (
+                (cum + r["n_tokens"] - 1) // 100 > cum // 100
+            )
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_single_shuffle_plan(spark):
+    from hridaya_steam_market_tracker_spark.operators.packing import pack_sequences
+
+    docs = table(spark, SF, "documents")
+    plan = (
+        pack_sequences(docs, budget=512, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert shuffles == 1 and "EvalPython" not in plan
