@@ -69,6 +69,7 @@ def load_all() -> dict[str, Query]:
         tpch_deep,
         tpch_rest,
         curation_ext,
+        events_ext,
         analytics_ext,
         behavior,
         docs,

@@ -1,0 +1,165 @@
+"""Event-analytics extensions: conversion funnel and gap-filled series.
+
+* ``funnel_view_click_purchase`` — the classic ordered conversion
+  funnel: a user advances a stage only if the next event type occurs
+  AFTER their earliest previous-stage event. One shuffle on user_id
+  (chained window expressions share the exchange), then a tiny stage
+  rollup.
+* ``gapfill_hourly_locf`` — the TimescaleDB ``time_bucket_gapfill`` +
+  ``locf`` analog (the reference runs on Timescale; its continuous
+  hypertable reads assume dense buckets, cf. DOCUMENTATION.md history
+  ranges): generate the dense hour grid per key, left-join the sparse
+  hourly aggregate, carry the last observation forward. The grid is
+  |keys| x |hours| — the same magnitude as the aggregate it fills, so
+  materializing it is free relative to the data; LOCF is one
+  last(ignorenulls) window per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.queries import register
+from hridaya_steam_market_tracker_spark.tables import table
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY 1),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY 1),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+                  WHEN c.user_id IS NOT NULL THEN 'click'
+                  WHEN v.user_id IS NOT NULL THEN 'view'
+                  ELSE 'none' END AS funnel_stage
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN v ON v.user_id = u.user_id
+      LEFT JOIN c ON c.user_id = u.user_id
+      LEFT JOIN p ON p.user_id = u.user_id
+    )
+    SELECT funnel_stage, count(*) AS n_users
+    FROM staged GROUP BY funnel_stage
+    """,
+    doc=(
+        "Ordered conversion funnel view -> click -> purchase with a "
+        "1-day conversion window per step: a stage counts only if its "
+        "earliest qualifying event lands strictly after the previous "
+        "stage's anchor and within the window. Spark computes the stage "
+        "chain as three chained min-windows over ONE user_id exchange; "
+        "the oracle decomposes it into correlated min-joins."
+    ),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    day = F.expr("INTERVAL 1 DAY")
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), "purchase")
+        .when(F.col("t_click").isNotNull(), "click")
+        .when(F.col("t_view").isNotNull(), "view")
+        .otherwise("none")
+    )
+    per_user = staged.groupBy("user_id").agg(F.first(stage).alias("funnel_stage"))
+    return per_user.groupBy("funnel_stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "gapfill_hourly_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT k.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) k
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                  FROM bounds) g
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           h.avg_value IS NULL AS was_gap
+    FROM grid g
+    LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+    """,
+    doc=(
+        "TimescaleDB time_bucket_gapfill + locf analog: dense hourly "
+        "grid per event_type (generated from the data's own bounds — "
+        "no driver collect), left-joined with the sparse hourly "
+        "average, last observation carried forward per key. was_gap "
+        "marks synthesized rows."
+    ),
+)
+def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    keys = ev.select("event_type").distinct()
+    grid = (
+        keys.join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("avg_value").isNull().alias("was_gap"),
+        )
+    )
