@@ -177,6 +177,38 @@ def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
     assert shuffles <= max_shuffles
 
 
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # zero-shuffle scan-stage projections
+        ("doc_repetition_stats", 0),
+        ("winnow_fingerprints", 0),
+        # one user_id exchange (chained windows + same-key rollup) + stage agg
+        ("funnel_view_click_purchase", 2),
+        # keys-distinct + hourly agg + per-key LOCF window
+        ("gapfill_hourly_locf", 3),
+        # bucketed cumsum: the one shuffle
+        ("sequence_pack_assignment", 1),
+        # one doc-keyed count shuffle + the eval-set distinct (an
+        # exchange over the tiny eval side only, inside the broadcast
+        # build); the corpus side itself never shuffles for membership
+        ("decontaminate_train_test", 2),
+    ],
+)
+def test_pipeline_ext_shuffle_budget(spark, registry, name, max_shuffles):
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )
+    assert shuffles <= max_shuffles
+
+
 def test_q11_threshold_is_broadcast_scalar_not_collect(spark, registry):
     plan = _plan(registry, spark, "tpch_q11_important_stock")
     assert "CartesianProduct" not in plan
