@@ -164,3 +164,36 @@ def start_history_ingest(
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def dedup_stream_by_content(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "time",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming CONTENT dedup for document ingest: only the first
+    arrival of each normalized text body passes; replays and re-crawls
+    of identical content inside the watermark horizon are dropped.
+
+    This is the streaming twin of ``operators.dedup.exact_duplicates``
+    (same md5-over-normalized-tokens fingerprint, so a batch backfill
+    and the live stream agree on what counts as a duplicate).
+
+    Uses ``dropDuplicatesWithinWatermark`` rather than plain
+    ``dropDuplicates``: the dedup key is the content hash, NOT the
+    event-time column, so only the within-watermark variant can evict
+    per-hash state once the watermark passes — plain dropDuplicates on
+    a non-time key would grow state forever on an unbounded corpus.
+    """
+    normalized = F.array_join(
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != ""
+        ),
+        " ",
+    )
+    return (
+        stream_df.withColumn("content_hash", F.md5(normalized))
+        .withWatermark(ts_col, watermark_delay)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

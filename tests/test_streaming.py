@@ -268,3 +268,43 @@ def test_debouncer_coalesces_bursts():
     assert d.ready()
     assert d.consume() == 7  # one reconcile for the whole burst
     assert not d.ready()
+
+def test_streaming_content_dedup_end_to_end(spark, tmp_path):
+    """Drive dedup_stream_by_content through a live query: 5 distinct
+    text bodies arriving over and over (different ids/timestamps every
+    row) collapse to 5 survivors — content identity, not key identity."""
+    from hridaya_steam_market_tracker_spark.streaming.ingest import (
+        dedup_stream_by_content,
+    )
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    stream = src.select(
+        F.col("value").alias("doc_id"),
+        F.concat(F.lit("Body number "), (F.col("value") % 5).cast("string")).alias(
+            "text"
+        ),
+        F.col("timestamp").alias("time"),
+    )
+    q = (
+        dedup_stream_by_content(stream)
+        .writeStream.format("memory")
+        .queryName("content_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) FROM content_dedup_sink").collect()[0][0]
+            if n >= 5:
+                break
+            time.sleep(1)
+        rows = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT content_hash) AS d "
+            "FROM content_dedup_sink"
+        ).collect()[0]
+        assert rows["n"] == 5 and rows["d"] == 5
+    finally:
+        q.stop()
