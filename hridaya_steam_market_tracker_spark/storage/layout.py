@@ -112,3 +112,57 @@ def compact_partition(
     shutil.rmtree(part_dir)
     os.rename(tmp_dir, part_dir)
     return n
+
+
+def refresh_daily_rollup(
+    spark: SparkSession,
+    base_path: str,
+    rollup_path: str,
+    delta_df: DataFrame,
+    key_col: str = "market_hash_name",
+    time_col: str = "time",
+    value_col: str = "price",
+) -> list[date]:
+    """Incrementally refresh a daily (key, date) rollup — the Spark
+    analog of a TimescaleDB continuous aggregate refresh policy.
+
+    Only the date partitions TOUCHED by ``delta_df`` are recomputed:
+    affected dates come from the delta (a tiny distinct over the
+    micro-batch, collected because the writer API needs the partition
+    list), the base table is re-read with a partition-pruned filter for
+    exactly those dates, re-aggregated, and written with dynamic
+    partition overwrite — untouched rollup partitions are never
+    rewritten, never read. Refresh cost scales with the delta's date
+    spread, not the table's history. Late-arriving data is therefore
+    handled exactly: whichever old date it lands in gets recomputed
+    from base truth, not patched approximately.
+
+    Returns the refreshed dates (sorted).
+    """
+    affected = sorted(
+        r[0]
+        for r in delta_df.select(
+            F.to_date(F.col(time_col)).alias(PARTITION_COL)
+        )
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return []
+    base = spark.read.parquet(base_path).filter(
+        F.col(PARTITION_COL).isin([d.isoformat() for d in affected])
+    )
+    rollup = base.groupBy(key_col, PARTITION_COL).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg(value_col), 6).alias("avg_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+    (
+        rollup.repartition(F.col(PARTITION_COL))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL)
+        .parquet(rollup_path)
+    )
+    return affected

@@ -189,3 +189,64 @@ def test_table_meta(spark):
     )
     meta = table_meta(normalize_priceoverview(raw)).collect()[0]
     assert meta["n_rows"] == 1 and meta["currencies"] == ["USD"]
+
+def test_refresh_daily_rollup_partition_scoped(spark, tmp_path):
+    """Continuous-aggregate analog: a late event refreshes ONLY its
+    date partition — values recomputed from base truth, untouched
+    partitions' files byte-identical."""
+    import os
+
+    from hridaya_steam_market_tracker_spark.storage.layout import (
+        refresh_daily_rollup,
+        write_partitioned,
+    )
+
+    base = str(tmp_path / "base")
+    rollup = str(tmp_path / "rollup")
+    rows = [
+        ("itemA", "2024-01-01 10:00:00", 10.0),
+        ("itemA", "2024-01-02 10:00:00", 20.0),
+        ("itemB", "2024-01-02 11:00:00", 30.0),
+        ("itemA", "2024-01-03 10:00:00", 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "market_hash_name string, time string, price double"
+    ).withColumn("time", F.to_timestamp("time"))
+    write_partitioned(df, base)
+    refreshed = refresh_daily_rollup(spark, base, rollup, df)
+    assert [d.isoformat() for d in refreshed] == [
+        "2024-01-01", "2024-01-02", "2024-01-03",
+    ]
+
+    def files_for(day: str) -> dict[str, float]:
+        pdir = os.path.join(rollup, f"date={day}")
+        return {
+            f: os.path.getmtime(os.path.join(pdir, f))
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        }
+
+    before_d1 = files_for("2024-01-01")
+    before_d2 = files_for("2024-01-02")
+
+    late = spark.createDataFrame(
+        [("itemA", "2024-01-02 23:00:00", 100.0)],
+        "market_hash_name string, time string, price double",
+    ).withColumn("time", F.to_timestamp("time"))
+    write_partitioned(late, base)
+    refreshed2 = refresh_daily_rollup(spark, base, rollup, late)
+    assert [d.isoformat() for d in refreshed2] == ["2024-01-02"]
+
+    # Untouched partition: same files, same mtimes.
+    assert files_for("2024-01-01") == before_d1
+    # Touched partition: rewritten.
+    assert files_for("2024-01-02") != before_d2
+
+    got = {
+        (r["market_hash_name"], str(r["date"])): (r["n_points"], r["avg_value"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got[("itemA", "2024-01-02")] == (2, round((20.0 + 100.0) / 2, 6))
+    assert got[("itemA", "2024-01-01")] == (1, 10.0)
+    assert got[("itemB", "2024-01-02")] == (1, 30.0)
+    assert got[("itemA", "2024-01-03")] == (1, 40.0)
