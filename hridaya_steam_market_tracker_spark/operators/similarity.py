@@ -39,6 +39,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
 
 
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared euclidean distance (native fold, deterministic order)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -235,6 +247,7 @@ def kmeans_lite(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Deterministic mini k-means (IVF coarse quantizer): seed with the
     k lowest-id vectors, run `iters` assign/recompute rounds.
@@ -244,13 +257,24 @@ def kmeans_lite(
     the standard Lloyd iteration as two Catalyst plans per round.
     Returns (cell, centroid).
     """
-    seeds = embeddings.orderBy(id_col).limit(k)
+    # Seed with evenly-SPREAD vectors (first of each id-ordered ntile),
+    # not the first k ids: spread seeds cover the data's clusters, which
+    # both improves Lloyd convergence and damps the run-to-run recall
+    # wobble that float summation order induces in the centroid means.
+    tiled = embeddings.withColumn("__tile", F.ntile(k).over(Window.orderBy(id_col)))
+    seeds = (
+        tiled.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("__tile").orderBy(id_col)),
+        )
+        .filter(F.col("__rn") == 1)
+    )
     centroids = seeds.select(
-        F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+        F.col("__tile").alias("cell"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
     )
     for _ in range(iters):
-        assigned = assign_cells(embeddings, centroids, id_col, vec_col)
+        assigned = assign_cells(embeddings, centroids, id_col, vec_col, metric)
         centroids = _elementwise_mean(
             assigned.select("cell", F.col(vec_col)), "cell", vec_col
         )
@@ -262,12 +286,18 @@ def assign_cells(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Nearest-centroid (max cosine) cell per vector; broadcast argmin."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
-        "__sim", cosine(F.col(vec_col), F.col("centroid"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
+    """Nearest-centroid cell per vector; broadcast argmin. ``metric`` is
+    "cosine" (max similarity — IVF) or "l2" (min distance — PQ)."""
+    if metric == "cosine":
+        score = cosine(F.col(vec_col), F.col("centroid"))
+        order = F.col("__sim").desc()
+    else:
+        score = l2sq(F.col(vec_col), F.col("centroid"))
+        order = F.col("__sim").asc()
+    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn("__sim", score)
+    w = Window.partitionBy(id_col).orderBy(order, F.col("cell"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -338,3 +368,124 @@ def label_centroids(
         )
     )
     return means
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 16,
+    ksub: int = 64,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (public Jégou et al. 2011): split
+    the vector into ``m`` subspaces of dim/m and train an independent
+    L2 kmeans-lite codebook of ``ksub`` centroids in each.
+
+    Returns (subspace, code, centroid). Training is m small Lloyd runs
+    — each a pair of Catalyst plans per iteration over (id, subvector)
+    projections; nothing collects to the driver.
+    """
+    dsub = dim // m
+    books = None
+    for s in range(m):
+        sub = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sub")
+        )
+        cb = kmeans_lite(
+            sub, k=ksub, iters=iters, id_col=id_col, vec_col="sub", metric="l2"
+        ).select(
+            F.lit(s).alias("subspace"),
+            F.col("cell").alias("code"),
+            F.col("centroid"),
+        )
+        books = cb if books is None else books.unionByName(cb)
+    return books
+
+
+def _subvectors(df: DataFrame, id_cols: list[str], vec_col: str, m: int, dsub: int):
+    slices = F.array(
+        *[F.slice(F.col(vec_col), s * dsub + 1, dsub) for s in range(m)]
+    )
+    return df.select(
+        *id_cols, F.posexplode(slices).alias("subspace", "subvec")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    m: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-code id:
+    (id, subspace, code) — the compressed representation a 100 TB
+    corpus stores instead of raw floats (m bytes/vector at ksub<=256).
+    Broadcast argmin against the codebooks; one row-bounded window."""
+    dsub = dim // m
+    sub = _subvectors(embeddings, [id_col], vec_col, m, dsub)
+    scored = sub.join(F.broadcast(codebooks), "subspace").withColumn(
+        "__d", l2sq(F.col("subvec"), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(F.col("__d").asc(), F.col("code"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 64,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    corpus is scanned as PQ codes only; each query precomputes a
+    (subspace, code) -> distance table against the codebooks, and the
+    approximate distance is the sum of m table lookups.
+
+    Plan shape: the per-query distance tables (|queries| x m x ksub
+    rows) broadcast; corpus codes equi-join them on (subspace, code)
+    and the sum groups by (query, vec) — the corpus side never carries
+    raw vectors past encoding, which is the entire point of PQ at
+    100 TB (compressed scan + table lookups, no FLOPs per pair).
+    """
+    codebooks = pq_train(
+        embeddings, m=m, ksub=ksub, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(embeddings, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    dsub = dim // m
+    q_sub = _subvectors(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        ["query_id"],
+        vec_col,
+        m,
+        dsub,
+    )
+    dtab = q_sub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        l2sq(F.col("subvec"), F.col("centroid")).alias("__d"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__d"), 6).alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -118,3 +118,20 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.join(counts, "label")
         .select("label", F.round(norm, 6).alias("centroid_norm"), "n_members")
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,
+    doc=(
+        "Product-quantization ADC top-5 (Jégou et al. 2011): 16 subspaces "
+        "x 64 codes, per-query distance tables broadcast, corpus scanned "
+        "as codes only and scored by table-lookup sums — the compressed "
+        "ANN path (no per-pair FLOPs). Approximate: recall-bounded in "
+        "tests against the exact L2 brute force, no value oracle."
+    ),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_topk(emb, queries, k=5, m=16, ksub=64, dim=64)

@@ -436,3 +436,62 @@ def test_pack_sequences_single_shuffle_plan(spark):
         if "Exchange" in line and "BroadcastExchange" not in line
     )
     assert shuffles == 1 and "EvalPython" not in plan
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    """PQ/ADC top-5 must retrieve a healthy fraction of the exact
+    L2 top-5 (16x64 codebooks on 64-dim, 32x compression; observed
+    ~0.56 with spread seeding — 0.45 floor leaves margin for float
+    summation wobble in the centroid means)."""
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = S.pq_topk(emb, queries, k=5, m=16, ksub=64, dim=64).collect()
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    from pyspark.sql import Window
+
+    exact_scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            S.l2sq(F.col("embedding"), F.col("q_vec")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("vec_id"))
+    exact = (
+        exact_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    exact_sets: dict[int, set] = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets: dict[int, set] = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[qid] & approx_sets.get(qid, set())) / 5.0
+        for qid in exact_sets
+    ]
+    assert len(recalls) == 10
+    assert sum(recalls) / len(recalls) >= 0.45
+
+
+def test_pq_codes_are_compact_and_complete(spark):
+    """Every vector encodes to exactly m=16 codes in [1, 64]."""
+    emb = table(spark, SF, "embeddings")
+    books = S.pq_train(emb, m=16, ksub=64, iters=2, dim=64)
+    codes = S.pq_encode(emb, books, m=16, dim=64)
+    stats = codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+    )
+    bad = stats.filter(
+        (F.col("n") != 16) | (F.col("lo") < 1) | (F.col("hi") > 64)
+    ).count()
+    assert bad == 0
+    assert stats.count() == 500
