@@ -163,3 +163,103 @@ def gapfill_hourly_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("avg_value").isNull().alias("was_gap"),
         )
     )
+
+
+@register(
+    "mad_outliers_per_stream",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(avg(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1.0 ELSE 0.0 END),
+                 6) AS outlier_frac
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    doc=(
+        "Robust outlier detection per stream: median absolute deviation "
+        "with the 1.4826 normal-consistency constant, counting values "
+        "beyond 3 normalized MADs. Exact interpolated medians (Spark "
+        "percentile == DuckDB quantile_cont); the per-key medians are "
+        "5-row broadcast joins, so the fact table streams through "
+        "map-side twice with one final rollup."
+    ),
+)
+def mad_outliers_per_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_out",
+        (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("double"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("med"),
+        F.round(F.first("mad"), 6).alias("mad"),
+        F.sum(F.col("is_out").cast("long")).alias("n_outliers"),
+        F.round(F.avg("is_out"), 6).alias("outlier_frac"),
+    )
+
+
+@register(
+    "stream_corr_matrix",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, avg(value) AS av
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.av, b.av), 6) AS hourly_corr,
+           count(*) AS n_hours
+    FROM hourly a
+    JOIN hourly b ON a.hour = b.hour AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Pairwise correlation matrix of the streams' hourly averages "
+        "(upper triangle): hourly rollup once, self-join on the hour "
+        "bucket, sample correlation per type pair. The rollup bounds "
+        "the join input at |keys| x |hours| regardless of event volume."
+    ),
+)
+def stream_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("av"))
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "hour", F.col("av").alias("av_a")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "hour", F.col("av").alias("av_b")
+    )
+    return (
+        a.join(b, "hour")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.round(F.corr("av_a", "av_b"), 6).alias("hourly_corr"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
