@@ -326,3 +326,105 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_wav(seed: int, rate: int = 8000, n: int = 400) -> bytes:
+    """Deterministic 16-bit mono PCM WAV (stdlib wave module): a sine
+    whose frequency derives from the seed. Real, spec-conformant WAV
+    bytes — the audio analog of the BMP/PPM rasters."""
+    import io
+    import math
+    import struct
+    import wave
+
+    freq = 200.0 + 50.0 * (seed % 8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(20000 * math.sin(2 * math.pi * freq * t / rate))
+            )
+            for t in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def fake_audio_df(spark, n: int = 32) -> DataFrame:
+    """Deterministic audio blob table: REAL WAV rows (stdlib-encoded
+    PCM sines) with every 4th row an undecodable 'mp3' digest blob to
+    exercise failure marking."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            fmt, payload = "mp3", hashlib.md5(f"audio{i}".encode()).digest() * 4
+        else:
+            fmt, payload = "wav", synth_wav(i)
+        rows.append((i, "audio", fmt, bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode + featurize audio blobs via Arrow-batched mapInPandas.
+
+    'wav' rows parse with the stdlib wave module (REAL decode: header +
+    PCM frames) into sample_rate / channels / duration_ms / rms / peak;
+    compressed formats mark decode_ok=false — the same honest-stub seam
+    as the image codecs. Audio-only pushdown happens BEFORE the Python
+    stage so image/video rows never cross the Arrow boundary.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("duration_ms", T.DoubleType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("decode_ok", T.BooleanType()),
+        ]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def decode(payload: bytes, fmt: str | None):
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                rate = wf.getframerate()
+                ch = wf.getnchannels()
+                nf = wf.getnframes()
+                raw = wf.readframes(nf)
+            samples = struct.unpack(f"<{nf * ch}h", raw)
+            peak = max(abs(s) for s in samples) / 32768.0 if samples else 0.0
+            rms = (
+                (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
+                if samples
+                else 0.0
+            )
+            return rate, ch, 1000.0 * nf / rate, rms, peak
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    rate, ch, dur, rms, peak = decode(payload, fmt)
+                    recs.append((mid, rate, ch, round(dur, 6), round(rms, 6), round(peak, 6), True))
+                except (NotImplementedError, ValueError, EOFError, struct.error):
+                    recs.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in out_schema.fields]
+            )
+
+    audio_only = media.filter(F.col("media_type") == "audio")
+    return audio_only.mapInPandas(op, out_schema)

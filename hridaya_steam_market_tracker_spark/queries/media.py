@@ -68,3 +68,23 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(fake_media_df(spark, n=24), width=16, height=8).select(
         "media_id", "width", "height", "resize_ok", F.length("payload").alias("n_bytes")
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=None,
+    doc=(
+        "Audio decode + featurize via Arrow-batched mapInPandas: REAL "
+        "stdlib WAV codec (header + 16-bit PCM frames) yields sample "
+        "rate, channels, duration, RMS, and peak; compressed formats "
+        "mark decode_ok=false. Audio-only pushdown precedes the Python "
+        "stage."
+    ),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_audio_df,
+    )
+
+    return extract_audio_features(fake_audio_df(spark, n=32))

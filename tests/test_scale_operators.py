@@ -495,3 +495,37 @@ def test_pq_codes_are_compact_and_complete(spark):
     ).count()
     assert bad == 0
     assert stats.count() == 500
+
+
+def test_wav_codec_decodes_real_pcm(spark):
+    """WAV rows decode with the stdlib codec: correct rate/channels/
+    duration, sine RMS ~ amplitude/sqrt(2), peak ~ amplitude; mp3 rows
+    mark decode_ok=false."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_audio_df,
+    )
+
+    out = {r["media_id"]: r for r in extract_audio_features(fake_audio_df(spark, n=16)).collect()}
+    assert len(out) == 16
+    for i, r in out.items():
+        if i % 4 == 0:  # mp3 stub
+            assert not r["decode_ok"] and r["sample_rate"] is None
+        else:
+            assert r["decode_ok"]
+            assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+            assert r["duration_ms"] == 50.0  # 400 frames @ 8 kHz
+            amp = 20000 / 32768.0
+            assert abs(r["peak"] - amp) < 0.02
+            assert abs(r["rms"] - amp / 2 ** 0.5) < 0.03
+
+
+def test_audio_features_deterministic(spark):
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_audio_df,
+    )
+
+    a = sorted(map(tuple, extract_audio_features(fake_audio_df(spark, n=12)).collect()))
+    b = sorted(map(tuple, extract_audio_features(fake_audio_df(spark, n=12)).collect()))
+    assert a == b
