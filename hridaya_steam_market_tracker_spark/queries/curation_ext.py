@@ -306,3 +306,67 @@ def sequence_pack_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget=512, n_buckets=8)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+    tf AS (SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+           FROM d, unnest(w) AS u(t) GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * (ln((1 + n.n_docs) / (1 + dfreq.df)) + 1), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    doc=(
+        "Document keyword extraction: top-3 terms per doc by smoothed "
+        "TF-IDF (sklearn-style ln((1+N)/(1+df))+1). One postings "
+        "explode feeds both the (doc, term) tf aggregate and the "
+        "term-keyed document frequencies; ranking is a bounded per-doc "
+        "window on the ROUNDED score so cross-engine ties cut "
+        "identically."
+    ),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    from hridaya_steam_market_tracker_spark.operators.text import tokens
+
+    postings = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = postings.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -308,3 +308,56 @@ def test_streaming_content_dedup_end_to_end(spark, tmp_path):
         assert rows["n"] == 5 and rows["d"] == 5
     finally:
         q.stop()
+
+
+def test_trending_topk_end_to_end(spark, tmp_path):
+    """Sliding-window counts through a live query (update mode, memory
+    sink), then the sink-edge rank: the hot key (value%4==0 twice as
+    often via %2 mapping) must rank first in every complete window."""
+    from hridaya_steam_market_tracker_spark.streaming.trending import (
+        rank_topk,
+        sliding_counts,
+    )
+
+    src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+    # keys: half the rows 'hot', the rest spread over 'k1'..'k3'
+    stream = src.select(
+        F.when(F.col("value") % 2 == 0, "hot")
+        .otherwise(F.concat(F.lit("k"), (F.col("value") % 3 + 1).cast("string")))
+        .alias("market_hash_name"),
+        F.col("timestamp").alias("time"),
+    )
+    counts = sliding_counts(
+        stream, window_len="10 seconds", slide="5 seconds", watermark_delay="5 seconds"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("trend_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql(
+                "SELECT count(DISTINCT market_hash_name) FROM trend_sink"
+            ).collect()[0][0]
+            if n >= 4:
+                break
+            time.sleep(1)
+        frame = spark.table("trend_sink")
+        # update-mode sinks append revisions; keep the LAST count per
+        # (window, key) — monotonically nondecreasing, so max() works.
+        latest = frame.groupBy("window_start", "window_end", "market_hash_name").agg(
+            F.max("n_events").alias("n_events")
+        )
+        top1 = rank_topk(latest, k=1).collect()
+        assert len(top1) >= 1
+        # 'hot' receives ~3x any single spread key; it must lead every
+        # window that saw enough traffic to be represented at all.
+        for r in top1:
+            assert r["market_hash_name"] == "hot"
+    finally:
+        q.stop()
