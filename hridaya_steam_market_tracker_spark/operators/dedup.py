@@ -293,14 +293,21 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     single shuffle keyed by doc_id.
 
     The per-bit votes are BIT-PACKED: each token's hash expands to
-    bits/4 longs of four 16-bit lanes, and one SUM per packed long
-    accumulates four bit-counters at once (lanes can't carry into each
-    other while a document stays under 2^16 tokens — far above any real
-    shingled doc). That is bits/4 aggregate columns instead of `bits`
-    conditional sums; the sign vote 2*S_b - N > 0 is then decoded from
-    the lanes, bit-exact with the naive per-bit +-1 sum.
+    bits/3 longs of three 20-bit lanes, and one SUM per packed long
+    accumulates three bit-counters at once. Lane width bounds document
+    size at 2^20 tokens; the TOP lane must also keep the accumulating
+    long below 2^63 under Spark 4 ANSI mode (where SUM overflow THROWS,
+    not wraps): its counter tops out at 2^20 * 2^40 = 2^60 — four bits
+    of signed-long headroom — whereas 16-bit lanes x4 would overflow
+    the sign bit at only 2^15 tokens of a hot bit. That is bits/3
+    aggregate columns instead of `bits` conditional sums; the sign vote
+    2*S_b - N > 0 is then decoded from the lanes, bit-exact with the
+    naive per-bit +-1 sum. Documents beyond 2^20 tokens are outside the
+    operator's contract (shingle upstream).
     """
-    lanes_per_long = 4
+    lanes_per_long = 3
+    lane_width = 20
+    lane_mask = (1 << lane_width) - 1
     n_packed = (bits + lanes_per_long - 1) // lanes_per_long
     toks = _spread(df, id_col).select(
         F.col(id_col).alias("doc_id"),
@@ -315,7 +322,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             if b >= bits:
                 break
             lane = F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")), 16 * k
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1).cast("long")),
+                lane_width * k,
             )
             term = lane if term is None else term + lane
         return term
@@ -327,7 +335,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     sig = None
     for b in range(bits):
         g, k = b // lanes_per_long, b % lanes_per_long
-        s_b = F.shiftright(F.col(f"p_{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF).cast("long"))
+        s_b = F.shiftright(F.col(f"p_{g}"), lane_width * k).bitwiseAND(
+            F.lit(lane_mask).cast("long")
+        )
         bit = F.when(2 * s_b > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -417,14 +427,11 @@ def winnow_fingerprints(
     # row before the window pass references them ~w times. Inlining `h`
     # into every slice() would re-run the md5-heavy transform per
     # window element — O(len * w) digests instead of O(len).
+    from hridaya_steam_market_tracker_spark.operators.text import word_grams
+
     toks = F.col("__toks")
     h = F.col("__h")
-    grams_nondistinct = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
-        ),
-    )
+    grams_nondistinct = word_grams(toks, k)
     windows = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(h) - (w - 1)),

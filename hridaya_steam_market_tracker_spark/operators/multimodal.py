@@ -92,6 +92,11 @@ def _pixel_codec():
             w, h, maxval = int(wtok), int(htok), int(mtok)
             if maxval != 255:
                 raise ValueError(f"unsupported PPM maxval {maxval}")
+            if w <= 0 or h <= 0:
+                # Downstream featurize/resize divide by w*h and w+h; a
+                # zero-dimension raster must fail DECODE (-> decode_ok
+                # false), not crash the task later.
+                raise ValueError(f"degenerate PPM dimensions {w}x{h}")
             pos += 1  # exactly one whitespace byte separates header and raster
             rgb = payload[pos : pos + 3 * w * h]
             if len(rgb) != 3 * w * h:
@@ -109,6 +114,8 @@ def _pixel_codec():
                     f"only uncompressed 24-bit BMP supported (bpp={bpp})"
                 )
             top_down, h = h_signed < 0, abs(h_signed)
+            if w <= 0 or h == 0:
+                raise ValueError(f"degenerate BMP dimensions {w}x{h_signed}")
             stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
             if len(payload) < data_off + stride * h:
                 raise ValueError("truncated BMP raster")
@@ -420,7 +427,13 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 try:
                     rate, ch, dur, rms, peak = decode(payload, fmt)
                     recs.append((mid, rate, ch, round(dur, 6), round(rms, 6), round(peak, 6), True))
-                except (NotImplementedError, ValueError, EOFError, struct.error):
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
                     recs.append((mid, None, None, None, None, None, False))
             yield pd.DataFrame.from_records(
                 recs, columns=[f.name for f in out_schema.fields]

@@ -59,19 +59,22 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    # Integer `div`, not double `/`: beyond 2^53 cumulative tokens (the
+    # operator's own 100 TB posture) a double quotient rounds and chunk
+    # would disagree with the exact pmod-derived offset.
     return (
         sized.withColumn("cum_before", cum_before)
         .select(
             id_col,
             "bucket",
             "n_tokens",
-            (F.col("cum_before") / budget).cast("long").alias("chunk"),
+            F.expr(f"cum_before div {budget}").alias("chunk"),
             F.pmod(F.col("cum_before"), F.lit(budget))
             .cast("long")
             .alias("chunk_offset"),
-            (
-                (F.col("cum_before") + F.col("n_tokens") - 1) / budget
-            ).cast("long").alias("__last_chunk"),
+            F.expr(f"(cum_before + n_tokens - 1) div {budget}").alias(
+                "__last_chunk"
+            ),
         )
         .withColumn("spans_boundary", F.col("__last_chunk") > F.col("chunk"))
         .drop("__last_chunk")

@@ -257,20 +257,19 @@ def kmeans_lite(
     the standard Lloyd iteration as two Catalyst plans per round.
     Returns (cell, centroid).
     """
-    # Seed with evenly-SPREAD vectors (first of each id-ordered ntile),
-    # not the first k ids: spread seeds cover the data's clusters, which
-    # both improves Lloyd convergence and damps the run-to-run recall
-    # wobble that float summation order induces in the centroid means.
-    tiled = embeddings.withColumn("__tile", F.ntile(k).over(Window.orderBy(id_col)))
-    seeds = (
-        tiled.withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("__tile").orderBy(id_col)),
-        )
-        .filter(F.col("__rn") == 1)
-    )
+    # Seed with k QUASI-RANDOM vectors: order by a salted md5 of the id
+    # and take the first k. This compiles to TakeOrdered (distributed
+    # top-k) — never a global window sort, which would shuffle the whole
+    # dataset into one task — and hash order decorrelates the seeds from
+    # any id/label clustering, spreading them across the data's clusters
+    # (better Lloyd starts, stabler recall than first-k-ids seeding).
+    # The row_number window below runs on the k-row seed set only.
+    seeds = embeddings.orderBy(
+        F.md5(F.concat(F.lit("seed:"), F.col(id_col).cast("string"))),
+        id_col,
+    ).limit(k)
     centroids = seeds.select(
-        F.col("__tile").alias("cell"),
+        F.row_number().over(Window.orderBy(id_col)).alias("cell"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
     )
     for _ in range(iters):
@@ -387,6 +386,11 @@ def pq_train(
     — each a pair of Catalyst plans per iteration over (id, subvector)
     projections; nothing collects to the driver.
     """
+    if dim % m:
+        raise ValueError(
+            f"dim={dim} not divisible by m={m}: trailing dimensions would "
+            "silently drop from codebooks and ADC distances"
+        )
     dsub = dim // m
     books = None
     for s in range(m):
@@ -425,6 +429,8 @@ def pq_encode(
     (id, subspace, code) — the compressed representation a 100 TB
     corpus stores instead of raw floats (m bytes/vector at ksub<=256).
     Broadcast argmin against the codebooks; one row-bounded window."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     sub = _subvectors(embeddings, [id_col], vec_col, m, dsub)
     scored = sub.join(F.broadcast(codebooks), "subspace").withColumn(

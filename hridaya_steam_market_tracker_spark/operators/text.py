@@ -128,20 +128,34 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
-    dup_tok = F.round(
-        (F.size(toksl) - F.size(F.array_distinct(toksl)))
-        / F.size(toksl).cast("double"),
-        6,
-    )
-    dup_tri = F.round(
-        (F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg).cast("double"), 6
-    )
-    top_bg = F.round(
-        F.col("__top.c")
-        * F.length(F.col("__top.g"))
-        / F.length(F.array_join(toksl, " ")).cast("double"),
-        6,
-    )
+    # Every denominator is when-guarded: docs with < n tokens have empty
+    # gram arrays (and empty docs have no tokens at all), and this
+    # session runs Spark 4 ANSI mode where 0/0 THROWS rather than
+    # nulling — a short doc must yield 0.0 stats, not kill the job.
+    dup_tok = F.when(
+        F.size(toksl) > 0,
+        F.round(
+            (F.size(toksl) - F.size(F.array_distinct(toksl)))
+            / F.size(toksl).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    dup_tri = F.when(
+        F.size(tg) > 0,
+        F.round(
+            (F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    top_bg = F.when(
+        F.size(bg) > 0,
+        F.round(
+            F.col("__top.c")
+            * F.length(F.col("__top.g"))
+            / F.length(F.array_join(toksl, " ")).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
     return (
         df.withColumn("__toksl", tokens(F.lower(F.col(text_col))))
         .withColumns({"__bg": word_grams(toksl, 2), "__tg": word_grams(toksl, 3)})

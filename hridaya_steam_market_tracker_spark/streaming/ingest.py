@@ -186,14 +186,10 @@ def dedup_stream_by_content(
     per-hash state once the watermark passes — plain dropDuplicates on
     a non-time key would grow state forever on an unbounded corpus.
     """
-    normalized = F.array_join(
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), "\\s+"), lambda t: t != ""
-        ),
-        " ",
-    )
+    from hridaya_steam_market_tracker_spark.operators.text import fingerprint
+
     return (
-        stream_df.withColumn("content_hash", F.md5(normalized))
+        stream_df.withColumn("content_hash", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, watermark_delay)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )

@@ -529,3 +529,77 @@ def test_audio_features_deterministic(spark):
     a = sorted(map(tuple, extract_audio_features(fake_audio_df(spark, n=12)).collect()))
     b = sorted(map(tuple, extract_audio_features(fake_audio_df(spark, n=12)).collect()))
     assert a == b
+
+
+def test_repetition_stats_short_and_empty_docs_no_ansi_crash(spark):
+    """Docs below the gram thresholds (and fully empty ones) must yield
+    0.0 stats under ANSI mode, not DIVIDE_BY_ZERO."""
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hi"), (2, ""), (3, "one two"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["dup_trigram_frac"] == 0.0
+    # sub-bigram docs: all-zero stats, not flagged
+    for i in (1, 2, 4):
+        assert rows[i]["top_bigram_char_frac"] == 0.0
+        assert not rows[i]["repetitive"]
+    # a 2-token doc's single bigram covers ALL its chars — flag fires;
+    # the registered query's n_tokens >= 3 filter is the consumer gate
+    assert rows[3]["top_bigram_char_frac"] == 1.0 and rows[3]["repetitive"]
+    assert rows[2]["dup_token_frac"] == 0.0 and rows[2]["n_tokens"] == 0
+
+
+def test_audio_corrupt_wav_marks_decode_failure(spark):
+    """Garbage bytes labeled 'wav' must mark decode_ok=false (wave.Error
+    path), never kill the task."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        synth_wav,
+    )
+
+    rows = [
+        (0, "audio", "wav", bytearray(b"not a riff file at all"), None, None, None),
+        (1, "audio", "wav", bytearray(synth_wav(1)[:20]), None, None, None),
+        (2, "audio", "wav", bytearray(synth_wav(2)), None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert not out[0]["decode_ok"] and not out[1]["decode_ok"]
+    assert out[2]["decode_ok"]
+
+
+def test_zero_dimension_raster_marks_decode_failure(spark):
+    """A degenerate 0x0 PPM must fail DECODE (decode_ok/resize_ok false),
+    not crash featurize/resize downstream."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    rows = [(0, "image", "ppm", bytearray(b"P6\n0 0\n255\n"), 0, 0, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feat = extract_features(df).collect()[0]
+    assert not feat["decode_ok"]
+    rz = resize_images(df, width=4, height=4).collect()[0]
+    assert not rz["resize_ok"]
+
+
+def test_simhash_survives_hot_token_spam_doc(spark):
+    """A ~40k-repetition spam doc must not overflow the packed vote
+    SUM under ANSI; its signature equals the single-token doc's (all
+    votes from one hash)."""
+    spam = " ".join(["spamtoken"] * 40000)
+    df = spark.createDataFrame(
+        [(1, spam), (2, "spamtoken")], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
