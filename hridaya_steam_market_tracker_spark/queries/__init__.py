@@ -72,6 +72,7 @@ def load_all() -> dict[str, Query]:
         events_ext,
         analytics_ext,
         behavior,
+        indicators,
         docs,
         joins,
         media,

@@ -370,3 +370,64 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "chunk_dedup_reassemble",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, g.i AS idx,
+             array_to_string(w[g.i*20+1 : g.i*20+20], ' ') AS chunk
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t,
+      LATERAL (SELECT unnest(range(0, CAST(ceil(len(w)/20.0) AS BIGINT))) AS i) g
+    ),
+    kept AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                    FILTER (WHERE rn = 1), '') AS dedup_text
+    FROM kept GROUP BY doc_id
+    """,
+    doc=(
+        "C4/CCNet-style sub-document dedup: split each document into "
+        "20-token chunks, keep only the globally-FIRST occurrence of every "
+        "distinct chunk (order: doc_id, then position), and reassemble the "
+        "surviving chunks per document in original order. Two exchanges "
+        "total at any scale: one on the 16-byte chunk digest (first-wins "
+        "window), one on doc_id (reassembly) — no joins, no all-pairs "
+        "anywhere; boilerplate chunks repeated across millions of docs "
+        "collapse in the digest partition. Public recipe: C4 (Raffel et "
+        "al. 2020 §2.2 three-sentence dedup) / CCNet paragraph hashing."
+    ),
+)
+def chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(20.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 20 + 1, 20), " "),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    flagged = exploded.withColumn("rn", F.row_number().over(w))
+    kept_structs = F.sort_array(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("idx", "chunk")))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(kept_structs, lambda s: s.getField("chunk")), " "
+        ).alias("dedup_text"),
+    )

@@ -250,9 +250,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
     pairs AS (
@@ -270,7 +268,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component,
            min(lab) = node AS is_canonical
     FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     doc=(
         "Near-dup CLUSTER formation: transitive closure of the 3-gram Jaccard "
         ">= 0.5 pair graph via iterative min-label propagation "
@@ -291,6 +294,34 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5).select("i", "j")
     labels = connected_components(docs.select("doc_id"), pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    doc=(
+        "Same cluster labeling as dedup_clusters, computed with the "
+        "large-star/small-star O(log n)-round algorithm "
+        "(operators/components.py:alternating_components, Kiveris et al. "
+        "SoCC'14) instead of diameter-bounded label propagation — the "
+        "variant a 100 TB corpus with adversarially chained near-dups "
+        "needs. Shares the recursive-CTE oracle with dedup_clusters, so "
+        "both algorithms are value-checked against the same ground truth."
+    ),
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        alternating_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5).select("i", "j")
+    labels = alternating_components(docs.select("doc_id"), pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
         "component",

@@ -45,10 +45,12 @@ def pin_session(spark: SparkSession) -> SparkSession:
 
 
 @lru_cache(maxsize=None)
-def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+def _timestamp_cols(path: str) -> tuple[tuple[str, str], ...]:
+    """(name, unit) for every timestamp column; unit 'ns' needs the
+    long-read conversion, anything else may arrive as TIMESTAMP_NTZ."""
     schema = pq.read_schema(path)
     return tuple(
-        f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        (f.name, f.type.unit) for f in schema if pa.types.is_timestamp(f.type)
     )
 
 
@@ -58,8 +60,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    for c in _nanos_timestamp_cols(path):
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    for c, unit in _timestamp_cols(path):
+        if unit == "ns":
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        else:
+            # tz-naive parquet timestamps surface as TIMESTAMP_NTZ under
+            # Spark 4's inferTimestampNTZ default; normalize to session-tz
+            # TIMESTAMP (identity instant under the pinned UTC session) so
+            # epoch functions (unix_micros & co.) keep working uniformly.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
