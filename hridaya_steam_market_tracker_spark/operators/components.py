@@ -30,6 +30,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -149,8 +151,18 @@ def alternating_components(
     each followed by a distinct — no joins at all, so no skewed build
     sides; the hottest key is a component minimum, whose fan-in is the
     component size, identical to the output's own skew. Fixpoint is
-    detected with a count+checksum pair (one tiny action per round);
-    labels localCheckpoint each round to keep lineage flat.
+    detected with (count, xor-hash, xor-hash-with-swapped-args) — two
+    independent order-insensitive checksums, so a false fixpoint needs a
+    simultaneous 64+64-bit collision (one tiny action per round); labels
+    localCheckpoint each round to keep lineage flat.
+
+    The downstream star extraction is only valid on FIXPOINT edges; a
+    non-converged edge set would yield wrong component minima with no
+    other signal. If ``max_iter`` rounds don't stabilize, a warning is
+    emitted and up to ``max_iter`` extra rounds run; if still unstable,
+    this raises rather than return silently wrong labels. At the default
+    12 rounds the algorithm's geometric contraction covers chains of
+    length ~2^12, so reaching the fallback means pathological input.
     """
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -159,16 +171,34 @@ def alternating_components(
         .localCheckpoint()
     )
     prev_sig = None
-    for _ in range(max_iter):
+    converged = False
+    for rounds in range(1, 2 * max_iter + 1):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
-            # bit_xor: order-independent, cannot overflow under ANSI mode
-            F.expr("bit_xor(xxhash64(s, d))").alias("h"),
+            # bit_xor: order-independent, cannot overflow under ANSI mode.
+            # Swapped-argument variant is an independent second checksum.
+            F.expr("bit_xor(xxhash64(s, d))").alias("h1"),
+            F.expr("bit_xor(xxhash64(d, s))").alias("h2"),
         ).first()
-        if prev_sig == (sig["n"], sig["h"]):
+        cur = (sig["n"], sig["h1"], sig["h2"])
+        if prev_sig == cur:
+            converged = True
             break
-        prev_sig = (sig["n"], sig["h"])
+        prev_sig = cur
+        if rounds == max_iter:
+            warnings.warn(
+                f"alternating_components: no fixpoint after {max_iter} rounds; "
+                f"running up to {max_iter} more",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if not converged:
+        raise RuntimeError(
+            f"alternating_components failed to reach a fixpoint after "
+            f"{2 * max_iter} large-star/small-star rounds; labels would be "
+            f"wrong — refusing to return them"
+        )
     # Fixpoint edges are stars hi->component-min; every non-canonical node
     # has exactly one outgoing edge to its component minimum.
     star = e.select(

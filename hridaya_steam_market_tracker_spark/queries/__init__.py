@@ -48,16 +48,62 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
     return deco
 
 
+# The driver's correctness gate samples the registry front-to-back (~50
+# queries per round). Names listed here are moved to the head of the registry
+# in this exact order, regardless of module import order, so queries that have
+# never had a driver CORRECTNESS row get sampled first. Rounds 1+2 verified 99
+# of 126 queries; this list is the 27 round-2 additions that registered behind
+# the sample window, followed by round-3 additions. Names not (yet) registered
+# are skipped harmlessly.
+_SAMPLE_FIRST: tuple[str, ...] = (
+    # tpch_rest (round 2, never driver-sampled)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_linestatus",
+    "tpch_q16_supplier_relationship",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_suppliers_who_kept_waiting",
+    # curation_ext
+    "doc_repetition_stats",
+    "decontaminate_train_test",
+    "winnow_fingerprints",
+    "winnow_near_pairs",
+    "hash_split_assignment",
+    "bm25_search_scores",
+    "sequence_pack_assignment",
+    "tfidf_top_terms",
+    "chunk_dedup_reassemble",
+    # events_ext
+    "funnel_view_click_purchase",
+    "gapfill_hourly_locf",
+    "mad_outliers_per_stream",
+    "stream_corr_matrix",
+    # indicators
+    "bollinger_bands_20",
+    "rsi_14",
+    "ewma_price_per_key",
+    "max_drawdown_per_key",
+    # stragglers registered mid-module
+    "emb_near_dup_clusters",
+    "dedup_clusters_star",
+    "multimodal_audio_features",
+    # round-3 upgrades/additions (no driver row under the new contract yet):
+    # ann_lsh_topk's r2 row was rows-only; it now has a full value oracle
+    # (bit-exact LCG hyperplane replication) and needs a fresh driver row.
+    "ann_lsh_topk",
+    "ann_ivf_label_topk",
+    "ann_pq_label_topk",
+)
+
+
 def load_all() -> dict[str, Query]:
     """Import every query module (side-effect: registration) and return the registry.
 
-    Import order IS registry order (dict insertion), and the driver's
-    correctness gate samples the registry front-to-back. Round 1 verified the
-    first ~50 entries under alphabetical order; this round front-loads the
-    modules whose queries have no driver CORRECTNESS row yet (tpch, timeseries,
-    windows, vectors, sampling, sketches) so they are sampled first, while the
-    round-1-green modules trail. Keep this ordering deliberate when adding
-    modules.
+    Registry order IS the driver's sample order; ``_SAMPLE_FIRST`` pins the
+    driver-unverified queries to the head so one round's sample covers them.
+    Everything else follows in module import order (all already green in
+    CORRECTNESS_r01/r02).
     """
     from hridaya_steam_market_tracker_spark.queries import (  # noqa: F401
         tpch,
@@ -80,4 +126,10 @@ def load_all() -> dict[str, Query]:
         rollups,
     )
 
-    return REGISTRY
+    ordered: dict[str, Query] = {}
+    for name in _SAMPLE_FIRST:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, query in REGISTRY.items():
+        ordered.setdefault(name, query)
+    return ordered

@@ -114,12 +114,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Exact pairwise 3-gram Jaccard near-dup pairs (threshold 0.5) via a shingle "
-        "inverted index — the verifier-grade dedup path."
+        "inverted index with a DF-cutoff candidate guard (max_shingle_df=64): hot "
+        "boilerplate shingles are excluded from candidate generation, bounding the "
+        "postings self-join fan-out at 64 per list, while verification against the "
+        "full shingle sets keeps every reported jaccard exact. Output equals the "
+        "unguarded pair set unless a qualifying pair shares ONLY shingles present "
+        "in >64 docs — a >64-wide duplicate cluster, where the unguarded quadratic "
+        "path is unrunnable anyway (operators/dedup.py:100-108)."
     ),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return D.jaccard_pairs(docs, threshold=0.5)
+    return D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=64)
 
 
 @register(
@@ -250,6 +256,23 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_labels(spark: SparkSession, sf_dir: str, components_fn) -> DataFrame:
+    """Shared cluster-labeling body for both components algorithms: the
+    MinHash+LSH pair-mining hyperparameters (32 hashes, 16 bands,
+    threshold 0.5) live here ONCE so the two registered variants can't
+    drift apart."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, num_hashes=32, bands=16, threshold=0.5
+    ).select("i", "j")
+    labels = components_fn(docs.select("doc_id"), pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
 _CLUSTERS_ORACLE = f"""
     WITH RECURSIVE d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
@@ -291,14 +314,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5).select("i", "j")
-    labels = connected_components(docs.select("doc_id"), pairs)
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        "component",
-        (F.col("node") == F.col("component")).alias("is_canonical"),
-    )
+    return _cluster_labels(spark, sf_dir, connected_components)
 
 
 @register(
@@ -319,14 +335,7 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         alternating_components,
     )
 
-    docs = table(spark, sf_dir, "documents")
-    pairs = D.minhash_near_duplicates(docs, num_hashes=32, bands=16, threshold=0.5).select("i", "j")
-    labels = alternating_components(docs.select("doc_id"), pairs)
-    return labels.select(
-        F.col("node").alias("doc_id"),
-        "component",
-        (F.col("node") == F.col("component")).alias("is_canonical"),
-    )
+    return _cluster_labels(spark, sf_dir, alternating_components)
 
 
 @register(

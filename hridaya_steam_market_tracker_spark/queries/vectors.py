@@ -53,19 +53,79 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+# The LSH hyperplanes come from a seeded LCG (operators/similarity.py:
+# hyperplanes) — pure integer arithmetic plus one int->double division,
+# both exactly reproducible in DuckDB (HUGEINT for the 126-bit product,
+# CAST AS DOUBLE for the same round-to-nearest). The prototype check in
+# round 3 confirmed all 8x4x64 plane components bit-identical, so the
+# WHOLE approximate pipeline (buckets -> candidate join -> rerank) has a
+# value oracle, not just a recall bound.
+_LSH_ORACLE = f"""
+    WITH RECURSIVE lcg AS (
+      SELECT t, 0 AS step, CAST(7 + 97 * t AS HUGEINT) AS state
+      FROM generate_series(0, 7) AS g(t)
+      UNION ALL
+      SELECT t, step + 1,
+             (state * 6364136223846793005 + 1442695040888963407) % 9223372036854775808
+      FROM lcg WHERE step < 256
+    ),
+    plane_vals AS (
+      SELECT t, (step-1) // 64 AS p, (step-1) % 64 AS d,
+             CAST(state AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0 AS v
+      FROM lcg WHERE step >= 1
+    ),
+    planes AS (
+      SELECT t, p, list(v ORDER BY d) AS plane FROM plane_vals GROUP BY t, p
+    ),
+    emb_buckets AS (
+      SELECT e.vec_id, pl.t,
+             CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p) ELSE CAST(0 AS BIGINT) END)
+                  AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, pl.t
+    ),
+    cands AS (
+      SELECT DISTINCT qb.vec_id AS query_id, eb.vec_id AS vec_id
+      FROM emb_buckets eb
+      JOIN (SELECT * FROM emb_buckets WHERE vec_id < 10) qb
+        ON eb.t = qb.t AND eb.bucket = qb.bucket
+      WHERE eb.vec_id <> qb.vec_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id, round({_COS}, 6) AS cos_sim
+      FROM cands c
+      JOIN embeddings a ON a.vec_id = c.vec_id
+      JOIN embeddings q ON q.vec_id = c.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate: recall vs brute force is pinned in tests
+    oracle=_LSH_ORACLE,
     doc=(
         "Multi-table LSH approximate top-5 (8 tables x 4 hyperplanes; bucket equi-join "
-        "replaces the cross join). Rows-only driver check; recall >= 0.6 vs the exact "
-        "baseline is asserted in tests/test_similarity.py."
+        "replaces the cross join). Deterministic end-to-end: the seeded-LCG hyperplanes "
+        "are replicated bit-exactly in the DuckDB oracle (HUGEINT LCG + same double "
+        "rounding), so the driver value-checks the full approximate pipeline. Recall "
+        ">= 0.6 vs the exact baseline is additionally asserted in tests."
     ),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.lsh_topk(emb, queries, k=5)
+    out = S.lsh_topk(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
 
 
 @register(

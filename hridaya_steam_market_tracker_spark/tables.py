@@ -45,13 +45,23 @@ def pin_session(spark: SparkSession) -> SparkSession:
 
 
 @lru_cache(maxsize=None)
-def _timestamp_cols(path: str) -> tuple[tuple[str, str], ...]:
-    """(name, unit) for every timestamp column; unit 'ns' needs the
-    long-read conversion, anything else may arrive as TIMESTAMP_NTZ."""
+def _timestamp_cols_cached(
+    path: str, mtime_ns: int, size: int
+) -> tuple[tuple[str, str], ...]:
+    del mtime_ns, size  # cache-key components only
     schema = pq.read_schema(path)
     return tuple(
         (f.name, f.type.unit) for f in schema if pa.types.is_timestamp(f.type)
     )
+
+
+def _timestamp_cols(path: str) -> tuple[tuple[str, str], ...]:
+    """(name, unit) for every timestamp column; unit 'ns' needs the
+    long-read conversion, anything else may arrive as TIMESTAMP_NTZ.
+    Cache keys include (mtime, size) so a file regenerated at the same
+    path within one process lifetime doesn't serve a stale schema."""
+    st = os.stat(path)
+    return _timestamp_cols_cached(path, st.st_mtime_ns, st.st_size)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
