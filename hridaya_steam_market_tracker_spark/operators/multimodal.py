@@ -2,12 +2,13 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 REAL codecs (pure stdlib, no image libraries needed): uncompressed
-24-bit BI_RGB **BMP** and binary **PPM (P6)** decode to RGB pixel
-arrays and re-encode; feature extraction and resize operate on actual
-pixels for those formats. Compressed formats (png/jpg/wav/mp4) remain
-clearly-marked NotImplementedError stubs until a codec library is
-plugged in; the 'fake' format keeps its digest-based deterministic
-pseudo-decode for plumbing tests.
+24-bit BI_RGB **BMP**, binary **PPM (P6)**, and **PNG** (zlib inflate +
+filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced) decode to
+RGB pixel arrays and re-encode (PNG re-encodes as 8-bit RGB). Formats
+needing a DCT or container parser (jpg/mp4) remain clearly-marked
+NotImplementedError stubs until a codec library is plugged in; the
+'fake' format keeps its digest-based deterministic pseudo-decode for
+plumbing tests.
 
 Scale posture: mapInPandas streams Arrow batches — memory is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -55,14 +56,17 @@ def _pixel_codec():
     decode(payload, fmt) -> (width, height, rgb) where rgb is row-major
     RGB bytes (3 per pixel). Supported: 'bmp' (uncompressed 24-bit
     BI_RGB, bottom-up or top-down), 'ppm' (binary P6, maxval 255,
-    header comments allowed). encode(w, h, rgb, fmt) is the inverse.
-    Anything else raises NotImplementedError — the honest stub seam for
-    compressed formats.
+    header comments allowed), 'png' (8-bit gray/RGB/palette/alpha,
+    filters 0-4, non-interlaced). encode(w, h, rgb, fmt) is the
+    inverse (PNG encodes as 8-bit RGB, filter 0). Anything else raises
+    NotImplementedError — the honest stub seam for DCT/container
+    formats.
 
     Returned closures capture no module globals, so cloudpickle ships
     them by value into mapInPandas workers.
     """
     import struct
+    import zlib
 
     def decode(payload: bytes, fmt: str | None) -> tuple[int, int, bytes]:
         if not payload:
@@ -127,6 +131,99 @@ def _pixel_codec():
                     o = 3 * (row * w + x)
                     out[o], out[o + 1], out[o + 2] = r, g, b
             return w, h, bytes(out)
+        if fmt == "png":
+            # Pure-stdlib PNG decoder (RFC 2083): zlib IDAT inflate +
+            # scanline un-filtering. Supports bit depth 8, color types
+            # 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA;
+            # alpha dropped), filters 0-4, non-interlaced only.
+            if payload[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            pos, ihdr, plte, idat = 8, None, None, bytearray()
+            while pos + 8 <= len(payload):
+                ln, ctype = struct.unpack_from(">I4s", payload, pos)
+                data = payload[pos + 8 : pos + 8 + ln]
+                if len(data) != ln:
+                    raise ValueError("truncated PNG chunk")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"PLTE":
+                    plte = data
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + ln  # length + type + payload + crc
+            if ihdr is None:
+                raise ValueError("PNG missing IHDR")
+            w, h, depth, color, comp, filt, interlace = ihdr
+            if comp or filt:
+                raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+            if interlace:
+                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            if depth != 8:
+                raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError(f"bad PNG color type {color}")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+            try:
+                raw = zlib.decompress(bytes(idat))
+            except zlib.error as exc:
+                raise ValueError(f"corrupt PNG IDAT: {exc}") from None
+            stride = w * channels
+            if len(raw) != h * (stride + 1):
+                raise ValueError("truncated PNG raster")
+            prev = bytearray(stride)
+            flat = bytearray()
+            p = 0
+            for _row in range(h):
+                ftype = raw[p]
+                line = bytearray(raw[p + 1 : p + 1 + stride])
+                p += 1 + stride
+                if ftype == 1:  # Sub
+                    for i in range(channels, stride):
+                        line[i] = (line[i] + line[i - channels]) & 0xFF
+                elif ftype == 2:  # Up
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif ftype == 3:  # Average
+                    for i in range(stride):
+                        a = line[i - channels] if i >= channels else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif ftype == 4:  # Paeth
+                    for i in range(stride):
+                        a = line[i - channels] if i >= channels else 0
+                        b = prev[i]
+                        c = prev[i - channels] if i >= channels else 0
+                        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                        line[i] = (line[i] + pred) & 0xFF
+                elif ftype != 0:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                flat += line
+                prev = line
+            if color == 2:
+                return w, h, bytes(flat)
+            rgb = bytearray(3 * w * h)
+            if color == 6:
+                for i in range(w * h):
+                    rgb[3 * i : 3 * i + 3] = flat[4 * i : 4 * i + 3]
+            elif color == 0:
+                for i in range(w * h):
+                    rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = flat[i]
+            elif color == 4:
+                for i in range(w * h):
+                    rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = flat[2 * i]
+            else:  # color == 3, palette
+                if plte is None:
+                    raise ValueError("palette PNG missing PLTE")
+                for i in range(w * h):
+                    off = flat[i] * 3
+                    if off + 3 > len(plte):
+                        raise ValueError("PNG palette index out of range")
+                    rgb[3 * i : 3 * i + 3] = plte[off : off + 3]
+            return w, h, bytes(rgb)
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment — "
             "plug PIL/torchaudio/ffmpeg here"
@@ -151,6 +248,24 @@ def _pixel_codec():
                 + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
             )
             return bytes(header + raster)
+        if fmt == "png":
+            def chunk(ctype: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data))
+                    + ctype
+                    + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+                )
+
+            raw = b"".join(
+                b"\x00" + bytes(rgb[3 * w * r : 3 * w * (r + 1)]) for r in range(h)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
         raise NotImplementedError(f"no encoder for format {fmt!r}")
 
     return decode, encode
@@ -300,21 +415,21 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 def fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests.
 
-    Image rows alternate REAL encoded rasters ('bmp'/'ppm', 6x4 pixels
-    derived from md5) so the real codecs run end-to-end; every 4th row
-    stays 'png' (undecodable — exercises the failure marking) and the
-    rest are 'fake' digest blobs."""
+    Image rows rotate REAL encoded rasters ('bmp'/'ppm'/'png', 6x4
+    pixels derived from md5) so all three codecs run end-to-end; every
+    4th row stays 'jpg' (undecodable — exercises the failure marking)
+    and the rest are 'fake' digest blobs."""
     _, encode = _pixel_codec()
     rows = []
     for i in range(n):
         mtype = ["image", "audio", "video"][i % 3]
         if i % 4 == 0:
-            fmt = "png"  # undecodable without a codec library
+            fmt = "jpg"  # undecodable without a codec library
         elif mtype == "image":
-            fmt = "bmp" if i % 2 == 0 else "ppm"
+            fmt = ("bmp", "ppm", "png")[(i // 3) % 3]
         else:
             fmt = "fake"
-        if fmt in ("bmp", "ppm"):
+        if fmt in ("bmp", "ppm", "png"):
             w, h = 6, 4
             rgb = (hashlib.md5(f"img{i}".encode()).digest() * 5)[: 3 * w * h]
             payload = encode(w, h, rgb, fmt)

@@ -449,6 +449,186 @@ def pq_encode(
     )
 
 
+def ivf_pretrained_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF search against an OFFLINE-trained coarse quantizer.
+
+    ``embeddings`` must already carry ``cell_col`` (its inverted-list
+    assignment) and ``centroids`` is any (cell, centroid) table — the
+    production IVF posture: the quantizer is trained once offline and
+    the 100 TB corpus sits on disk bucketed/partitioned BY cell, so an
+    n_probe search is a partition-pruned read of n_probe/n_cells of the
+    data, not a scan. Contrast ivf_topk, which self-trains via
+    kmeans_lite.
+
+    Fully deterministic given deterministic centroids (rank on rounded
+    cosine, cell/id tie-breaks), which is what makes the query catalog's
+    label-quantizer variant value-checkable against a SQL oracle.
+    Output: (query_id, vec_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    q_cells = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_vec",
+        F.col(cell_col),
+        F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias("__sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col(cell_col).asc()
+    )
+    probes = (
+        q_cells.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "q_vec", cell_col)
+    )
+    cands = (
+        embeddings.join(F.broadcast(probes), cell_col)
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cell_centroids(
+    embeddings: DataFrame, cell_col: str = "cell", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean vector per cell, each component rounded to 6
+    decimals so the trained quantizer is an exact cross-engine value
+    (the rounding discipline every float-aggregate oracle in the query
+    catalog uses). Returns (cell, centroid)."""
+    means = _elementwise_mean(
+        embeddings.select(F.col(cell_col).alias("cell"), F.col(vec_col)),
+        "cell",
+        vec_col,
+    )
+    return means.select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+
+
+def sign_codebooks(
+    embeddings: DataFrame,
+    m: int = 16,
+    dim: int = 64,
+    planes_per_subspace: int = 7,
+    seed_base: int = 11,
+    seed_step: int = 13,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Offline PQ codebooks WITHOUT iterative training: in each subspace,
+    bucket the subvectors by their sign pattern against ``planes_per_
+    subspace`` seeded-LCG hyperplanes (locality-sensitive by the random-
+    hyperplane argument, so buckets group geometrically close subvectors),
+    and emit each non-empty bucket's element-wise mean (rounded to 6) as a
+    code centroid. One pass over the data, fully deterministic — the LCG
+    planes and the rounded means are both exactly reproducible in a SQL
+    oracle, unlike Lloyd-iterated codebooks whose float feedback loop
+    cannot be replicated cross-engine. Returns (subspace, code, centroid).
+    """
+    dsub = dim // m
+    sub = _subvectors(embeddings.select(F.col(vec_col)), [], vec_col, m, dsub)
+    # One chained-when expression (not a per-subspace filter+union, which
+    # would scan the corpus m times): a single pass computes every
+    # subspace's bucket with its own plane constants.
+    code_expr = None
+    for s in range(m):
+        hp = hyperplanes(dsub, planes_per_subspace, seed=seed_base + seed_step * s)
+        branch = lsh_bucket(F.col("subvec"), hp)
+        code_expr = (
+            F.when(F.col("subspace") == s, branch)
+            if code_expr is None
+            else code_expr.when(F.col("subspace") == s, branch)
+        )
+    coded = sub.select("subspace", code_expr.alias("code"), "subvec")
+    means = _elementwise_mean(
+        coded.select(F.struct("subspace", "code").alias("sc"), F.col("subvec")),
+        "sc",
+        "subvec",
+    )
+    return means.select(
+        F.col("sc.subspace").alias("subspace"),
+        F.col("sc.code").alias("code"),
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+
+
+def pq_pretrained_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k against an OFFLINE-trained codebook, with INTEGER
+    micro-unit distance tables: every subspace distance is converted to
+    round(l2sq * 1e6) as a 64-bit integer before the ADC sum, so the
+    per-pair score is an exact integer — independent of float summation
+    order, hence identical across engines and shuffle layouts (and
+    value-checkable by a SQL oracle). Integerized distance tables are
+    also the production trick for SIMD/compressed ADC scans.
+
+    Output: (query_id, vec_id, adc_dist_micro, rank). Contrast pq_topk,
+    which self-trains its codebooks via kmeans_lite.
+    """
+    dsub = dim // m
+    dist_micro = lambda a, b: F.round(l2sq(a, b) * F.lit(1000000.0), 0).cast("long")
+    sub = _subvectors(embeddings, [id_col], vec_col, m, dsub)
+    enc_scored = sub.join(F.broadcast(codebooks), "subspace").select(
+        id_col, "subspace", "code", dist_micro(F.col("subvec"), F.col("centroid")).alias("__d")
+    )
+    we = Window.partitionBy(id_col, "subspace").orderBy(F.col("__d").asc(), F.col("code"))
+    codes = (
+        enc_scored.withColumn("__rn", F.row_number().over(we))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+    q_sub = _subvectors(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        ["query_id"],
+        vec_col,
+        m,
+        dsub,
+    )
+    dtab = q_sub.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "code",
+        dist_micro(F.col("subvec"), F.col("centroid")).alias("__d"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__d").alias("adc_dist_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_micro").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -92,8 +92,11 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     # ann_lsh_topk's r2 row was rows-only; it now has a full value oracle
     # (bit-exact LCG hyperplane replication) and needs a fresh driver row.
     "ann_lsh_topk",
-    "ann_ivf_label_topk",
-    "ann_pq_label_topk",
+    "ann_ivf_sign_topk",
+    "ann_pq_sign_topk",
+    "j1_rate_limit_admission",
+    "j4_backoff_transition_table",
+    "j7_debounce_coalesce",
 )
 
 
@@ -124,6 +127,7 @@ def load_all() -> dict[str, Query]:
         media,
         parsers,
         rollups,
+        streaming_twins,
     )
 
     ordered: dict[str, Query] = {}

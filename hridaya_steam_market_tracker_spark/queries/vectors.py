@@ -180,6 +180,211 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Offline SIGN-pattern quantizers: cells/codes are sign patterns against
+# seeded-LCG hyperplanes (locality-sensitive, so geometrically coherent),
+# centroids the rounded element-wise member means. Both ingredients are
+# exactly reproducible in DuckDB (bit-exact LCG + the same round-to-6
+# aggregate discipline), so these approximate searches are value-checked
+# end-to-end — unlike Lloyd-trained quantizers, whose float feedback loop
+# cannot be replicated cross-engine (those stay recall-bounded in tests).
+_IVF_SIGN_ORACLE = """
+    WITH RECURSIVE lcg AS (
+      SELECT 0 AS step, CAST(7 AS HUGEINT) AS state
+      UNION ALL
+      SELECT step + 1,
+             (state * 6364136223846793005 + 1442695040888963407) % 9223372036854775808
+      FROM lcg WHERE step < 256
+    ),
+    planes AS (
+      SELECT (step-1) // 64 AS p,
+             list(CAST(state AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0
+                  ORDER BY step) AS plane
+      FROM lcg WHERE step >= 1
+      GROUP BY (step-1) // 64
+    ),
+    cells AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p) ELSE CAST(0 AS BIGINT) END)
+                  AS BIGINT) AS cell
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id
+    ),
+    cent AS (
+      SELECT cell, list(round(m, 6) ORDER BY pos) AS centroid
+      FROM (
+        SELECT c.cell, i AS pos, avg(e.embedding[i]::DOUBLE) AS m
+        FROM embeddings e JOIN cells c ON e.vec_id = c.vec_id,
+             generate_series(1, 64) AS g(i)
+        GROUP BY c.cell, i
+      ) GROUP BY cell
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    qcell AS (
+      SELECT query_id, qv, cell,
+             round(list_inner_product(qv, centroid)
+                   / sqrt(list_inner_product(qv, qv)
+                          * list_inner_product(centroid, centroid)), 6) AS sim
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, cell ASC) AS rn
+        FROM qcell
+      ) WHERE rn <= 6
+    ),
+    cands AS (
+      SELECT p.query_id, p.qv, e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev
+      FROM embeddings e
+      JOIN cells ce ON e.vec_id = ce.vec_id
+      JOIN probes p ON ce.cell = p.cell
+      WHERE e.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_inner_product(ev, qv)
+                   / sqrt(list_inner_product(ev, ev)
+                          * list_inner_product(qv, qv)), 6) AS cos_sim
+      FROM cands
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register(
+    "ann_ivf_sign_topk",
+    oracle=_IVF_SIGN_ORACLE,
+    doc=(
+        "IVF top-5 with an OFFLINE sign-pattern coarse quantizer: 16 cells from "
+        "the sign pattern against 4 seeded-LCG hyperplanes (locality-sensitive, "
+        "geometry-aware), centroids the rounded member means, n_probe=6 — a probe "
+        "reads ~6/16 of a cell-bucketed corpus. The production IVF posture "
+        "(quantizer trained offline, corpus partitioned by cell on disk, probe = "
+        "partition-pruned read), and the whole approximate search is value-checked "
+        "by the oracle; the self-training kmeans variant (ann_ivf_topk) stays "
+        "recall-bounded in tests."
+    ),
+)
+def ann_ivf_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    planes = S.hyperplanes(64, 4, seed=7)
+    emb_cells = emb.withColumn("cell", S.lsh_bucket(F.col("embedding"), planes))
+    centroids = S.cell_centroids(emb_cells)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.ivf_pretrained_topk(emb_cells, queries, centroids, k=5, n_probe=6)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@register(
+    "ann_pq_sign_topk",
+    oracle="""
+    WITH RECURSIVE lcg AS (
+      SELECT s, 0 AS step, CAST(11 + 13 * s AS HUGEINT) AS state
+      FROM generate_series(0, 15) AS gs(s)
+      UNION ALL
+      SELECT s, step + 1,
+             (state * 6364136223846793005 + 1442695040888963407) % 9223372036854775808
+      FROM lcg WHERE step < 28
+    ),
+    planes AS (
+      SELECT s, (step-1) // 4 AS p,
+             list(CAST(state AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0
+                  ORDER BY step) AS plane
+      FROM lcg WHERE step >= 1
+      GROUP BY s, (step-1) // 4
+    ),
+    sub AS (
+      SELECT vec_id, s AS subspace,
+             CAST(embedding[s*4+1 : s*4+4] AS DOUBLE[]) AS subvec
+      FROM embeddings, generate_series(0, 15) AS gs(s)
+    ),
+    bucketed AS (
+      SELECT sub.vec_id, sub.subspace,
+             CAST(sum(CASE WHEN list_inner_product(sub.subvec, pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p) ELSE CAST(0 AS BIGINT) END)
+                  AS BIGINT) AS code
+      FROM sub JOIN planes pl ON pl.s = sub.subspace
+      GROUP BY sub.vec_id, sub.subspace
+    ),
+    cb AS (
+      SELECT subspace, code, list(round(m, 6) ORDER BY j) AS centroid
+      FROM (
+        SELECT b.subspace AS subspace, b.code AS code, j, avg(s.subvec[j]) AS m
+        FROM bucketed b
+        JOIN sub s ON s.vec_id = b.vec_id AND s.subspace = b.subspace,
+             generate_series(1, 4) AS gj(j)
+        GROUP BY b.subspace, b.code, j
+      ) GROUP BY subspace, code
+    ),
+    dists AS (
+      SELECT sub.vec_id, sub.subspace, cb.code,
+             CAST(round(list_inner_product(
+                list_transform(list_zip(sub.subvec, cb.centroid), z -> z[1] - z[2]),
+                list_transform(list_zip(sub.subvec, cb.centroid), z -> z[1] - z[2])
+             ) * 1000000.0, 0) AS BIGINT) AS dmicro
+      FROM sub JOIN cb ON sub.subspace = cb.subspace
+    ),
+    codes AS (
+      SELECT vec_id, subspace, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                     ORDER BY dmicro ASC, code ASC) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT vec_id AS query_id, subspace, code, dmicro
+      FROM dists WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT d.query_id, c.vec_id, CAST(sum(d.dmicro) AS BIGINT) AS adc_dist_micro
+      FROM codes c JOIN dtab d ON c.subspace = d.subspace AND c.code = d.code
+      WHERE c.vec_id <> d.query_id
+      GROUP BY d.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist_micro ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, adc_dist_micro, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc=(
+        "PQ-ADC top-5 with an OFFLINE sign-pattern codebook (16 subspaces, codes "
+        "= non-empty sign buckets against 7 per-subspace LCG hyperplanes, "
+        "centroids the rounded bucket means) and INTEGER micro-unit distance "
+        "tables: the ADC score is an exact BIGINT sum of 16 table lookups, "
+        "immune to float summation order — so the compressed-scan search path is "
+        "value-checked by the oracle (the self-training kmeans variant "
+        "ann_pq_topk stays recall-bounded in tests). Integerized tables mirror "
+        "the production SIMD ADC trick."
+    ),
+)
+def ann_pq_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    codebooks = S.sign_codebooks(emb, m=16, dim=64, planes_per_subspace=7)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = S.pq_pretrained_topk(emb, queries, codebooks, k=5, m=16, dim=64)
+    return out.select(
+        "query_id",
+        "vec_id",
+        "adc_dist_micro",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register(
     "ann_pq_topk",
     oracle=None,

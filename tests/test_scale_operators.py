@@ -140,6 +140,64 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_pretrained_sign_quantizer_recall(spark):
+    """The offline sign-pattern quantizer variant must find real
+    neighbors — value-exactness vs the SQL oracle is checked in
+    test_oracle_parity; this pins semantic quality (sign cells are
+    locality-sensitive, so recall must clearly beat the n_probe/n_cells
+    = 6/16 random-partition baseline)."""
+    emb = table(spark, SF, "embeddings")
+    emb_cells = emb.withColumn(
+        "cell", S.lsh_bucket(F.col("embedding"), S.hyperplanes(64, 4, seed=7))
+    )
+    centroids = S.cell_centroids(emb_cells)
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.cosine_topk(emb, queries, k=5).select("query_id", "vec_id").collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in S.ivf_pretrained_topk(emb_cells, queries, centroids, k=5, n_probe=6)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.55, f"pretrained-IVF recall too low: {recall}"
+
+
+def test_pq_pretrained_adc_is_integer_exact_and_sane(spark):
+    """Integerized ADC: scores are exact BIGINT micro-units (two runs
+    bit-agree) and the approximate ranking overlaps the exact L2 top-k."""
+    emb = table(spark, SF, "embeddings")
+    codebooks = S.sign_codebooks(emb, m=16, dim=64, planes_per_subspace=7)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out1 = S.pq_pretrained_topk(emb, queries, codebooks, k=5).collect()
+    out2 = S.pq_pretrained_topk(emb, queries, codebooks, k=5).collect()
+    assert {tuple(r) for r in out1} == {tuple(r) for r in out2}
+    assert all(isinstance(r["adc_dist_micro"], int) for r in out1)
+
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("vec_id"))
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", S.l2sq(F.col("embedding"), F.col("q_vec")).alias("d")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    approx = {(r["query_id"], r["vec_id"]) for r in out1}
+    assert len(exact & approx) / len(exact) >= 0.3
+
+
 def test_multimodal_feature_extraction(spark):
     media = fake_media_df(spark, n=64)
     feats = extract_features(media)
@@ -147,7 +205,7 @@ def test_multimodal_feature_extraction(spark):
     assert len(rows) == 64
     ok = [r for r in rows if r["decode_ok"]]
     bad = [r for r in rows if not r["decode_ok"]]
-    assert len(bad) == 16  # png rows have no codec -> stubbed failure
+    assert len(bad) == 16  # jpg rows have no codec -> stubbed failure
     assert all(len(r["feat"]) == 8 for r in ok)
     assert all(r["feat"] is None for r in bad)
     # deterministic: same blob -> same features
@@ -166,6 +224,7 @@ def test_multimodal_frame_sampling(spark):
 
 def test_multimodal_resize(spark):
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _pixel_codec,
         resize_images,
     )
 
@@ -176,12 +235,19 @@ def test_multimodal_resize(spark):
     assert len(rows) == 8
     ok = [r for r in rows if r["resize_ok"]]
     bad = [r for r in rows if not r["resize_ok"]]
-    assert len(bad) == 2  # media_id 0 and 12 are 'png' (no codec)
+    assert len(bad) == 2  # media_id 0 and 12 are 'jpg' (no codec)
     # Real re-encoded rasters: PPM = header ("P6\n16 8\n255\n", 12 bytes)
     # + 3*w*h raster; BMP = 54-byte header + 4-byte-padded BGR rows
-    # (16*3 = 48 is already aligned).
+    # (16*3 = 48 is already aligned); PNG length varies with zlib, so
+    # assert by decoding it back instead.
+    decode, _ = _pixel_codec()
     expected_len = {"ppm": 12 + 3 * 16 * 8, "bmp": 54 + 48 * 8}
-    assert all(len(r["payload"]) == expected_len[r["format"]] for r in ok)
+    for r in ok:
+        if r["format"] == "png":
+            w2, h2, _rgb = decode(bytes(r["payload"]), "png")
+            assert (w2, h2) == (16, 8)
+        else:
+            assert len(r["payload"]) == expected_len[r["format"]]
     assert all(r["payload"] is None for r in bad)
     assert all((r["width"], r["height"]) == (16, 8) for r in rows)
     # deterministic: same blob -> same resized payload
@@ -227,6 +293,107 @@ def test_ppm_codec_golden_image_with_comment(spark):
     ppm = b"P6\n# a comment\n2 1\n255\n" + rgb
     assert decode(ppm, "ppm") == (2, 1, rgb)
     assert decode(encode(2, 1, rgb, "ppm"), "ppm") == (2, 1, rgb)
+
+
+def test_png_codec_golden_filters_and_color_types(spark):
+    """PNG decoder against hand-built files: every filter type (0-4)
+    un-filters to the exact pixels, and gray/palette/RGBA color types
+    expand to the right RGB; encode->decode round-trips."""
+    import struct
+    import zlib
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _pixel_codec,
+    )
+
+    decode, encode = _pixel_codec()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, scanlines, plte=None):
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        )
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
+
+    # encode->decode round-trip (RGB, filter 0)
+    rgb = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])  # 2x2
+    assert decode(encode(2, 2, rgb, "png"), "png") == (2, 2, rgb)
+
+    # All five filter types on a 2-wide RGB image (stride 6). Expected
+    # pixels per row chosen first, filter bytes derived by hand.
+    rows = [
+        bytes([10, 20, 30, 40, 50, 60]),     # row 0: filter 0 (None)
+        bytes([11, 21, 31, 41, 51, 61]),     # row 1 via Sub
+        bytes([12, 22, 32, 42, 52, 62]),     # row 2 via Up
+        bytes([13, 23, 33, 43, 53, 63]),     # row 3 via Average
+        bytes([14, 24, 34, 44, 54, 64]),     # row 4 via Paeth
+    ]
+
+    def sub_filter(cur):
+        return bytes((cur[i] - (cur[i - 3] if i >= 3 else 0)) & 255 for i in range(6))
+
+    def up_filter(cur, prev):
+        return bytes((cur[i] - prev[i]) & 255 for i in range(6))
+
+    def avg_filter(cur, prev):
+        return bytes(
+            (cur[i] - (((cur[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 255
+            for i in range(6)
+        )
+
+    def paeth_filter(cur, prev):
+        out = []
+        for i in range(6):
+            a = cur[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((cur[i] - pred) & 255)
+        return bytes(out)
+
+    scan = (
+        b"\x00" + rows[0]
+        + b"\x01" + sub_filter(rows[1])
+        + b"\x02" + up_filter(rows[2], rows[1])
+        + b"\x03" + avg_filter(rows[3], rows[2])
+        + b"\x04" + paeth_filter(rows[4], rows[3])
+    )
+    assert decode(png(2, 5, 2, scan), "png") == (2, 5, b"".join(rows))
+
+    # grayscale (color 0) expands each value to an RGB triple
+    assert decode(png(2, 1, 0, b"\x00\x07\xf0", None), "png") == (
+        2, 1, bytes([7, 7, 7, 240, 240, 240])
+    )
+    # palette (color 3) resolves indices through PLTE
+    plte = bytes([1, 2, 3, 9, 8, 7])
+    assert decode(png(2, 1, 3, b"\x00\x01\x00", plte), "png") == (
+        2, 1, bytes([9, 8, 7, 1, 2, 3])
+    )
+    # RGBA (color 6) drops alpha
+    rgba_scan = b"\x00" + bytes([5, 6, 7, 255, 8, 9, 10, 0])
+    assert decode(png(2, 1, 6, rgba_scan), "png") == (2, 1, bytes([5, 6, 7, 8, 9, 10]))
+
+    # corrupt zlib stream and truncated raster fail decode cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", b"not-zlib")
+            + chunk(b"IEND", b""),
+            "png",
+        )
+    with _pytest.raises(ValueError):
+        decode(png(2, 2, 2, b"\x00" + bytes(6)), "png")  # one row short
 
 
 def test_resize_nearest_neighbor_exact(spark):
