@@ -4,6 +4,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is fully evaluated through the `noop` sink (no driver-side
 row transfer, no result truncation) — the honest cost of the plan.
+
+Round-3 drift attribution (the r2 verdict asked): an A/B at sf0.1 with
+spark.sql.ansi.enabled=false measured ANSI overhead at ~15% uniformly
+(total 6.62 s on vs 5.63 s off; per-query ratios 0.96-1.66x, noise-
+dominated at the low end). The remaining r1->r2 small-query drift was
+host noise — the same headline set under ANSI totals 6.62 s this round
+vs 7.32 s in r2 with identical plans. ANSI stays ON: it is Spark 4's
+default semantics and the correctness guards depend on it.
 """
 
 from __future__ import annotations
