@@ -77,6 +77,75 @@ def test_no_python_eval_in_data_path(spark, registry, name):
     assert "EvalPython" not in plan  # Batch/ArrowEvalPython = row-level Python
 
 
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        ("j1_rate_limit_admission", 1),
+        ("j4_backoff_transition_table", 1),  # both windows share one exchange
+        ("j7_debounce_coalesce", 2),  # window keys != final rollup keys
+    ],
+)
+def test_streaming_twins_are_window_plans(spark, registry, name, max_shuffles):
+    """The J-family batch twins must stay single-pass window plans: a
+    key-partitioned sort, no joins, no Python — that's what makes the
+    control-loop semantics statable over a 100 TB event log."""
+    plan = _plan(registry, spark, name)
+    assert plan.count("Exchange") <= max_shuffles
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [("ann_ivf_sign_topk", 6), ("ann_pq_sign_topk", 10)],
+)
+def test_sign_quantizer_ann_no_cartesian_no_python(spark, registry, name, max_shuffles):
+    """Offline-quantizer ANN: the corpus may only meet queries through a
+    cell/code equi-join or a broadcast of the tiny quantizer — never a
+    CartesianProduct over the pair space, never row-level Python. The
+    exchange budget covers quantizer training (posexplode aggregates),
+    which at scale runs once offline, not per query."""
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= max_shuffles
+
+
+def test_registered_ngram_jaccard_uses_hot_shingle_guard(spark, registry, monkeypatch):
+    """The catalog entry must pass max_shingle_df (r2 verdict: the
+    unguarded postings self-join fans out k^2 rows per hot shingle)."""
+    from hridaya_steam_market_tracker_spark.operators import dedup as D
+
+    seen = {}
+    real = D.jaccard_pairs
+    monkeypatch.setattr(
+        D,
+        "jaccard_pairs",
+        lambda *a, **k: seen.update(k) or real(*a, **k),
+    )
+    registry["dedup_ngram_jaccard"].fn(spark, SF_DIR)
+    assert seen.get("max_shingle_df") is not None
+
+
+def test_kmeans_lite_plan_depth_constant_across_iterations(spark):
+    """Each Lloyd round localCheckpoints the k-row centroids, so the
+    returned plan is a materialized scan whose depth does not grow with
+    iterations (r2 verdict: pq_train stacked 16 nested lineages)."""
+    from hridaya_steam_market_tracker_spark.operators.similarity import kmeans_lite
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    plans = {
+        it: kmeans_lite(emb, k=8, iters=it)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        for it in (1, 3)
+    }
+    assert len(plans[1].splitlines()) == len(plans[3].splitlines())
+    assert "ExistingRDD" in plans[3]
+
+
 def test_emb_cosine_near_dup_is_not_cartesian(spark, registry):
     """The exact cosine self-join must run as the tiled block equi-join:
     no CartesianProduct / BroadcastNestedLoopJoin over the pair space."""
