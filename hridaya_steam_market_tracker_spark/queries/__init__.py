@@ -92,6 +92,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     # ann_lsh_topk's r2 row was rows-only; it now has a full value oracle
     # (bit-exact LCG hyperplane replication) and needs a fresh driver row.
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ann_ivf_sign_topk",
     "ann_pq_sign_topk",
     "j1_rate_limit_admission",

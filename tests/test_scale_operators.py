@@ -140,6 +140,32 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_lsh_multiprobe_beats_single_probe(spark):
+    """Multi-probe LSH must strictly improve on the single-probe recall
+    at identical table/plane budget (the whole point of probing the
+    least-confident bit flip)."""
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in S.cosine_topk(emb, queries, k=5).select("query_id", "vec_id").collect()
+    }
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in S.lsh_topk(emb, queries, k=5).select("query_id", "vec_id").collect()
+    }
+    multi = {
+        (r["query_id"], r["vec_id"])
+        for r in S.lsh_multiprobe_topk(emb, queries, k=5)
+        .select("query_id", "vec_id")
+        .collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.8, f"multi-probe recall too low: {r_multi}"
+
+
 def test_ivf_pretrained_sign_quantizer_recall(spark):
     """The offline sign-pattern quantizer variant must find real
     neighbors — value-exactness vs the SQL oracle is checked in
