@@ -98,6 +98,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "j1_rate_limit_admission",
     "j4_backoff_transition_table",
     "j7_debounce_coalesce",
+    "zorder_code_assignment",
 )
 
 

@@ -176,3 +176,48 @@ def x5_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+def _morton_terms_sql(u: str, d: str, bits: int = 16) -> str:
+    """DuckDB bit-interleave mirroring storage/zorder.py:morton_code."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({u} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({d} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_code_assignment",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day_idx
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST({_morton_terms_sql('user_id', 'day_idx')} AS BIGINT) AS z_code
+    FROM base
+    """,
+    doc=(
+        "Z-order (Morton) clustering key over (user_id, epoch-day) — the "
+        "multi-dimensional data-skipping layout primitive "
+        "(storage/zorder.py; Delta OPTIMIZE ZORDER analog, Morton 1966). "
+        "Pure scan-stage bit expressions; the clustered-write path and its "
+        "row-group pruning win are exercised in tests/test_bucketing.py."
+    ),
+)
+def zorder_code_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.storage.zorder import morton_code
+
+    events = table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "day_idx",
+        morton_code(F.col("user_id"), F.col("day_idx")).alias("z_code"),
+    )
