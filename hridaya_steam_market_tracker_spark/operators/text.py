@@ -22,6 +22,43 @@ EN_STOPWORDS = [
 WS_SPLIT_RE = "\\s+"
 BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
 
+# PII masking patterns (C4/Dolma-style pre-training scrub). Restricted
+# to the Java-regex ∩ RE2 common subset (no lookarounds, no backrefs)
+# so Spark and the DuckDB oracle transform text identically. ORDER
+# MATTERS and is part of the contract — each pattern runs on the
+# output of the previous: emails first, so a digit-dotted local part
+# ("a.1.2.3.4@x.com") is consumed whole as <EMAIL> instead of the IP
+# masker splitting it and breaking the address match; then SSNs; then
+# bare IPv4s (which also catch non-email forms like "admin@10.0.0.1",
+# whose digit TLD the email pattern correctly rejects).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Sequentially mask each PII class (scan-stage regexp_replace
+    chain, no Python). The replacement tokens are single vocabulary
+    items so downstream token statistics stay meaningful."""
+    out = text
+    for _name, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-class match counts, each measured on the text AFTER the
+    previous classes were redacted (so an address inside an email is
+    attributed to the email, mirroring redact_pii's sequential order)."""
+    counts: dict[str, Column] = {}
+    staged = text
+    for name, pattern, token in PII_PATTERNS:
+        counts[name] = F.regexp_count(staged, F.lit(pattern))
+        staged = F.regexp_replace(staged, pattern, token)
+    return counts
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens (empty strings filtered)."""

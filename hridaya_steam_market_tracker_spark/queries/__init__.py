@@ -99,6 +99,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "j4_backoff_transition_table",
     "j7_debounce_coalesce",
     "zorder_code_assignment",
+    "pii_redaction_stats",
 )
 
 

@@ -431,3 +431,103 @@ def chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(kept_structs, lambda s: s.getField("chunk")), " "
         ).alias("dedup_text"),
     )
+
+
+# PII scrub: the fixture corpus carries no organic PII, so the query
+# injects deterministic synthetic PII into a doc_id-keyed slice (the
+# same replayable-injection pattern dedup_exact uses) — both engines
+# build the identical corpus, then redact and count independently.
+_PII_INJECTED = """
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                     ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+    WITH injected AS ({_PII_INJECTED}),
+    emails AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+      FROM injected
+    ),
+    ssns AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}')) AS INTEGER) AS n_ssn,
+             regexp_replace(t, '[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}', '<SSN>', 'g') AS t2
+      FROM emails
+    ),
+    ips AS (
+      SELECT doc_id, n_email, n_ssn,
+             CAST(len(regexp_extract_all(t2, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}')) AS INTEGER) AS n_ipv4,
+             regexp_replace(t2, '([0-9]{{1,3}}\\.){{3}}[0-9]{{1,3}}', '<IP>', 'g') AS redacted
+      FROM ssns
+    )
+    SELECT doc_id, n_email, n_ssn, n_ipv4, sha256(redacted) AS redacted_sha256
+    FROM ips
+    """,
+    doc=(
+        "PII scrub (C4/Dolma-style pre-training pass): sequential regex "
+        "masking of emails -> SSNs -> IPv4s with per-class counts and the "
+        "SHA-256 of the redacted text, so the oracle value-checks the exact "
+        "transformed bytes, not just the counts. Patterns live in the "
+        "Java-regex ∩ RE2 common subset (operators/text.py:PII_PATTERNS); "
+        "scan-stage regexp chain, zero shuffles, no Python."
+    ),
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return injected.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["ssn"].cast("int").alias("n_ssn"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha256"),
+    )

@@ -796,3 +796,42 @@ def test_simhash_survives_hot_token_spam_doc(spark):
     )
     sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(df).collect()}
     assert sigs[1] == sigs[2]
+
+
+def test_pii_redaction_order_and_tokens(spark):
+    """Sequential masking contract: an IP-looking email domain is
+    attributed to (and consumed by) <EMAIL>, never double-counted as an
+    <IP>; counts measure the staged text; untouched text passes through
+    byte-identical."""
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail admin@corp.example.com and 192.168.1.10 plus 123-45-6789"),
+        (2, "no pii here at all"),
+        (3, "a@b.co c@d.io"),
+        # IP-digit domains are NOT emails (alphabetic TLD required), so
+        # the address is masked as an <IP> instead — and only once.
+        (4, "ftp admin@10.0.0.1 ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["email"].alias("e"),
+            counts["ssn"].alias("s"),
+            counts["ipv4"].alias("i"),
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["s"], out[1]["i"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail <EMAIL> and <IP> plus <SSN>"
+    assert (out[2]["e"], out[2]["s"], out[2]["i"]) == (0, 0, 0)
+    assert out[2]["red"] == "no pii here at all"
+    assert out[3]["e"] == 2 and out[3]["red"] == "<EMAIL> <EMAIL>"
+    assert (out[4]["e"], out[4]["i"]) == (0, 1)
+    assert out[4]["red"] == "ftp admin@<IP> ok"
