@@ -100,6 +100,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "j7_debounce_coalesce",
     "zorder_code_assignment",
     "pii_redaction_stats",
+    "stratified_sample_hash",
 )
 
 

@@ -99,3 +99,45 @@ def stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sampleBy("event_type", SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "stratified_sample_hash",
+    oracle=f"""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ('0x' || substr(md5('strat:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0
+          < CASE event_type
+              WHEN 'click' THEN {SAMPLE_FRACTIONS['click']}
+              WHEN 'view' THEN {SAMPLE_FRACTIONS['view']}
+              WHEN 'purchase' THEN {SAMPLE_FRACTIONS['purchase']}
+              ELSE 0.0 END
+    """,
+    doc=(
+        "DETERMINISTIC stratified sampling: keep a row iff the md5 of its id, "
+        "read as a 60-bit uniform in [0,1), falls under its stratum's fraction "
+        "— same fractions as stratified_sample_events but reproducible across "
+        "engines, reruns, and retries (the property a training-data export "
+        "actually needs: a re-executed task must emit the same sample). Scan-"
+        "stage predicate, no shuffle, no RNG state; value-checked by the "
+        "oracle. The 60-bit md5 slice is the same portable-uniform trick as "
+        "hash_split_assignment."
+    ),
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("strat:"), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 60))
+    frac = (
+        F.when(F.col("event_type") == "click", SAMPLE_FRACTIONS["click"])
+        .when(F.col("event_type") == "view", SAMPLE_FRACTIONS["view"])
+        .when(F.col("event_type") == "purchase", SAMPLE_FRACTIONS["purchase"])
+        .otherwise(0.0)
+    )
+    return events.filter(u < frac).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )

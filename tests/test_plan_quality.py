@@ -323,3 +323,15 @@ def test_partitioned_layout_prunes_on_date(spark, tmp_path):
         for r in read.select(F.input_file_name()).distinct().collect()
     }
     assert scanned == {f"2024-01-{d:02d}" for d in range(20, 31)}
+
+
+def test_sample_first_names_all_registered(registry):
+    """_SAMPLE_FIRST drives the driver's correctness-sample order; a
+    stale name silently wastes a sample slot. Every entry must resolve,
+    and the pinned head must stay within the driver's ~50-query window."""
+    from hridaya_steam_market_tracker_spark.queries import _SAMPLE_FIRST
+
+    missing = [n for n in _SAMPLE_FIRST if n not in registry]
+    assert missing == [], f"stale _SAMPLE_FIRST entries: {missing}"
+    assert len(_SAMPLE_FIRST) <= 50
+    assert list(registry)[: len(_SAMPLE_FIRST)] == list(_SAMPLE_FIRST)
