@@ -101,6 +101,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "zorder_code_assignment",
     "pii_redaction_stats",
     "stratified_sample_hash",
+    "hll_deterministic_distinct",
 )
 
 

@@ -156,3 +156,118 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# Deterministic HLL: both engines build the SAME sketch from the same
+# md5-derived 60-bit hashes, so unlike approx_count_distinct (whose
+# xxhash64-based HLL++ registers are engine-internal) the estimate is a
+# pure function of the data and value-checkable. Register sums are
+# integerized (term = 2^(51-rho), a BIGINT) so the harmonic mean is an
+# exact integer before the single final float division — no summation-
+# order sensitivity. alpha_1024 = 0.7213/(1+1.079/1024) (Flajolet 2007).
+_HLL_ALPHA = "0.7205407583220416"
+_HLL_W_MASK = (1 << 50) - 1  # low 50 bits after the 10-bit bucket
+_HLL_EMPTY_TERM = 1 << 51  # rho = 0 convention for untouched registers
+
+
+@register(
+    "hll_deterministic_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type AS stream,
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT stream, hv >> 50 AS bucket,
+             max(CASE WHEN (hv & {_HLL_W_MASK}) = 0 THEN 51
+                      ELSE 51 - length(format('{{:b}}', hv & {_HLL_W_MASK})) END) AS rho
+      FROM hashed GROUP BY stream, bucket
+    ),
+    sums AS (
+      SELECT stream,
+             CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s_obs,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM regs GROUP BY stream
+    ),
+    est AS (
+      SELECT stream,
+             CAST(s_obs + (1024 - n_obs) * {_HLL_EMPTY_TERM} AS DOUBLE)
+               / {_HLL_EMPTY_TERM}.0 AS harm,
+             1024 - n_obs AS v
+      FROM sums
+    ),
+    raw AS (
+      SELECT stream, v,
+             CAST({_HLL_ALPHA} AS DOUBLE) * 1048576.0 / harm AS e_raw
+      FROM est
+    )
+    SELECT stream,
+           round(CASE WHEN e_raw <= 2560.0 AND v > 0
+                      THEN 1024.0 * ln(1024.0 / v)
+                      ELSE e_raw END, 4) AS est_users
+    FROM raw
+    """,
+    doc=(
+        "DETERMINISTIC HyperLogLog distinct users per stream (m=1024 "
+        "registers, 60-bit md5 hashes, Flajolet 2007 with linear-counting "
+        "small-range correction): the registers are a pure function of the "
+        "data, integerized so the harmonic sum is an exact BIGINT — the "
+        "estimate is value-checked by the oracle, not just error-bounded. "
+        "Mergeable exactly like any HLL (register-wise max); the engine-"
+        "native approx_count_distinct stays as the HLL++ production path."
+    ),
+)
+def hll_deterministic_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return deterministic_hll(
+        events.select(F.col("event_type").alias("stream"), "user_id"),
+        group_col="stream",
+        key_col="user_id",
+    ).select("stream", F.col("estimate").alias("est_users"))
+
+
+def deterministic_hll(
+    df: DataFrame, group_col: str, key_col: str
+) -> DataFrame:
+    """(group, estimate) — the deterministic m=1024 HLL described in
+    hll_deterministic_distinct's docstring; shared by the registered
+    query and the error-bound tests."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = hv.bitwiseAND(F.lit(_HLL_W_MASK))
+    rho = F.when(w == 0, F.lit(51)).otherwise(
+        F.lit(51) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    regs = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.shiftright(hv, 50).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("__g", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .withColumn(
+            "term", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - rho AS INT))")
+        )
+    )
+    sums = regs.groupBy("__g").agg(
+        F.sum("term").alias("s_obs"), F.count(F.lit(1)).alias("n_obs")
+    )
+    v = F.lit(1024) - F.col("n_obs")
+    harm = (
+        F.col("s_obs") + v * F.lit(_HLL_EMPTY_TERM)
+    ).cast("double") / F.lit(float(_HLL_EMPTY_TERM))
+    e_raw = F.lit(float(_HLL_ALPHA)) * F.lit(1048576.0) / harm
+    est = F.when(
+        (e_raw <= F.lit(2560.0)) & (v > 0),
+        F.lit(1024.0) * F.log(F.lit(1024.0) / v.cast("double")),
+    ).otherwise(e_raw)
+    return sums.select(
+        F.col("__g").alias(group_col), F.round(est, 4).alias("estimate")
+    )

@@ -96,3 +96,42 @@ def test_session_window_native_matches_islands(spark, registry):
     )
     assert native.exceptAll(islands).isEmpty()
     assert islands.exceptAll(native).isEmpty()
+
+
+def test_deterministic_hll_error_bounds(spark):
+    """The md5-register HLL must estimate within ~2sigma in BOTH of its
+    regimes: linear counting (fixture cardinality << m) and the raw
+    harmonic branch (50k distinct >> 2.5m). Deterministic hashing makes
+    these fixed numbers, not flaky draws; exactness vs the SQL oracle is
+    test_oracle_parity's job."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.queries.sketches import (
+        deterministic_hll,
+    )
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["stream"]: r["estimate"]
+        for r in deterministic_hll(
+            events.select(F.col("event_type").alias("stream"), "user_id"),
+            "stream",
+            "user_id",
+        ).collect()
+    }
+    for stream, n in exact.items():
+        assert abs(est[stream] - n) / n <= 0.07, (stream, est[stream], n)
+
+    big = spark.range(50000).select(
+        F.lit("s").alias("g"), F.col("id").alias("user_id")
+    )
+    r = deterministic_hll(big, "g", "user_id").first()
+    assert r["estimate"] > 2560.0  # raw-HLL branch, not linear counting
+    assert abs(r["estimate"] - 50000) / 50000 <= 0.07, r["estimate"]
