@@ -102,6 +102,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "pii_redaction_stats",
     "stratified_sample_hash",
     "hll_deterministic_distinct",
+    "cms_heavy_hitter_freq",
 )
 
 

@@ -271,3 +271,90 @@ def deterministic_hll(
     return sums.select(
         F.col("__g").alias(group_col), F.round(est, 4).alias("estimate")
     )
+
+
+# Count-min sketch (Cormode & Muthukrishnan 2005): d=4 rows x w=1024
+# counters, positions from the same md5 hash family as the HLL above —
+# deterministic, so the frequency estimates themselves value-check.
+_CMS_D, _CMS_W = 4, 1024
+
+
+def count_min_estimates(df: DataFrame, key_col: str, keys: DataFrame) -> DataFrame:
+    """Count-min frequency estimates for ``keys`` over ``df[key_col]``:
+    build the d x w counter table (one explode + one (row, pos) shuffle
+    into d*w groups — constant-size, mergeable by addition), then each
+    probe key takes the MIN over its d counters. Always an over-
+    estimate; error <= e*N/w with prob 1-e^-d (public bound)."""
+    pos = lambda r, col: F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long") % _CMS_W
+    rows_arr = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), pos(r, F.col(key_col)).alias("p"))
+            for r in range(_CMS_D)
+        ]
+    )
+    counters = (
+        df.select(F.explode(rows_arr).alias("rp"))
+        .groupBy("rp.r", "rp.p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = keys.select(
+        F.col(key_col), F.explode(rows_arr).alias("rp")
+    ).select(key_col, "rp.r", "rp.p")
+    return (
+        probes.join(F.broadcast(counters), ["r", "p"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+@register(
+    "cms_heavy_hitter_freq",
+    oracle=f"""
+    WITH positions AS (
+      SELECT user_id, r,
+             ('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % {_CMS_W} AS p
+      FROM events, generate_series(0, {_CMS_D - 1}) AS g(r)
+    ),
+    counters AS (
+      SELECT r, p, CAST(count(*) AS BIGINT) AS c FROM positions GROUP BY r, p
+    ),
+    hh AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+      HAVING count(*) >= 0.008 * (SELECT count(*) FROM events)
+    ),
+    probe AS (
+      SELECT h.user_id, h.n_events, g.r,
+             ('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || CAST(h.user_id AS VARCHAR)), 1, 15))::BIGINT % {_CMS_W} AS p
+      FROM hh h, generate_series(0, {_CMS_D - 1}) AS g(r)
+    )
+    SELECT pr.user_id, any_value(pr.n_events) AS n_events,
+           CAST(min(c.c) AS BIGINT) AS est_count
+    FROM probe pr JOIN counters c ON c.r = pr.r AND c.p = pr.p
+    GROUP BY pr.user_id
+    """,
+    doc=(
+        "Count-min sketch frequency estimates for the exact heavy-hitter "
+        "set (d=4 x w=1024 md5 counters, Cormode 2005): the one-pass "
+        "constant-memory path for per-key counts at 100 TB — counters "
+        "merge by addition across partitions/days. Deterministic hashing "
+        "makes the estimates value-checkable (alongside the always-true "
+        "over-estimate guarantee, pinned in tests with the exact counts)."
+    ),
+)
+def cms_heavy_hitter_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    total = events.agg(F.count(F.lit(1)).alias("t"))
+    hh = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") >= 0.008 * F.col("t"))
+        .select("user_id", "n_events")
+    )
+    est = count_min_estimates(events.select("user_id"), "user_id", hh)
+    return hh.join(est, "user_id").select("user_id", "n_events", "est_count")

@@ -135,3 +135,26 @@ def test_deterministic_hll_error_bounds(spark):
     r = deterministic_hll(big, "g", "user_id").first()
     assert r["estimate"] > 2560.0  # raw-HLL branch, not linear counting
     assert abs(r["estimate"] - 50000) / 50000 <= 0.07, r["estimate"]
+
+
+def test_count_min_overestimate_guarantee(spark):
+    """CMS estimates are NEVER under the true count, and stay within the
+    e*N/w public bound (deterministic hashing -> fixed numbers). Probed
+    on every user, not just heavy hitters, to exercise collisions."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.queries.sketches import (
+        count_min_estimates,
+    )
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = count_min_estimates(events.select("user_id"), "user_id", exact)
+    joined = exact.join(est, "user_id").collect()
+    n_total = sum(r["n"] for r in joined)
+    bound = 2.718281828 * n_total / 1024
+    assert len(joined) > 0
+    for r in joined:
+        assert r["est_count"] >= r["n"], (r["user_id"], r["est_count"], r["n"])
+        assert r["est_count"] - r["n"] <= bound, (r["user_id"], r["est_count"], r["n"])
