@@ -103,6 +103,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "stratified_sample_hash",
     "hll_deterministic_distinct",
     "cms_heavy_hitter_freq",
+    "hll_deterministic_merge_rollup",
 )
 
 

@@ -227,12 +227,10 @@ def hll_deterministic_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("stream", F.col("estimate").alias("est_users"))
 
 
-def deterministic_hll(
-    df: DataFrame, group_col: str, key_col: str
-) -> DataFrame:
-    """(group, estimate) — the deterministic m=1024 HLL described in
-    hll_deterministic_distinct's docstring; shared by the registered
-    query and the error-bound tests."""
+def hll_registers(df: DataFrame, group_cols: list[str], key_col: str) -> DataFrame:
+    """(group_cols..., bucket, rho) — the deterministic HLL register
+    table. Partials at any grouping granularity merge to coarser groups
+    by register-wise MAX (the HLL union), losslessly."""
     hv = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))), 1, 15
@@ -244,19 +242,22 @@ def deterministic_hll(
     rho = F.when(w == 0, F.lit(51)).otherwise(
         F.lit(51) - F.length(F.conv(w.cast("string"), 10, 2))
     )
-    regs = (
+    return (
         df.select(
-            F.col(group_col).alias("__g"),
-            F.shiftright(hv, 50).alias("bucket"),
-            rho.alias("rho"),
+            *group_cols, F.shiftright(hv, 50).alias("bucket"), rho.alias("rho")
         )
-        .groupBy("__g", "bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
-        .withColumn(
-            "term", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - rho AS INT))")
-        )
     )
-    sums = regs.groupBy("__g").agg(
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., estimate) from a register table — integerized
+    harmonic sum + linear-counting correction (see
+    hll_deterministic_distinct's docstring)."""
+    sums = regs.withColumn(
+        "term", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - rho AS INT))")
+    ).groupBy(*group_cols).agg(
         F.sum("term").alias("s_obs"), F.count(F.lit(1)).alias("n_obs")
     )
     v = F.lit(1024) - F.col("n_obs")
@@ -268,8 +269,78 @@ def deterministic_hll(
         (e_raw <= F.lit(2560.0)) & (v > 0),
         F.lit(1024.0) * F.log(F.lit(1024.0) / v.cast("double")),
     ).otherwise(e_raw)
-    return sums.select(
-        F.col("__g").alias(group_col), F.round(est, 4).alias("estimate")
+    return sums.select(*group_cols, F.round(est, 4).alias("estimate"))
+
+
+def deterministic_hll(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """(group, estimate) — the deterministic m=1024 HLL described in
+    hll_deterministic_distinct's docstring; shared by the registered
+    queries and the error-bound tests."""
+    return hll_estimate(hll_registers(df, [group_col], key_col), [group_col])
+
+
+@register(
+    "hll_deterministic_merge_rollup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type AS stream, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+             ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    daily_regs AS (
+      SELECT stream, day_idx, hv >> 50 AS bucket,
+             max(CASE WHEN (hv & {_HLL_W_MASK}) = 0 THEN 51
+                      ELSE 51 - length(format('{{:b}}', hv & {_HLL_W_MASK})) END) AS rho
+      FROM hashed GROUP BY stream, day_idx, bucket
+    ),
+    merged AS (
+      SELECT stream, bucket, max(rho) AS rho FROM daily_regs GROUP BY stream, bucket
+    ),
+    sums AS (
+      SELECT stream,
+             CAST(sum(CAST(1 AS BIGINT) << (51 - rho)) AS BIGINT) AS s_obs,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM merged GROUP BY stream
+    ),
+    est AS (
+      SELECT stream,
+             CAST(s_obs + (1024 - n_obs) * {_HLL_EMPTY_TERM} AS DOUBLE)
+               / {_HLL_EMPTY_TERM}.0 AS harm,
+             1024 - n_obs AS v
+      FROM sums
+    ),
+    raw AS (
+      SELECT stream, v,
+             CAST({_HLL_ALPHA} AS DOUBLE) * 1048576.0 / harm AS e_raw
+      FROM est
+    )
+    SELECT stream,
+           round(CASE WHEN e_raw <= 2560.0 AND v > 0
+                      THEN 1024.0 * ln(1024.0 / v)
+                      ELSE e_raw END, 4) AS est_users
+    FROM raw
+    """,
+    doc=(
+        "HLL MERGEABILITY, value-checked: build per-(stream, day) register "
+        "partials, union them by register-wise max, estimate per stream — the "
+        "incremental two-level shape a 1000-executor cluster uses (daily "
+        "partials persist; any rollup is a cheap register merge, never a "
+        "rescan). Because the HLL union is lossless, this equals "
+        "hll_deterministic_distinct EXACTLY — asserted in tests, and the "
+        "oracle recomputes the same two-level pipeline."
+    ),
+)
+def hll_deterministic_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    base = events.select(
+        F.col("event_type").alias("stream"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day_idx"),
+        "user_id",
+    )
+    daily = hll_registers(base, ["stream", "day_idx"], "user_id")
+    merged = daily.groupBy("stream", "bucket").agg(F.max("rho").alias("rho"))
+    return hll_estimate(merged, ["stream"]).select(
+        "stream", F.col("estimate").alias("est_users")
     )
 
 

@@ -158,3 +158,18 @@ def test_count_min_overestimate_guarantee(spark):
     for r in joined:
         assert r["est_count"] >= r["n"], (r["user_id"], r["est_count"], r["n"])
         assert r["est_count"] - r["n"] <= bound, (r["user_id"], r["est_count"], r["n"])
+
+
+def test_hll_merge_of_partials_equals_direct(spark, registry):
+    """The register-wise-max union is lossless: merging per-(stream,
+    day) partials must give EXACTLY the direct per-stream sketch."""
+    sf = "/root/testdata/sf0.001"
+    direct = {
+        r["stream"]: r["est_users"]
+        for r in registry["hll_deterministic_distinct"].fn(spark, sf).collect()
+    }
+    merged = {
+        r["stream"]: r["est_users"]
+        for r in registry["hll_deterministic_merge_rollup"].fn(spark, sf).collect()
+    }
+    assert merged == direct and len(direct) > 0
