@@ -70,6 +70,13 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "session_window_native",
         "dedup_clusters",
         "range_join_views_before_purchase",
+        "ann_lsh_multiprobe_topk",
+        "zorder_code_assignment",
+        "pii_redaction_stats",
+        "stratified_sample_hash",
+        "hll_deterministic_distinct",
+        "hll_deterministic_merge_rollup",
+        "cms_heavy_hitter_freq",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
