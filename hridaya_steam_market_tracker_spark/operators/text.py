@@ -38,6 +38,21 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# Text normalization for pre-training corpora (C4-style cleanup),
+# again in the Java∩RE2 subset. Order: strip ASCII control characters
+# (except \t \n \r, which the whitespace collapse then folds), collapse
+# all whitespace runs to single spaces, trim.
+CONTROL_CHARS_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def clean_text(text: Column) -> Column:
+    """Deterministic scan-stage normalization: control-char strip ->
+    whitespace collapse -> trim. Idempotent (clean(clean(x)) == clean(x))."""
+    stripped = F.regexp_replace(text, CONTROL_CHARS_RE, "")
+    collapsed = F.regexp_replace(stripped, "\\s+", " ")
+    return F.trim(collapsed)
+
+
 def redact_pii(text: Column) -> Column:
     """Sequentially mask each PII class (scan-stage regexp_replace
     chain, no Python). The replacement tokens are single vocabulary

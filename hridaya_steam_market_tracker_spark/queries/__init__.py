@@ -104,6 +104,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "hll_deterministic_distinct",
     "cms_heavy_hitter_freq",
     "hll_deterministic_merge_rollup",
+    "reservoir_sample_per_stream",
+    "hist_quantiles_per_stream",
+    "clean_text_stats",
     # implementation changed in round 3 (hot-shingle guard) — the r1 row
     # predates the guard, so sample it again under the new code path
     "dedup_ngram_jaccard",

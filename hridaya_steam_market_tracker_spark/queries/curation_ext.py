@@ -531,3 +531,60 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["ipv4"].cast("int").alias("n_ipv4"),
         F.sha2(redact_pii(F.col("text")), 256).alias("redacted_sha256"),
     )
+
+
+@register(
+    "clean_text_stats",
+    oracle="""
+    WITH messy AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 0
+                          THEN '  noisy' || chr(1) || 'ctl' || chr(9) || chr(9)
+                               || 'tab  run ' || chr(11) || ' end '
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM messy
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars_raw,
+           CAST(length(clean) AS INTEGER) AS n_chars_clean,
+           sha256(clean) AS clean_sha256
+    FROM cleaned
+    """,
+    doc=(
+        "C4-style text normalization (operators/text.py:clean_text): strip "
+        "ASCII control characters, collapse whitespace runs, trim — with the "
+        "SHA-256 of the cleaned bytes so the oracle value-checks the exact "
+        "transformation. Control chars (incl. \\x0B/\\x0C, where Java and RE2 "
+        "\\s classes disagree) are stripped BEFORE the whitespace collapse, "
+        "keeping the regex semantics inside the cross-engine-identical "
+        "subset. Synthetic noise injected into a doc_id-keyed slice (fixture "
+        "text is clean); scan-stage, zero shuffles."
+    ),
+)
+def clean_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import clean_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("  noisy\x01ctl\t\ttab  run \x0b end "),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return messy.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars_raw"),
+        F.length(clean_text(F.col("text"))).cast("int").alias("n_chars_clean"),
+        F.sha2(clean_text(F.col("text")), 256).alias("clean_sha256"),
+    )

@@ -141,3 +141,43 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.filter(u < frac).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "reservoir_sample_per_stream",
+    oracle="""
+    SELECT stream, event_id, CAST(rk AS INTEGER) AS rank
+    FROM (
+      SELECT event_type AS stream, event_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('rsv:' || CAST(event_id AS VARCHAR)), event_id
+             ) AS rk
+      FROM events
+    ) WHERE rk <= 50
+    """,
+    doc=(
+        "Deterministic fixed-k uniform sample per stream (k=50): rank rows by "
+        "the md5 of their id and keep the k smallest — equivalent in "
+        "distribution to reservoir sampling (each subset equally likely under "
+        "the random-oracle hash) but a pure function of the data: retries, "
+        "reruns, and engines agree row-for-row, and the driver value-checks "
+        "it. Distributed as a bounded per-key top-k (TakeOrdered shape), "
+        "never a global sort."
+    ),
+)
+def reservoir_sample_per_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("event_id").cast("string"))), "event_id"
+    )
+    return (
+        events.select(
+            F.col("event_type").alias("stream"),
+            "event_id",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 50)
+    )

@@ -429,3 +429,99 @@ def cms_heavy_hitter_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = count_min_estimates(events.select("user_id"), "user_id", hh)
     return hh.join(est, "user_id").select("user_id", "n_events", "est_count")
+
+
+@register(
+    "hist_quantiles_per_stream",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type AS stream, min(value) AS lo, max(value) AS hi,
+             CAST(count(*) AS BIGINT) AS t
+      FROM events GROUP BY event_type
+    ),
+    binned AS (
+      SELECT b.stream, b.lo, b.hi, b.t,
+             CASE WHEN b.hi = b.lo THEN 0
+                  ELSE least(255, CAST(floor((e.value - b.lo) / (b.hi - b.lo) * 256.0) AS INTEGER))
+             END AS bin
+      FROM events e JOIN bounds b ON e.event_type = b.stream
+    ),
+    counts AS (
+      SELECT stream, lo, hi, t, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY stream, lo, hi, t, bin
+    ),
+    cum AS (
+      SELECT stream, lo, hi, t, bin,
+             sum(c) OVER (PARTITION BY stream ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM counts
+    )
+    SELECT stream,
+           round(any_value(lo) + (min(CASE WHEN cc >= 0.5 * t THEN bin END) + 0.5) / 256.0 * (any_value(hi) - any_value(lo)), 6) AS p50_est,
+           round(any_value(lo) + (min(CASE WHEN cc >= 0.9 * t THEN bin END) + 0.5) / 256.0 * (any_value(hi) - any_value(lo)), 6) AS p90_est,
+           round(any_value(lo) + (min(CASE WHEN cc >= 0.99 * t THEN bin END) + 0.5) / 256.0 * (any_value(hi) - any_value(lo)), 6) AS p99_est
+    FROM cum GROUP BY stream
+    """,
+    doc=(
+        "DETERMINISTIC approximate quantiles: fixed 256-bin equi-width "
+        "histogram between each stream's own min/max, estimate = bin "
+        "midpoint at the target cumulative rank. One groupBy + a 256-row "
+        "window per stream — mergeable (histograms add), reproducible, and "
+        "value-checked by the oracle, complementing the engine-native "
+        "approx_percentile (Greenwald-Khanna, rows-only). The crossing bin "
+        "contains the nearest-rank percentile, so the estimate is within "
+        "half a bin width (range/512) of it — pinned in tests."
+    ),
+)
+def hist_quantiles_per_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = table(spark, sf_dir, "events")
+    bounds = events.groupBy(F.col("event_type").alias("stream")).agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    binned = events.join(
+        F.broadcast(bounds), events["event_type"] == bounds["stream"]
+    ).select(
+        "stream",
+        "lo",
+        "hi",
+        "t",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * F.lit(256.0)
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
+    )
+    counts = binned.groupBy("stream", "lo", "hi", "t", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = (
+        Window.partitionBy("stream")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cc", F.sum("c").over(wc))
+
+    def q_est(q: float):
+        b = F.min(F.when(F.col("cc") >= F.lit(q) * F.col("t"), F.col("bin")))
+        return F.round(
+            F.any_value("lo")
+            + (b + F.lit(0.5)) / F.lit(256.0) * (F.any_value("hi") - F.any_value("lo")),
+            6,
+        )
+
+    return cum.groupBy("stream").agg(
+        q_est(0.5).alias("p50_est"),
+        q_est(0.9).alias("p90_est"),
+        q_est(0.99).alias("p99_est"),
+    )

@@ -835,3 +835,19 @@ def test_pii_redaction_order_and_tokens(spark):
     assert out[3]["e"] == 2 and out[3]["red"] == "<EMAIL> <EMAIL>"
     assert (out[4]["e"], out[4]["i"]) == (0, 1)
     assert out[4]["red"] == "ftp admin@<IP> ok"
+
+
+def test_clean_text_idempotent_and_exact(spark):
+    from hridaya_steam_market_tracker_spark.operators.text import clean_text
+
+    rows = [
+        (1, "  a\x01b\t\tc  \x0b d "),
+        (2, "already clean"),
+        (3, "\x00\x1f\x7f"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = df.select("doc_id", clean_text(F.col("text")).alias("c"))
+    twice = once.select("doc_id", clean_text(F.col("c")).alias("c"))
+    got = {r["doc_id"]: r["c"] for r in once.collect()}
+    assert got == {1: "ab c d", 2: "already clean", 3: ""}
+    assert {r["doc_id"]: r["c"] for r in twice.collect()} == got

@@ -173,3 +173,33 @@ def test_hll_merge_of_partials_equals_direct(spark, registry):
         for r in registry["hll_deterministic_merge_rollup"].fn(spark, sf).collect()
     }
     assert merged == direct and len(direct) > 0
+
+
+def test_hist_quantiles_within_half_bin_of_nearest_rank(spark, registry):
+    """The crossing bin contains the nearest-rank percentile (the value
+    at rank ceil(q*t)), so the midpoint estimate is within half a bin
+    width of it. (The INTERPOLATED percentile carries no such bound —
+    consecutive order statistics can straddle many empty bins in a
+    sparse tail.) Deterministic fixed numbers."""
+    import math
+
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    events = table(spark, sf, "events")
+    by_stream: dict[str, list[float]] = {}
+    for r in events.select("event_type", "value").collect():
+        by_stream.setdefault(r["event_type"], []).append(r["value"])
+    est = {
+        r["stream"]: r
+        for r in registry["hist_quantiles_per_stream"].fn(spark, sf).collect()
+    }
+    for stream, vals in by_stream.items():
+        vals.sort()
+        binw = (vals[-1] - vals[0]) / 256.0
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            nearest_rank = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            got = est[stream][col]
+            assert abs(got - nearest_rank) <= binw / 2 + 1e-9, (
+                stream, q, got, nearest_rank, binw,
+            )
