@@ -107,6 +107,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "reservoir_sample_per_stream",
     "hist_quantiles_per_stream",
     "clean_text_stats",
+    "url_domain_stats",
+    "ngram_novelty_scores",
     # implementation changed in round 3 (hot-shingle guard) — the r1 row
     # predates the guard, so sample it again under the new code path
     "dedup_ngram_jaccard",

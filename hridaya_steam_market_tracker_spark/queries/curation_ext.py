@@ -588,3 +588,113 @@ def clean_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean_text(F.col("text"))).cast("int").alias("n_chars_clean"),
         F.sha2(clean_text(F.col("text")), 256).alias("clean_sha256"),
     )
+
+
+@register(
+    "url_domain_stats",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                          THEN ' see https://ex' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                               || ' and http://cdn.example.org/x '
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+[^ ]*')) AS url
+      FROM seeded
+    )
+    SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM urls GROUP BY domain
+    """,
+    doc=(
+        "Web-corpus domain statistics (the C4/RefinedWeb curation step that "
+        "drives domain allow/deny lists and per-domain dedup budgets): "
+        "extract URLs, group by registrable host, count mentions and "
+        "documents. Regexes in the Java∩RE2 subset; deterministic URL "
+        "injection into a doc_id-keyed slice keeps the fixture non-vacuous. "
+        "Scan-stage extraction + one domain-keyed shuffle."
+    ),
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://ex"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(" and http://cdn.example.org/x "),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = seeded.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("https?://[A-Za-z0-9.-]+[^ ]*"), 0)
+        ).alias("url"),
+    )
+    return urls.select(
+        "doc_id", F.regexp_extract("url", "https?://([A-Za-z0-9.-]+)", 1).alias("domain")
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@register(
+    "ngram_novelty_scores",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             )) AS shingle
+      FROM d WHERE len(w) >= 3
+    ),
+    dfreq AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(avg(CASE WHEN f.df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty,
+           round(avg(CAST(f.df AS DOUBLE)), 6) AS avg_df
+    FROM sh s JOIN dfreq f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        "Per-document n-gram novelty (curation signal: near-boilerplate docs "
+        "score low, unique content scores high): fraction of a doc's distinct "
+        "3-gram shingles that appear in NO other document, plus the mean "
+        "document frequency. One shingle-keyed aggregate + one doc-keyed "
+        "aggregate over the inverted index — the same index dedup uses, "
+        "reused as a scoring signal."
+    ),
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    idx = D.shingle_index(docs).select("doc_id", "shingle")
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        idx.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6).alias(
+                "novelty"
+            ),
+            F.round(F.avg(F.col("df").cast("double")), 6).alias("avg_df"),
+        )
+    )
