@@ -69,3 +69,58 @@ def test_volume_round_trip(spark):
         .collect()
     )
     assert bad == []
+
+def test_morton_code_round_trip_batched(spark):
+    """Property: morton_code bit-interleave is invertible — decode the
+    Spark-computed z back to (a, b) in Python and require exact
+    equality. 400 seeded random pairs through one Spark job."""
+    from hridaya_steam_market_tracker_spark.storage.zorder import morton_code
+
+    rng = random.Random(7)
+    cases = [
+        (i, rng.randint(0, (1 << 16) - 1), rng.randint(0, (1 << 16) - 1))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(cases, "id long, a long, b long")
+    rows = df.select(
+        "a", "b", morton_code(F.col("a"), F.col("b"), bits=16).alias("z")
+    ).collect()
+
+    def decode(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(16):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for r in rows:
+        assert decode(r["z"]) == (r["a"], r["b"])
+
+
+def test_clean_text_matches_python_reference_batched(spark):
+    """Property: clean_text equals a straightforward Python reference
+    (control-strip then whitespace collapse then trim) on random ASCII
+    soup including control characters. One Spark job."""
+    import re
+
+    from hridaya_steam_market_tracker_spark.operators.text import clean_text
+
+    rng = random.Random(11)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7F)]
+        + ["\t", "\n", "\r", "\x00", "\x01", "\x0b", "\x0c", "\x1f", "\x7f"]
+    )
+    cases = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80))))
+        for i in range(400)
+    ]
+
+    def ref(s: str) -> str:
+        s = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", s)
+        s = re.sub(r"\s+", " ", s)
+        return s.strip()
+
+    df = spark.createDataFrame(cases, "id long, raw string")
+    rows = df.select("id", "raw", clean_text(F.col("raw")).alias("c")).collect()
+    for r in rows:
+        assert r["c"] == ref(r["raw"]), (repr(r["raw"]), repr(r["c"]))
