@@ -77,6 +77,11 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "hll_deterministic_distinct",
         "hll_deterministic_merge_rollup",
         "cms_heavy_hitter_freq",
+        "reservoir_sample_per_stream",
+        "hist_quantiles_per_stream",
+        "clean_text_stats",
+        "url_domain_stats",
+        "ngram_novelty_scores",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
