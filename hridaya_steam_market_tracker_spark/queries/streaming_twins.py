@@ -23,6 +23,15 @@ All three are single-shuffle window plans (partition by the key, no
 joins, no Python), so the twins double as the 100 TB statement of the
 control semantics: the same decision applied to a day's event log is
 one pass over a key-partitioned sort.
+
+Partition-key cardinality note: the fixture keys j1/j7 by its 5 event
+streams, which at real scale would put each stream's whole history in
+one task. That is a fixture artifact, not the operator posture — the
+reference's limiter/debouncer key by (endpoint, item) at production
+granularity (millions of keys), and these window plans are generic
+over the key expression: swap in the high-cardinality key and the same
+single-shuffle plan balances. j4 already demonstrates the
+high-cardinality shape (keys by user_id).
 """
 
 from __future__ import annotations
