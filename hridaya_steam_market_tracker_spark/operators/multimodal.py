@@ -2,13 +2,15 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 REAL codecs (pure stdlib, no image libraries needed): uncompressed
-24-bit BI_RGB **BMP**, binary **PPM (P6)**, and **PNG** (zlib inflate +
-filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced) decode to
-RGB pixel arrays and re-encode (PNG re-encodes as 8-bit RGB). Formats
-needing a DCT or container parser (jpg/mp4) remain clearly-marked
-NotImplementedError stubs until a codec library is plugged in; the
-'fake' format keeps its digest-based deterministic pseudo-decode for
-plumbing tests.
+24-bit BI_RGB **BMP**, binary **PPM (P6)**, **PNG** (zlib inflate +
+filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced), and **GIF**
+(87a/89a first frame, full LZW with dictionary growth, global/local
+palettes, 4-pass interlace) decode to RGB pixel arrays and re-encode
+(PNG as 8-bit RGB; GIF as an exact-palette clear-refreshed LZW stream).
+Formats needing a DCT or container parser (jpg/mp4) remain
+clearly-marked NotImplementedError stubs until a codec library is
+plugged in; the 'fake' format keeps its digest-based deterministic
+pseudo-decode for plumbing tests.
 
 Scale posture: mapInPandas streams Arrow batches — memory is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -57,8 +59,11 @@ def _pixel_codec():
     RGB bytes (3 per pixel). Supported: 'bmp' (uncompressed 24-bit
     BI_RGB, bottom-up or top-down), 'ppm' (binary P6, maxval 255,
     header comments allowed), 'png' (8-bit gray/RGB/palette/alpha,
-    filters 0-4, non-interlaced). encode(w, h, rgb, fmt) is the
-    inverse (PNG encodes as 8-bit RGB, filter 0). Anything else raises
+    filters 0-4, non-interlaced), 'gif' (GIF87a/89a first frame, full
+    LZW, global/local palettes, Adam-style 4-pass interlace).
+    encode(w, h, rgb, fmt) is the inverse (PNG encodes as 8-bit RGB
+    filter 0; GIF as a clear-code-refreshed 9-bit LZW stream over an
+    exact <=256-color palette). Anything else raises
     NotImplementedError — the honest stub seam for DCT/container
     formats.
 
@@ -67,6 +72,48 @@ def _pixel_codec():
     """
     import struct
     import zlib
+
+    def gif_lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        code_size = min_code + 1
+        table: list[list[int] | None] = [[i] for i in range(clear)] + [None, None]
+        out: list[int] = []
+        prev: list[int] | None = None
+        acc = nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= code_size:
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    table = [[i] for i in range(clear)] + [None, None]
+                    code_size = min_code + 1
+                    prev = None
+                    continue
+                if code == end:
+                    return out
+                if prev is None:
+                    if code >= len(table) or table[code] is None:
+                        raise ValueError("bad initial LZW code")
+                    entry = table[code]
+                else:
+                    if code < len(table) and table[code] is not None:
+                        entry = table[code]
+                        table.append(prev + [entry[0]])
+                    elif code == len(table):
+                        entry = prev + [prev[0]]
+                        table.append(entry)
+                    else:
+                        raise ValueError("bad LZW code")
+                    if len(table) >= (1 << code_size) and code_size < 12:
+                        code_size += 1
+                out.extend(entry)
+                prev = list(entry)
+                if len(out) >= limit:
+                    return out
+        return out
 
     def decode(payload: bytes, fmt: str | None) -> tuple[int, int, bytes]:
         if not payload:
@@ -224,6 +271,69 @@ def _pixel_codec():
                         raise ValueError("PNG palette index out of range")
                     rgb[3 * i : 3 * i + 3] = plte[off : off + 3]
             return w, h, bytes(rgb)
+        if fmt == "gif":
+            if payload[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF")
+            packed = payload[10]
+            pos = 13
+            gct = None
+            if packed & 0x80:
+                n = 2 << (packed & 7)
+                gct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            while pos < len(payload):
+                b0 = payload[pos]
+                if b0 == 0x21:  # extension: label byte + data sub-blocks
+                    pos += 2
+                    while pos < len(payload) and payload[pos] != 0:
+                        pos += 1 + payload[pos]
+                    pos += 1
+                elif b0 == 0x2C:  # image descriptor — first frame only
+                    _l, _t, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+                    ipacked = payload[pos + 9]
+                    pos += 10
+                    ct = gct
+                    if ipacked & 0x80:
+                        n = 2 << (ipacked & 7)
+                        ct = payload[pos : pos + 3 * n]
+                        pos += 3 * n
+                    if ct is None:
+                        raise ValueError("GIF image without a color table")
+                    if w <= 0 or h <= 0:
+                        raise ValueError(f"degenerate GIF dimensions {w}x{h}")
+                    min_code = payload[pos]
+                    pos += 1
+                    data = bytearray()
+                    while pos < len(payload) and payload[pos] != 0:
+                        ln = payload[pos]
+                        data += payload[pos + 1 : pos + 1 + ln]
+                        pos += 1 + ln
+                    idxs = gif_lzw_decode(bytes(data), min_code, w * h)
+                    if len(idxs) < w * h:
+                        raise ValueError("truncated GIF raster")
+                    if ipacked & 0x40:  # 4-pass interlace -> logical order
+                        order = (
+                            list(range(0, h, 8))
+                            + list(range(4, h, 8))
+                            + list(range(2, h, 4))
+                            + list(range(1, h, 2))
+                        )
+                        rows: list[list[int] | None] = [None] * h
+                        for src_i, dest_r in enumerate(order):
+                            rows[dest_r] = idxs[src_i * w : (src_i + 1) * w]
+                        idxs = [x for row in rows for x in row]  # type: ignore[union-attr]
+                    rgb = bytearray(3 * w * h)
+                    for i, idx in enumerate(idxs[: w * h]):
+                        off = idx * 3
+                        if off + 3 > len(ct):
+                            raise ValueError("GIF palette index out of range")
+                        rgb[3 * i : 3 * i + 3] = ct[off : off + 3]
+                    return w, h, bytes(rgb)
+                elif b0 == 0x3B:
+                    break
+                else:
+                    raise ValueError(f"bad GIF block 0x{b0:02x}")
+            raise ValueError("GIF contains no image data")
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment — "
             "plug PIL/torchaudio/ffmpeg here"
@@ -265,6 +375,57 @@ def _pixel_codec():
                 + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
                 + chunk(b"IDAT", zlib.compress(raw))
                 + chunk(b"IEND", b"")
+            )
+        if fmt == "gif":
+            # Exact-palette GIF: unique colors become the (padded) global
+            # color table; pixels stream as 9-bit LZW literal codes with a
+            # clear-code refresh before the table would force a width
+            # change — valid LZW any decoder accepts, no compression.
+            colors: dict[bytes, int] = {}
+            for i in range(w * h):
+                c = bytes(rgb[3 * i : 3 * i + 3])
+                if c not in colors:
+                    colors[c] = len(colors)
+            if len(colors) > 256:
+                raise NotImplementedError(
+                    f"GIF re-encode needs <=256 unique colors, got {len(colors)}"
+                )
+            palette = bytearray()
+            for c in colors:
+                palette += c
+            palette = palette.ljust(3 * 256, b"\x00")
+            codes = [256]  # leading clear
+            for i in range(w * h):
+                codes.append(colors[bytes(rgb[3 * i : 3 * i + 3])])
+                # table grows by one per literal after the first; refresh
+                # before it reaches 512 (the 9->10-bit boundary)
+                if len(codes) % 250 == 0:
+                    codes.append(256)
+            codes.append(257)  # end of information
+            acc = nbits = 0
+            stream = bytearray()
+            for code in codes:
+                acc |= code << nbits
+                nbits += 9
+                while nbits >= 8:
+                    stream.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+            if nbits:
+                stream.append(acc & 0xFF)
+            blocks = bytearray()
+            for i in range(0, len(stream), 255):
+                chunk = stream[i : i + 255]
+                blocks += bytes((len(chunk),)) + chunk
+            return (
+                b"GIF89a"
+                + struct.pack("<HH", w, h)
+                + bytes((0x80 | 0x07, 0, 0))  # GCT present, 256 entries
+                + bytes(palette)
+                + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+                + b"\x08"  # LZW min code size
+                + bytes(blocks)
+                + b"\x00\x3b"
             )
         raise NotImplementedError(f"no encoder for format {fmt!r}")
 
@@ -415,10 +576,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 def fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests.
 
-    Image rows rotate REAL encoded rasters ('bmp'/'ppm'/'png', 6x4
-    pixels derived from md5) so all three codecs run end-to-end; every
-    4th row stays 'jpg' (undecodable — exercises the failure marking)
-    and the rest are 'fake' digest blobs."""
+    Image rows rotate REAL encoded rasters ('bmp'/'ppm'/'png'/'gif',
+    6x4 pixels derived from md5) so all four codecs run end-to-end;
+    every 4th row stays 'jpg' (undecodable — exercises the failure
+    marking) and the rest are 'fake' digest blobs."""
     _, encode = _pixel_codec()
     rows = []
     for i in range(n):
@@ -426,10 +587,10 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
         if i % 4 == 0:
             fmt = "jpg"  # undecodable without a codec library
         elif mtype == "image":
-            fmt = ("bmp", "ppm", "png")[(i // 3) % 3]
+            fmt = ("bmp", "ppm", "png", "gif")[(i // 3) % 4]
         else:
             fmt = "fake"
-        if fmt in ("bmp", "ppm", "png"):
+        if fmt in ("bmp", "ppm", "png", "gif"):
             w, h = 6, 4
             rgb = (hashlib.md5(f"img{i}".encode()).digest() * 5)[: 3 * w * h]
             payload = encode(w, h, rgb, fmt)

@@ -28,11 +28,12 @@ from hridaya_steam_market_tracker_spark.queries import register
     oracle=None,  # binary blobs live outside the fixture tables; pytest covers values
     doc=(
         "Decode + featurize binary media blobs via Arrow-batched mapInPandas. "
-        "REAL pure-stdlib codecs for BMP (24-bit BI_RGB), PPM (P6), and PNG "
-        "(zlib + filters 0-4, gray/RGB/palette/alpha) decode actual pixels "
-        "into per-channel mean/std features; DCT formats (jpg) are marked "
-        "decode_ok=false until a codec library is plugged in. Returns "
-        "per-blob feature vectors + content hashes."
+        "REAL pure-stdlib codecs for BMP (24-bit BI_RGB), PPM (P6), PNG "
+        "(zlib + filters 0-4, gray/RGB/palette/alpha), and GIF (LZW, "
+        "palettes, interlace) decode actual pixels into per-channel mean/std "
+        "features; DCT formats (jpg) are marked decode_ok=false until a "
+        "codec library is plugged in. Returns per-blob feature vectors + "
+        "content hashes."
     ),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,9 +61,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize",
     oracle=None,
     doc=(
-        "Image resize: image-only pushdown before the Arrow stage; BMP/PPM/PNG "
-        "rows are really resized (nearest-neighbor on decoded pixels, "
-        "re-encoded in-format), typed output with the new dimensions."
+        "Image resize: image-only pushdown before the Arrow stage; "
+        "BMP/PPM/PNG/GIF rows are really resized (nearest-neighbor on "
+        "decoded pixels, re-encoded in-format), typed output with the new "
+        "dimensions."
     ),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -264,13 +264,13 @@ def test_multimodal_resize(spark):
     assert len(bad) == 2  # media_id 0 and 12 are 'jpg' (no codec)
     # Real re-encoded rasters: PPM = header ("P6\n16 8\n255\n", 12 bytes)
     # + 3*w*h raster; BMP = 54-byte header + 4-byte-padded BGR rows
-    # (16*3 = 48 is already aligned); PNG length varies with zlib, so
-    # assert by decoding it back instead.
+    # (16*3 = 48 is already aligned); PNG/GIF lengths vary with their
+    # compression, so assert by decoding those back instead.
     decode, _ = _pixel_codec()
     expected_len = {"ppm": 12 + 3 * 16 * 8, "bmp": 54 + 48 * 8}
     for r in ok:
-        if r["format"] == "png":
-            w2, h2, _rgb = decode(bytes(r["payload"]), "png")
+        if r["format"] in ("png", "gif"):
+            w2, h2, _rgb = decode(bytes(r["payload"]), r["format"])
             assert (w2, h2) == (16, 8)
         else:
             assert len(r["payload"]) == expected_len[r["format"]]
@@ -851,3 +851,87 @@ def test_clean_text_idempotent_and_exact(spark):
     got = {r["doc_id"]: r["c"] for r in once.collect()}
     assert got == {1: "ab c d", 2: "already clean", 3: ""}
     assert {r["doc_id"]: r["c"] for r in twice.collect()} == got
+
+
+def test_gif_codec_roundtrip_and_lzw_edge_cases(spark):
+    """GIF decoder against (a) the encoder's clear-refreshed stream,
+    (b) a hand-packed stream exercising the KwKwK code (code ==
+    len(table)) and the 9->10-bit dictionary-growth switch, and (c) a
+    physically interlaced file that must come back in logical order."""
+    import hashlib
+    import struct
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _pixel_codec,
+    )
+
+    decode, encode = _pixel_codec()
+
+    # (a) roundtrip across the clear-refresh boundary (300 px > 250)
+    rgb = (hashlib.md5(b"gif-rt").digest() * 60)[: 3 * 20 * 15]
+    assert decode(encode(20, 15, rgb, "gif"), "gif") == (20, 15, rgb)
+
+    def pack(codes_with_width):
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in codes_with_width:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def wrap(w, h, stream, palette, interlace=False):
+        blocks = bytearray()
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            blocks += bytes((len(chunk),)) + chunk
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", w, h)
+            + bytes((0x87, 0, 0))  # GCT, 256 entries
+            + palette.ljust(3 * 256, b"\x00")
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes((0x40 if interlace else 0,))
+            + b"\x08" + bytes(blocks) + b"\x00\x3b"
+        )
+
+    palette = bytes(range(3)) + bytes(range(10, 13))  # colors 0 and 1
+
+    # (b1) KwKwK: [clear, 0, 258] decodes to indices [0, 0, 0]
+    stream = pack([(256, 9), (0, 9), (258, 9), (257, 9)])
+    w, h, out = decode(wrap(3, 1, stream, palette), "gif")
+    assert (w, h) == (3, 1)
+    assert out == palette[0:3] * 3
+
+    # (b2) growth: 300 literals alternating 0/1 with no clear — after
+    # the 255th literal the table hits 512 entries and the decoder must
+    # switch to 10-bit codes for the remainder.
+    idxs = [i % 2 for i in range(300)]
+    codes = [(256, 9)] + [
+        (v, 9 if k < 255 else 10) for k, v in enumerate(idxs)
+    ] + [(257, 10)]
+    w, h, out = decode(wrap(300, 1, pack(codes), palette), "gif")
+    assert (w, h) == (300, 1)
+    assert out == b"".join(palette[3 * v : 3 * v + 3] for v in idxs)
+
+    # (c) interlace: physical rows in 4-pass order [0,4,2,1,3] for h=5
+    # must decode back to logical 0..4.
+    logical = [bytes([r]) * 0 or bytes([r]) for r in range(5)]  # 1px rows idx r
+    phys_order = [0, 4, 2, 1, 3]
+    phys = [phys_order[i] for i in range(5)]
+    codes = [(256, 9)] + [(phys[i], 9) for i in range(5)] + [(257, 9)]
+    pal5 = bytes(b for r in range(5) for b in (r, r, r))
+    w, h, out = decode(wrap(1, 5, pack(codes), pal5, interlace=True), "gif")
+    assert (w, h) == (1, 5)
+    assert out == bytes(b for r in range(5) for b in (r, r, r))
+
+    # malformed: bad block tag fails decode cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode(b"GIF89a" + struct.pack("<HH", 1, 1) + bytes((0, 0, 0)) + b"\x99", "gif")
