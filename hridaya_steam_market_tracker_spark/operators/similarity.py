@@ -272,11 +272,16 @@ def lsh_multiprobe_topk(
             if with_flips:
                 absd = F.transform(dots, lambda d: F.abs(d))
                 flip = F.array_position(absd, F.array_min(absd)) - 1
+                # .otherwise(0): a NaN embedding component makes every dot
+                # NaN, array_min returns NULL, and flip matches no arm —
+                # without a default the whole mask/bucket goes NULL and the
+                # probe row silently drops. Re-probing the own bucket (xor 0)
+                # degrades exactly like plain lsh_topk does on the same input.
                 flip_mask = functools.reduce(
                     lambda a, b: a.when(*b),
                     [(flip == p, F.lit(1 << p).cast("long")) for p in range(1, planes_per_table)],
                     F.when(flip == 0, F.lit(1).cast("long")),
-                )
+                ).otherwise(F.lit(0).cast("long"))
                 out.append(
                     F.struct(
                         F.lit(t).alias("tbl"),

@@ -286,8 +286,8 @@ def bm25_search_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d WHERE n_tokens > 0
     )
     SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
-           cum_before // 512 AS chunk,
-           cum_before % 512 AS chunk_offset,
+           CAST(cum_before // 512 AS BIGINT) AS chunk,
+           CAST(cum_before % 512 AS BIGINT) AS chunk_offset,
            ((cum_before + n_tokens - 1) // 512) > (cum_before // 512)
              AS spans_boundary
     FROM s
@@ -389,7 +389,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            coalesce(string_agg(chunk, ' ' ORDER BY idx)
                     FILTER (WHERE rn = 1), '') AS dedup_text
     FROM kept GROUP BY doc_id

@@ -355,7 +355,13 @@ def count_min_estimates(df: DataFrame, key_col: str, keys: DataFrame) -> DataFra
     build the d x w counter table (one explode + one (row, pos) shuffle
     into d*w groups — constant-size, mergeable by addition), then each
     probe key takes the MIN over its d counters. Always an over-
-    estimate; error <= e*N/w with prob 1-e^-d (public bound)."""
+    estimate; error <= e*N/w with prob 1-e^-d (public bound).
+
+    The counter table is sparse (only nonzero cells exist), so probe
+    positions landing on empty counters are left-joined and coalesced
+    to 0 before the min — a key absent from ``df`` correctly estimates
+    0 instead of inheriting the min of its nonzero collisions (or
+    vanishing when all d cells are empty)."""
     pos = lambda r, col: F.conv(
         F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), col.cast("string"))), 1, 15),
         16,
@@ -376,9 +382,9 @@ def count_min_estimates(df: DataFrame, key_col: str, keys: DataFrame) -> DataFra
         F.col(key_col), F.explode(rows_arr).alias("rp")
     ).select(key_col, "rp.r", "rp.p")
     return (
-        probes.join(F.broadcast(counters), ["r", "p"])
+        probes.join(F.broadcast(counters), ["r", "p"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("est_count"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_count"))
     )
 
 

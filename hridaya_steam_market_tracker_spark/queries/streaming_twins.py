@@ -170,7 +170,7 @@ def j4_backoff_transition_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j7_debounce_coalesce",
     oracle=f"""
     WITH marked AS (
-      SELECT event_type AS stream, epoch_us(ts) AS e,
+      SELECT event_type AS stream, epoch_us(ts) AS e, event_id,
              CASE WHEN lead(epoch_us(ts)) OVER (
                     PARTITION BY event_type ORDER BY epoch_us(ts), event_id
                   ) IS NULL
@@ -183,7 +183,7 @@ def j4_backoff_transition_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped AS (
       SELECT stream, e, fire,
              coalesce(sum(fire) OVER (
-               PARTITION BY stream ORDER BY e
+               PARTITION BY stream ORDER BY e, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ), 0) AS grp
       FROM marked
@@ -209,11 +209,15 @@ def j7_debounce_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = events.select(
         F.col("event_type").alias("stream"),
         e.alias("e"),
+        "event_id",
         F.when(nxt.isNull() | (nxt - e >= _QUIET_GAP_US), 1).otherwise(0).alias("fire"),
     )
+    # Tie-break the running fire-count by event_id too (same discipline as
+    # the fire-marker window above and j1/j4): two same-microsecond events
+    # in one stream must land in the same burst group on both engines.
     wg = (
         Window.partitionBy("stream")
-        .orderBy("e")
+        .orderBy("e", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     grouped = marked.withColumn(

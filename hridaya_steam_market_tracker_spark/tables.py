@@ -37,6 +37,14 @@ def pin_session(spark: SparkSession) -> SparkSession:
     """Runtime-settable confs the engine depends on, idempotent."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # At 100 TB the banded/tiled self-joins (LSH buckets, SimHash chunks,
+    # winnowing grams) inherit whatever key skew the corpus has — a viral
+    # boilerplate chunk or hot shingle lands one huge bucket on one task.
+    # AQE skew-join splits that partition at runtime into
+    # advisoryPartitionSizeInBytes slices without changing results; it is
+    # free insurance local[32] never exercises but a 1000-executor cluster
+    # will. (The DF-cutoff guards bound fan-out; this bounds per-task size.)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     # The driver testdata stores some timestamps as TIMESTAMP(NANOS), which
     # Spark's parquet reader rejects. Read them as long and convert below
     # (DuckDB truncates ns -> us the same way).

@@ -337,6 +337,18 @@ def test_partitioned_layout_prunes_on_date(spark, tmp_path):
     assert scanned == {f"2024-01-{d:02d}" for d in range(20, 31)}
 
 
+def test_session_pins_aqe_skew_join(spark):
+    """pin_session must leave AQE skew-join splitting on: the banded /
+    tiled self-joins (LSH buckets, SimHash chunks, winnowing grams)
+    inherit corpus key skew at 100 TB, and runtime partition splitting
+    is the engine-level backstop beneath the DF-cutoff guards."""
+    from hridaya_steam_market_tracker_spark.tables import pin_session
+
+    pin_session(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_sample_first_names_all_registered(registry):
     """_SAMPLE_FIRST drives the driver's correctness-sample order; a
     stale name silently wastes a sample slot. Every entry must resolve,
