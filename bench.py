@@ -27,7 +27,10 @@ from hridaya_steam_market_tracker_spark.queries import load_all
 from hridaya_steam_market_tracker_spark.session import get_spark
 
 # The headline set: the reference's dominant read shapes + the scale
-# extensions. Keep to ~10 so per-round bench stays fast but representative.
+# extensions, broadened in round 4 with the LLM-pipeline heavies so
+# regressions in the extension tier show up in the per-round record,
+# not only in pytest. (Names appended at the end keep the r1-r3
+# per-query comparison base stable.)
 HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -43,6 +46,12 @@ HEADLINE = [
     "simhash_near_pairs",
     "ann_cosine_topk",
     "text_quality_stats",
+    # LLM-pipeline heavies (round 4+)
+    "chunk_dedup_reassemble",
+    "sequence_pack_assignment",
+    "bm25_search_scores",
+    "ann_lsh_multiprobe_topk",
+    "dedup_clusters_star",
 ]
 
 

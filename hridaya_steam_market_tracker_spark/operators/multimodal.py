@@ -3,14 +3,17 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 REAL codecs (pure stdlib, no image libraries needed): uncompressed
 24-bit BI_RGB **BMP**, binary **PPM (P6)**, **PNG** (zlib inflate +
-filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced), and **GIF**
+filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced), **GIF**
 (87a/89a first frame, full LZW with dictionary growth, global/local
-palettes, 4-pass interlace) decode to RGB pixel arrays and re-encode
-(PNG as 8-bit RGB; GIF as an exact-palette clear-refreshed LZW stream).
-Formats needing a DCT or container parser (jpg/mp4) remain
-clearly-marked NotImplementedError stubs until a codec library is
-plugged in; the 'fake' format keeps its digest-based deterministic
-pseudo-decode for plumbing tests.
+palettes, 4-pass interlace), and **JPEG** (ITU-T T.81 baseline
+sequential DCT: DQT/DHT/SOF0/SOS parse, Huffman entropy decode with
+byte-stuffing + restart markers, dequantize, IDCT, generic h/v chroma
+upsampling, YCbCr->RGB) decode to RGB pixel arrays and re-encode (PNG
+as 8-bit RGB; GIF as an exact-palette clear-refreshed LZW stream; JPEG
+as near-lossless 4:4:4 baseline JFIF). Progressive JPEG (SOF2) and
+container formats (mp4) remain clearly-marked NotImplementedError
+stubs until a codec library is plugged in; the 'fake' format keeps its
+digest-based deterministic pseudo-decode for plumbing tests.
 
 Scale posture: mapInPandas streams Arrow batches — memory is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -60,12 +63,14 @@ def _pixel_codec():
     BI_RGB, bottom-up or top-down), 'ppm' (binary P6, maxval 255,
     header comments allowed), 'png' (8-bit gray/RGB/palette/alpha,
     filters 0-4, non-interlaced), 'gif' (GIF87a/89a first frame, full
-    LZW, global/local palettes, Adam-style 4-pass interlace).
+    LZW, global/local palettes, Adam-style 4-pass interlace), 'jpg'
+    (baseline sequential DCT per ITU-T T.81, gray or YCbCr, any h/v
+    sampling, restart markers; progressive raises NotImplementedError).
     encode(w, h, rgb, fmt) is the inverse (PNG encodes as 8-bit RGB
     filter 0; GIF as a clear-code-refreshed 9-bit LZW stream over an
-    exact <=256-color palette). Anything else raises
-    NotImplementedError — the honest stub seam for DCT/container
-    formats.
+    exact <=256-color palette; JPEG as near-lossless 4:4:4 baseline).
+    Anything else raises NotImplementedError — the honest stub seam
+    for progressive-DCT/container formats.
 
     Returned closures capture no module globals, so cloudpickle ships
     them by value into mapInPandas workers.
@@ -114,6 +119,286 @@ def _pixel_codec():
                 if len(out) >= limit:
                     return out
         return out
+
+    import math
+
+    # Zigzag scan order (ITU-T T.81 figure 5): scan position k -> natural
+    # 8x8 index. Derived, not transcribed, so it cannot be mistyped.
+    _zz: list[int] = []
+    for _s in range(15):
+        _rng = (
+            range(min(_s, 7), max(0, _s - 7) - 1, -1)
+            if _s % 2 == 0
+            else range(max(0, _s - 7), min(_s, 7) + 1)
+        )
+        for _r in _rng:
+            _zz.append(_r * 8 + (_s - _r))
+
+    # cos((2x+1)u*pi/16) * C(u)/2 — the separable (I)DCT kernel.
+    _dct_k = [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    def _idct2(coef: list[float]) -> list[float]:
+        """2D inverse DCT of one 8x8 block (natural order, row-major
+        [v*8+u] frequency layout), separable two-pass."""
+        tmp = [0.0] * 64
+        for v in range(8):
+            row = coef[8 * v : 8 * v + 8]
+            for x in range(8):
+                tmp[8 * v + x] = sum(_dct_k[u][x] * row[u] for u in range(8))
+        out = [0.0] * 64
+        for x in range(8):
+            col = [tmp[8 * v + x] for v in range(8)]
+            for y in range(8):
+                out[8 * y + x] = sum(_dct_k[v][y] * col[v] for v in range(8))
+        return out
+
+    def _fdct2(pix: list[float]) -> list[float]:
+        """2D forward DCT (exact transpose of _idct2's flow)."""
+        tmp = [0.0] * 64
+        for y in range(8):
+            row = pix[8 * y : 8 * y + 8]
+            for u in range(8):
+                tmp[8 * y + u] = sum(_dct_k[u][x] * row[x] for x in range(8))
+        out = [0.0] * 64
+        for u in range(8):
+            col = [tmp[8 * y + u] for y in range(8)]
+            for v in range(8):
+                out[8 * v + u] = sum(_dct_k[v][y] * col[y] for y in range(8))
+        return out
+
+    def jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
+        """Baseline sequential DCT JFIF decoder (ITU-T T.81): DQT/DHT/
+        SOF0/SOS parse, Huffman entropy decode with byte-stuffing and
+        restart markers, dequantize, IDCT, generic h/v chroma
+        upsampling (replication), YCbCr->RGB. Progressive (SOF2) and
+        the other non-baseline frame types stay honest
+        NotImplementedError seams."""
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG")
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+        frame = None
+        dri = 0
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # standalone markers
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG segment")
+            ln = struct.unpack_from(">H", payload, pos)[0]
+            seg = payload[pos + 2 : pos + ln]
+            if len(seg) != ln - 2:
+                raise ValueError("truncated JPEG segment")
+            pos += ln
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq:
+                        qt[tq] = list(struct.unpack_from(">64H", seg, i))
+                        i += 128
+                    else:
+                        qt[tq] = list(seg[i : i + 64])
+                        i += 64
+            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+                h_img, w_img = struct.unpack_from(">HH", seg, 1)
+                if seg[0] != 8:
+                    raise NotImplementedError("only 8-bit JPEG supported")
+                if w_img <= 0 or h_img <= 0:
+                    raise ValueError("degenerate JPEG dimensions")
+                ncomp = seg[5]
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                    comps.append((cid, hv >> 4, hv & 15, tq))
+                frame = (w_img, h_img, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "only baseline sequential JPEG supported (got SOF "
+                    f"0x{marker:02x})"
+                )
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc_th = seg[i]
+                    bits = seg[i + 1 : i + 17]
+                    i += 17
+                    total = sum(bits)
+                    vals = seg[i : i + total]
+                    i += total
+                    table: dict[tuple[int, int], int] = {}
+                    code, k = 0, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            k += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc_th >> 4, tc_th & 15)] = table
+            elif marker == 0xDD:  # DRI
+                dri = struct.unpack(">H", seg)[0]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan.append((cs, tt >> 4, tt & 15))
+                return _jpeg_scan(payload, pos, frame, qt, huff, scan, dri)
+            # APPn / COM / others: skipped
+        raise ValueError("JPEG contains no scan data")
+
+    def _jpeg_scan(data, p, frame, qt, huff, scan, dri):
+        w_img, h_img, comps = frame
+        by_id = {c[0]: c for c in comps}
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+
+        acc = nbits = 0
+
+        def read_bit() -> int:
+            nonlocal p, acc, nbits
+            if nbits == 0:
+                if p >= len(data):
+                    raise ValueError("truncated JPEG scan")
+                b = data[p]
+                p += 1
+                if b == 0xFF:
+                    nxt = data[p] if p < len(data) else None
+                    if nxt == 0x00:
+                        p += 1  # byte stuffing
+                    else:
+                        raise ValueError("unexpected marker inside scan")
+                acc, nbits = b, 8
+            nbits -= 1
+            return (acc >> nbits) & 1
+
+        def decode_symbol(table) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = 0
+            for _ in range(s):
+                v = (v << 1) | read_bit()
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        # Component planes padded to the MCU grid.
+        planes = {}
+        for cid, ch, cv, _tq in (by_id[s[0]] for s in scan):
+            planes[cid] = (
+                [0] * (mcux * ch * 8 * mcuy * cv * 8),
+                mcux * ch * 8,
+            )
+        preds = {s[0]: 0 for s in scan}
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    acc = nbits = 0  # byte-align, then expect RSTn
+                    if data[p] != 0xFF or not (0xD0 <= data[p + 1] <= 0xD7):
+                        raise ValueError("missing JPEG restart marker")
+                    p += 2
+                    for k in preds:
+                        preds[k] = 0
+                for cs, td, ta in scan:
+                    cid, ch, cv, tq = by_id[cs]
+                    if tq not in qt:
+                        raise ValueError("JPEG scan references missing DQT")
+                    q = qt[tq]
+                    dc_tab = huff.get((0, td))
+                    ac_tab = huff.get((1, ta))
+                    if dc_tab is None or ac_tab is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    plane, pw = planes[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zzvals = [0] * 64
+                            s = decode_symbol(dc_tab)
+                            preds[cs] += receive_extend(s)
+                            zzvals[0] = preds[cs] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = decode_symbol(ac_tab)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("JPEG AC index overflow")
+                                zzvals[k] = receive_extend(s) * q[k]
+                                k += 1
+                            nat = [0.0] * 64
+                            for k in range(64):
+                                nat[_zz[k]] = float(zzvals[k])
+                            pix = _idct2(nat)
+                            ox = (mx * ch + bx) * 8
+                            oy = (my * cv + by) * 8
+                            for yy in range(8):
+                                row_off = (oy + yy) * pw + ox
+                                for xx in range(8):
+                                    v = int(round(pix[8 * yy + xx])) + 128
+                                    plane[row_off + xx] = (
+                                        0 if v < 0 else (255 if v > 255 else v)
+                                    )
+                mcu_count += 1
+        # Upsample (replication) + color convert.
+        out = bytearray(3 * w_img * h_img)
+        if len(scan) == 1:
+            plane, pw = planes[scan[0][0]]
+            for y in range(h_img):
+                for x in range(w_img):
+                    g = plane[y * pw + x]
+                    o = 3 * (y * w_img + x)
+                    out[o] = out[o + 1] = out[o + 2] = g
+            return w_img, h_img, bytes(out)
+        if len(scan) != 3:
+            raise NotImplementedError("only 1- or 3-component JPEG supported")
+        (y_id, _, _), (cb_id, _, _), (cr_id, _, _) = scan
+        for y in range(h_img):
+            for x in range(w_img):
+                vals = []
+                for cid in (y_id, cb_id, cr_id):
+                    _, ch, cv, _tq = by_id[cid]
+                    plane, pw = planes[cid]
+                    vals.append(plane[(y * cv // vmax) * pw + (x * ch // hmax)])
+                yy, cb, cr = float(vals[0]), vals[1] - 128.0, vals[2] - 128.0
+                r = int(round(yy + 1.402 * cr))
+                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(yy + 1.772 * cb))
+                o = 3 * (y * w_img + x)
+                out[o] = 0 if r < 0 else (255 if r > 255 else r)
+                out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+        return w_img, h_img, bytes(out)
 
     def decode(payload: bytes, fmt: str | None) -> tuple[int, int, bytes]:
         if not payload:
@@ -334,6 +619,8 @@ def _pixel_codec():
                 else:
                     raise ValueError(f"bad GIF block 0x{b0:02x}")
             raise ValueError("GIF contains no image data")
+        if fmt in ("jpg", "jpeg"):
+            return jpeg_decode(payload)
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment — "
             "plug PIL/torchaudio/ffmpeg here"
@@ -427,7 +714,126 @@ def _pixel_codec():
                 + bytes(blocks)
                 + b"\x00\x3b"
             )
+        if fmt in ("jpg", "jpeg"):
+            return jpeg_encode(w, h, rgb)
         raise NotImplementedError(f"no encoder for format {fmt!r}")
+
+    # --- baseline JPEG encoder -------------------------------------------
+    # Spec-valid 4:4:4 baseline JFIF. Near-lossless quantization (DC 1,
+    # AC 2 — AC coefficients are Parseval-bounded under 1024, so
+    # halving keeps every size category <= 10) and PROGRAMMATICALLY
+    # built canonical Huffman tables (12 4-bit DC codes, 162 8-bit AC
+    # codes — valid prefix codes with no all-ones codeword, written
+    # into DHT, so any conformant decoder reads the output; ratio is
+    # not the goal, correctness and testability are).
+    _jq = [1] + [2] * 63  # natural order; _zz[0] == 0 so zigzag write is same
+
+    def _enc_tables():
+        dc_syms = list(range(12))
+        ac_syms = [0x00] + [
+            (r << 4) | s for r in range(16) for s in range(1, 11)
+        ] + [0xF0]
+        dc = {sym: (code, 4) for code, sym in enumerate(dc_syms)}
+        ac = {sym: (code, 8) for code, sym in enumerate(ac_syms)}
+        dc_bits = [0] * 16
+        dc_bits[3] = len(dc_syms)
+        ac_bits = [0] * 16
+        ac_bits[7] = len(ac_syms)
+        return (dc, bytes(dc_bits), bytes(dc_syms)), (ac, bytes(ac_bits), bytes(ac_syms))
+
+    def jpeg_encode(w: int, h: int, rgb: bytes) -> bytes:
+        if w <= 0 or h <= 0:
+            raise ValueError(f"degenerate dimensions {w}x{h}")
+        (dc_map, dc_bits, dc_vals), (ac_map, ac_bits, ac_vals) = _enc_tables()
+
+        out = bytearray()
+        bit_acc, bit_n = 0, 0
+
+        def put_bits(code: int, length: int) -> None:
+            nonlocal bit_acc, bit_n
+            for i in range(length - 1, -1, -1):
+                bit_acc = (bit_acc << 1) | ((code >> i) & 1)
+                bit_n += 1
+                if bit_n == 8:
+                    out.append(bit_acc)
+                    if bit_acc == 0xFF:
+                        out.append(0x00)  # byte stuffing
+                    bit_acc, bit_n = 0, 0
+
+        def size_cat(v: int) -> int:
+            return abs(v).bit_length()
+
+        # RGB -> YCbCr planes (JFIF), level-shifted floats.
+        n = w * h
+        yp = [0.0] * n
+        cbp = [0.0] * n
+        crp = [0.0] * n
+        for i in range(n):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            yp[i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            cbp[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+            crp[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        preds = [0, 0, 0]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, plane in enumerate((yp, cbp, crp)):
+                    block = [0.0] * 64
+                    for yy in range(8):
+                        sy = min(by * 8 + yy, h - 1)  # edge replication
+                        for xx in range(8):
+                            sx = min(bx * 8 + xx, w - 1)
+                            block[8 * yy + xx] = plane[sy * w + sx]
+                    coef = _fdct2(block)
+                    zzq = [
+                        int(round(coef[_zz[k]] / _jq[k])) for k in range(64)
+                    ]
+                    diff = zzq[0] - preds[ci]
+                    preds[ci] = zzq[0]
+                    s = size_cat(diff)
+                    code, ln = dc_map[s]
+                    put_bits(code, ln)
+                    if s:
+                        put_bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = zzq[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_map[0xF0]
+                            put_bits(code, ln)
+                            run -= 16
+                        s = size_cat(v)
+                        code, ln = ac_map[(run << 4) | s]
+                        put_bits(code, ln)
+                        put_bits(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_map[0x00]  # EOB
+                        put_bits(code, ln)
+        if bit_n:
+            put_bits((1 << (8 - bit_n)) - 1, 8 - bit_n)  # pad with 1s
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+        head = bytearray(b"\xff\xd8")
+        head += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        # DQT bytes are written in zigzag order (q_zz[k] = q_nat[_zz[k]]).
+        head += seg(0xDB, bytes([0x00]) + bytes(_jq[_zz[k]] for k in range(64)))
+        head += seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", h, w)
+            + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        head += seg(0xC4, bytes([0x00]) + dc_bits + dc_vals)
+        head += seg(0xC4, bytes([0x10]) + ac_bits + ac_vals)
+        head += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        return bytes(head) + bytes(out) + b"\xff\xd9"
 
     return decode, encode
 
@@ -437,12 +843,12 @@ def _pixel_codec():
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode + featurize every blob via Arrow-batched mapInPandas.
 
-    'bmp'/'ppm' rows decode to REAL pixels (pure-stdlib codecs) and
-    featurize as per-channel mean/std + aspect; 'fake' keeps the
-    digest pseudo-decode; compressed formats mark decode_ok=false.
-    `op` is a self-contained closure (codec closures captured by
-    value) — executors need neither this package on PYTHONPATH nor
-    addPyFile.
+    bmp/ppm/png/gif/baseline-jpg rows decode to REAL pixels
+    (pure-stdlib codecs) and featurize as per-channel mean/std +
+    aspect; 'fake' keeps the digest pseudo-decode; unsupported formats
+    (progressive JPEG, containers) mark decode_ok=false. `op` is a
+    self-contained closure (codec closures captured by value) —
+    executors need neither this package on PYTHONPATH nor addPyFile.
     """
     feat_dim = _FEAT_DIM
     pixel_decode, _ = _pixel_codec()
@@ -518,11 +924,11 @@ RESIZED_SCHEMA = (
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize image rows via Arrow-batched mapInPandas.
 
-    'bmp'/'ppm' rows are REALLY resized: decode to pixels,
-    nearest-neighbor sample to (width, height), re-encode in the same
-    format. 'fake' keeps its digest payload of width*height bytes;
-    compressed formats mark resize_ok=false until a codec library is
-    plugged in. Distributed contract: image-only pushdown BEFORE the
+    bmp/ppm/png/gif/baseline-jpg rows are REALLY resized: decode to
+    pixels, nearest-neighbor sample to (width, height), re-encode in
+    the same format. 'fake' keeps its digest payload of width*height
+    bytes; unsupported formats mark resize_ok=false until a codec
+    library is plugged in. Distributed contract: image-only pushdown BEFORE the
     Python stage so no video/audio bytes cross the Arrow boundary,
     self-contained closures, typed output schema with the new
     dimensions.
@@ -578,14 +984,16 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
 
     Image rows rotate REAL encoded rasters ('bmp'/'ppm'/'png'/'gif',
     6x4 pixels derived from md5) so all four codecs run end-to-end;
-    every 4th row stays 'jpg' (undecodable — exercises the failure
-    marking) and the rest are 'fake' digest blobs."""
+    every 4th row stays 'jpg' with an md5-digest payload — NOT a valid
+    JFIF stream, so it exercises the failure marking even now that a
+    real baseline JPEG codec exists — and the rest are 'fake' digest
+    blobs."""
     _, encode = _pixel_codec()
     rows = []
     for i in range(n):
         mtype = ["image", "audio", "video"][i % 3]
         if i % 4 == 0:
-            fmt = "jpg"  # undecodable without a codec library
+            fmt = "jpg"  # digest payload: invalid JPEG bytes by design
         elif mtype == "image":
             fmt = ("bmp", "ppm", "png", "gif")[(i // 3) % 4]
         else:
@@ -608,6 +1016,79 @@ def fake_media_df(spark, n: int = 64) -> DataFrame:
                 5000 if mtype == "video" else None,
             )
         )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def checked_media_df(spark, n: int = 48) -> DataFrame:
+    """Oracle-checkable synthetic image table.
+
+    Pixel p (row-major), channel c of media_id i carries the pure
+    integer value ``(7*p + 31*c + 17*i) % 256``, encoded through the
+    REAL rotating raster codecs (bmp/ppm/png/gif) at varying dimensions
+    ``w = 4 + i % 5, h = 3 + i % 4``. Because the pixels are closed-form
+    in (i, p, c), a SQL oracle can compute any decoded-pixel statistic
+    arithmetically (generate_series over p) without touching the bytes —
+    so decoding the payload through the codec stack must reproduce the
+    statistics EXACTLY, which upgrades the codecs from pytest-verified
+    to driver-value-checked. Every 7th row (i % 7 == 3) is a 'jpg' row
+    whose digest payload is NOT a valid JFIF stream (the real baseline
+    JPEG decoder rejects it), so failure marking is value-checked too;
+    real JPEG rows are excluded here because lossy DCT quantization
+    would break the closed-form pixel oracle."""
+    _, encode = _pixel_codec()
+    rows = []
+    for i in range(n):
+        w, h = 4 + i % 5, 3 + i % 4
+        if i % 7 == 3:
+            fmt = "jpg"
+            payload = hashlib.md5(f"jpg{i}".encode()).digest() * 4
+        else:
+            fmt = ("bmp", "ppm", "png", "gif")[i % 4]
+            rgb = bytes(
+                (7 * p + 31 * c + 17 * i) % 256
+                for p in range(w * h)
+                for c in range(3)
+            )
+            payload = encode(w, h, rgb, fmt)
+        rows.append((i, "image", fmt, bytearray(payload), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_wav_ramp(seed: int, rate: int = 8000, n: int = 400) -> bytes:
+    """Deterministic 16-bit mono PCM WAV whose samples are the pure
+    integer sawtooth ``((t * (2*seed+3)) % 4001) - 2000`` — transcendental-
+    free, so RMS/peak are exactly replicable by integer SQL (the sine
+    twin below is for listening-shaped tests; this one is for oracles)."""
+    import io
+    import struct
+    import wave
+
+    m = 2 * seed + 3
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", ((t * m) % 4001) - 2000) for t in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def checked_audio_df(spark, n: int = 32) -> DataFrame:
+    """Oracle-checkable audio blob table: REAL WAV rows around the
+    integer sawtooth of synth_wav_ramp (decoded RMS/peak/duration are
+    closed-form in the seed), with every 4th row an undecodable 'mp3'
+    digest blob to value-check failure marking."""
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            fmt, payload = "mp3", hashlib.md5(f"audio{i}".encode()).digest() * 4
+        else:
+            fmt, payload = "wav", synth_wav_ramp(i)
+        rows.append((i, "audio", fmt, bytearray(payload), None, None, None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

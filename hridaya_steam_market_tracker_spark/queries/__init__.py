@@ -50,68 +50,41 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's correctness gate samples the registry front-to-back (~50
 # queries per round). Names listed here are moved to the head of the registry
-# in this exact order, regardless of module import order, so queries that have
-# never had a driver CORRECTNESS row get sampled first. Rounds 1+2 verified 99
-# of 126 queries; this list is the 27 round-2 additions that registered behind
-# the sample window, followed by round-3 additions. Names not (yet) registered
-# are skipped harmlessly.
+# in this exact order, regardless of module import order, so queries that need
+# a (fresh) driver CORRECTNESS row get sampled first. Pruned against
+# CORRECTNESS_r03: rounds 1-3 greened 130/143 registered queries; the list
+# below is exactly the rows that still need one — the two round-3 hash-FAILs
+# (oracle HUGEINT typing, fixed in round 4), the round-4 additions, the
+# implementation-changed queries, and the 11 rows-only-by-design entries so
+# their rows stay current. Names not (yet) registered are skipped harmlessly.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    # tpch_rest (round 2, never driver-sampled)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_linestatus",
-    "tpch_q16_supplier_relationship",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_suppliers_who_kept_waiting",
-    # curation_ext
-    "doc_repetition_stats",
-    "decontaminate_train_test",
-    "winnow_fingerprints",
-    "winnow_near_pairs",
-    "hash_split_assignment",
-    "bm25_search_scores",
+    # round-3 hash-FAILs, oracle BIGINT casts fixed in round 4 — re-green
     "sequence_pack_assignment",
-    "tfidf_top_terms",
     "chunk_dedup_reassemble",
-    # events_ext
-    "funnel_view_click_purchase",
-    "gapfill_hourly_locf",
-    "mad_outliers_per_stream",
-    "stream_corr_matrix",
-    # indicators
-    "bollinger_bands_20",
-    "rsi_14",
-    "ewma_price_per_key",
-    "max_drawdown_per_key",
-    # stragglers registered mid-module
-    "emb_near_dup_clusters",
-    "dedup_clusters_star",
-    "multimodal_audio_features",
-    # round-3 upgrades/additions (no driver row under the new contract yet):
-    # ann_lsh_topk's r2 row was rows-only; it now has a full value oracle
-    # (bit-exact LCG hyperplane replication) and needs a fresh driver row.
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe_topk",
-    "ann_ivf_sign_topk",
-    "ann_pq_sign_topk",
-    "j1_rate_limit_admission",
-    "j4_backoff_transition_table",
+    # round-4 additions: value-checkable multimodal + ANN recall rows
+    "multimodal_feature_extract_checked",
+    "multimodal_resize_checked",
+    "multimodal_frame_sample_checked",
+    "multimodal_audio_features_checked",
+    "ann_ivf_recall_vs_brute",
+    "ann_pq_recall_vs_brute",
+    # implementation touched in round 4 (ADVICE fixes) — re-sample under the
+    # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",
-    "zorder_code_assignment",
-    "pii_redaction_stats",
-    "stratified_sample_hash",
-    "hll_deterministic_distinct",
     "cms_heavy_hitter_freq",
-    "hll_deterministic_merge_rollup",
-    "reservoir_sample_per_stream",
-    "hist_quantiles_per_stream",
-    "clean_text_stats",
-    "url_domain_stats",
-    "ngram_novelty_scores",
-    # implementation changed in round 3 (hot-shingle guard) — the r1 row
-    # predates the guard, so sample it again under the new code path
-    "dedup_ngram_jaccard",
+    "ann_lsh_multiprobe_topk",
+    # rows-only by design (no_oracle) — keep their rows-only checks current
+    "multimodal_feature_extract",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_features",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "freq_items_users",
+    "stratified_sample_events",
+    "approx_distinct_users_per_stream",
+    "hll_sketch_rollup",
+    "approx_percentiles_per_stream",
 )
 
 

@@ -1,12 +1,18 @@
-"""Driver-visible multimodal queries (rows-only checks).
+"""Driver-visible multimodal queries.
 
-The media ops run over the deterministic synthetic blob table
-(operators/multimodal.py:fake_media_df — the fixture set ships no
-binary columns), so the driver's check is rows-only; the value-level
-guarantees (decode determinism, stub failure marking, Arrow batch
-shape, image-only pushdown) are pytest-covered in
-tests/test_scale_operators.py. Registered so the multimodal surface is
-part of the graded catalog, not only the test suite.
+Two tiers over the deterministic synthetic blob tables (the fixture
+set ships no binary columns):
+
+* the original ``multimodal_*`` queries (rows-only checks) exercise the
+  mixed corpus of operators/multimodal.py:fake_media_df — real rasters,
+  digest pseudo-blobs, and undecodable rows side by side;
+* the ``*_checked`` twins run the SAME operators over
+  checked_media_df / checked_audio_df, whose pixel/sample values are
+  pure integer arithmetic in (media_id, position). The DuckDB oracle
+  recomputes every decoded statistic closed-form via generate_series —
+  it never sees a byte of the payload — so a green hash means the real
+  BMP/PPM/PNG/GIF/WAV codec stack round-tripped the exact pixels and
+  samples, value-checked by the driver rather than only by pytest.
 """
 
 from __future__ import annotations
@@ -29,10 +35,11 @@ from hridaya_steam_market_tracker_spark.queries import register
     doc=(
         "Decode + featurize binary media blobs via Arrow-batched mapInPandas. "
         "REAL pure-stdlib codecs for BMP (24-bit BI_RGB), PPM (P6), PNG "
-        "(zlib + filters 0-4, gray/RGB/palette/alpha), and GIF (LZW, "
-        "palettes, interlace) decode actual pixels into per-channel mean/std "
-        "features; DCT formats (jpg) are marked decode_ok=false until a "
-        "codec library is plugged in. Returns per-blob feature vectors + "
+        "(zlib + filters 0-4, gray/RGB/palette/alpha), GIF (LZW, palettes, "
+        "interlace), and baseline JPEG (T.81 sequential DCT: Huffman + "
+        "dequant + IDCT + chroma upsampling) decode actual pixels into "
+        "per-channel mean/std features; invalid bytes and progressive JPEG "
+        "are marked decode_ok=false. Returns per-blob feature vectors + "
         "content hashes."
     ),
 )
@@ -62,7 +69,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,
     doc=(
         "Image resize: image-only pushdown before the Arrow stage; "
-        "BMP/PPM/PNG/GIF rows are really resized (nearest-neighbor on "
+        "BMP/PPM/PNG/GIF/baseline-JPEG rows are really resized (nearest-neighbor on "
         "decoded pixels, re-encoded in-format), typed output with the new "
         "dimensions."
     ),
@@ -91,3 +98,218 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_audio_features(fake_audio_df(spark, n=32))
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked twins: statistics of REALLY-decoded pixels/samples vs the
+# generation formula recomputed arithmetically in SQL.
+# ---------------------------------------------------------------------------
+
+_N_IMG = 48  # checked_media_df size
+_FMT_SQL = "CASE o.i % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png' ELSE 'gif' END"
+
+
+def _chan(c: int, p: str = "q.p") -> str:
+    """SQL for the generator's pixel formula at channel c."""
+    return f"((7*{p} + {31 * c} + 17*o.i) % 256)"
+
+
+def _img_stats_sql(pixel_src: str, n_px: str) -> str:
+    """mean/std per channel + aspect, replicating extract_features'
+    float-op order exactly: mean = s/n then /255; var = s2/n - mean^2
+    (un-normalized mean); std = sqrt(var)/255 with the var>0 guard.
+    All sums are exact integers, so both engines perform the identical
+    IEEE double sequence — no rounding needed for hash parity."""
+    cols = []
+    for c, ch in enumerate("rgb"):
+        s, s2 = f"CAST(sum(v{c}) AS DOUBLE)", f"CAST(sum(v{c}*v{c}) AS DOUBLE)"
+        mean = f"({s} / {n_px})"
+        var = f"({s2} / {n_px} - {mean} * {mean})"
+        cols.append(f"{mean} / 255.0 AS mean_{ch}")
+        cols.append(
+            f"(CASE WHEN {var} > 0 THEN sqrt({var}) ELSE 0.0 END) / 255.0 AS std_{ch}"
+        )
+    return (
+        f"SELECT o.i, {', '.join(cols)} FROM ok o, LATERAL ({pixel_src}) q "
+        "GROUP BY o.i, o.w, o.h"
+    )
+
+
+@register(
+    "multimodal_feature_extract_checked",
+    oracle=f"""
+    WITH m AS (
+      SELECT i, 4 + i % 5 AS w, 3 + i % 4 AS h
+      FROM generate_series(0, {_N_IMG - 1}) g(i)
+    ),
+    ok AS (SELECT * FROM m WHERE i % 7 <> 3),
+    px AS (
+      {_img_stats_sql(
+          "SELECT " + ", ".join(f"{_chan(c)} AS v{c}" for c in range(3))
+          + " FROM (SELECT unnest(range(0, o.w*o.h)) AS p) q",
+          "CAST(o.w*o.h AS DOUBLE)",
+      )}
+    )
+    SELECT o.i AS media_id, {_FMT_SQL} AS format, TRUE AS decode_ok,
+           px.mean_r, px.std_r, px.mean_g, px.std_g, px.mean_b, px.std_b,
+           CAST(o.w AS DOUBLE) / CAST(o.w + o.h AS DOUBLE) AS aspect_w,
+           CAST(o.h AS DOUBLE) / CAST(o.w + o.h AS DOUBLE) AS aspect_h
+    FROM ok o JOIN px ON px.i = o.i
+    UNION ALL
+    SELECT i, 'jpg', FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM m WHERE i % 7 = 3
+    """,
+    doc=(
+        "VALUE-CHECKED codec round trip: encode closed-form integer "
+        "pixels through the real BMP/PPM/PNG/GIF encoders, decode them "
+        "back via Arrow-batched mapInPandas, and featurize — the oracle "
+        "recomputes per-channel mean/std + aspect arithmetically from "
+        "the generation formula without touching a byte, so a hash "
+        "match certifies the decoded pixels bit-for-bit. jpg rows "
+        "value-check the honest failure marking (decode_ok=false, NULL "
+        "features)."
+    ),
+)
+def multimodal_feature_extract_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import checked_media_df
+
+    feats = extract_features(checked_media_df(spark, n=_N_IMG))
+    fmt = F.when(F.col("media_id") % 7 == 3, F.lit("jpg")).otherwise(
+        F.element_at(
+            F.array(F.lit("bmp"), F.lit("ppm"), F.lit("png"), F.lit("gif")),
+            (F.col("media_id") % 4 + 1).cast("int"),
+        )
+    )
+    names = ["mean_r", "std_r", "mean_g", "std_g", "mean_b", "std_b", "aspect_w", "aspect_h"]
+    return feats.select(
+        "media_id",
+        fmt.alias("format"),
+        "decode_ok",
+        *[F.element_at("feat", k + 1).alias(n) for k, n in enumerate(names)],
+    )
+
+
+@register(
+    "multimodal_resize_checked",
+    oracle=f"""
+    WITH m AS (
+      SELECT i, 4 + i % 5 AS w, 3 + i % 4 AS h
+      FROM generate_series(0, {_N_IMG - 1}) g(i)
+    ),
+    ok AS (SELECT * FROM m WHERE i % 7 <> 3),
+    px AS (
+      {_img_stats_sql(
+          "SELECT " + ", ".join(f"{_chan(c, 'q2.p')} AS v{c}" for c in range(3))
+          + " FROM (SELECT least((y.y*o.h) // 3, o.h - 1) * o.w"
+          + "             + least((x.x*o.w) // 5, o.w - 1) AS p"
+          + "        FROM generate_series(0, 2) y(y), generate_series(0, 4) x(x)) q2",
+          "15.0",
+      )}
+    )
+    SELECT o.i AS media_id, {_FMT_SQL} AS format, TRUE AS decode_ok,
+           px.mean_r, px.std_r, px.mean_g, px.std_g, px.mean_b, px.std_b,
+           5.0 / 8.0 AS aspect_w, 3.0 / 8.0 AS aspect_h
+    FROM ok o JOIN px ON px.i = o.i
+    UNION ALL
+    SELECT i, 'jpg', FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM m WHERE i % 7 = 3
+    """,
+    doc=(
+        "VALUE-CHECKED resize round trip: nearest-neighbor resize the "
+        "closed-form rasters to 5x3 (decode -> sample -> re-encode in "
+        "the SAME format, incl. the exact-palette GIF and PNG paths), "
+        "then DECODE THE RESIZED PAYLOAD AGAIN and featurize. The "
+        "oracle replays the nearest-neighbor index map "
+        "(min(x*sw//W, sw-1)) over the generation formula — two full "
+        "codec traversals certified per row."
+    ),
+)
+def multimodal_resize_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import checked_media_df
+
+    resized = resize_images(checked_media_df(spark, n=_N_IMG), width=5, height=3)
+    redecoded = extract_features(
+        resized.select(
+            "media_id", F.lit("image").alias("media_type"), "format", "payload"
+        )
+    )
+    fmt = F.when(F.col("media_id") % 7 == 3, F.lit("jpg")).otherwise(
+        F.element_at(
+            F.array(F.lit("bmp"), F.lit("ppm"), F.lit("png"), F.lit("gif")),
+            (F.col("media_id") % 4 + 1).cast("int"),
+        )
+    )
+    names = ["mean_r", "std_r", "mean_g", "std_g", "mean_b", "std_b", "aspect_w", "aspect_h"]
+    return redecoded.select(
+        "media_id",
+        fmt.alias("format"),
+        "decode_ok",
+        *[F.element_at("feat", k + 1).alias(n) for k, n in enumerate(names)],
+    )
+
+
+@register(
+    "multimodal_frame_sample_checked",
+    oracle="""
+    SELECT g.i AS media_id, CAST(t.ts AS BIGINT) AS frame_ts_ms
+    FROM generate_series(0, 23) g(i),
+         LATERAL (SELECT unnest(range(0, 800 + (g.i * 977) % 4200, 1000)) AS ts) t
+    """,
+    doc=(
+        "VALUE-CHECKED frame-sampling grid: per-video 1 Hz timestamp "
+        "fan-out (native sequence+explode) over durations that are "
+        "closed-form in the id, so the oracle regenerates the exact "
+        "grid. Certifies the inclusive-bound arithmetic of the sampler "
+        "— the part of frame sampling that exists above the (stubbed) "
+        "container decode."
+    ),
+)
+def multimodal_frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = spark.range(24).select(
+        F.col("id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit("fake").alias("format"),
+        F.lit(None).cast("binary").alias("payload"),
+        (800 + (F.col("id") * 977) % 4200).alias("duration_ms"),
+    )
+    return sample_frames(vids, every_ms=1000).select("media_id", "frame_ts_ms")
+
+
+@register(
+    "multimodal_audio_features_checked",
+    oracle="""
+    WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),
+    s AS (
+      SELECT o.i, sum(q.v * q.v) AS ss, max(abs(q.v)) AS mx
+      FROM (SELECT i FROM m WHERE i % 4 <> 0) o,
+           LATERAL (
+             SELECT ((t.t * (2*o.i + 3)) % 4001) - 2000 AS v
+             FROM generate_series(0, 399) t(t)
+           ) q
+      GROUP BY o.i
+    )
+    SELECT i AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+           round(1000.0 * 400 / 8000, 6) AS duration_ms,
+           round(sqrt(CAST(ss AS DOUBLE) / 400.0) / 32768.0, 6) AS rms,
+           round(CAST(mx AS DOUBLE) / 32768.0, 6) AS peak,
+           TRUE AS decode_ok
+    FROM s
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, FALSE FROM m WHERE i % 4 = 0
+    """,
+    doc=(
+        "VALUE-CHECKED WAV round trip: encode the integer sawtooth "
+        "((t*(2i+3)) % 4001) - 2000 as real 16-bit PCM WAV bytes, "
+        "decode via the stdlib wave codec in mapInPandas, and report "
+        "rate/channels/duration/RMS/peak — the oracle recomputes all "
+        "five from the sample formula (exact integer sums, identical "
+        "IEEE op order). mp3 rows value-check failure marking."
+    ),
+)
+def multimodal_audio_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_df,
+        extract_audio_features,
+    )
+
+    return extract_audio_features(checked_audio_df(spark, n=32))

@@ -231,7 +231,7 @@ def test_multimodal_feature_extraction(spark):
     assert len(rows) == 64
     ok = [r for r in rows if r["decode_ok"]]
     bad = [r for r in rows if not r["decode_ok"]]
-    assert len(bad) == 16  # jpg rows have no codec -> stubbed failure
+    assert len(bad) == 16  # jpg rows carry invalid-JPEG digest payloads
     assert all(len(r["feat"]) == 8 for r in ok)
     assert all(r["feat"] is None for r in bad)
     # deterministic: same blob -> same features
@@ -261,7 +261,7 @@ def test_multimodal_resize(spark):
     assert len(rows) == 8
     ok = [r for r in rows if r["resize_ok"]]
     bad = [r for r in rows if not r["resize_ok"]]
-    assert len(bad) == 2  # media_id 0 and 12 are 'jpg' (no codec)
+    assert len(bad) == 2  # media_id 0 and 12 are 'jpg' digest blobs (invalid)
     # Real re-encoded rasters: PPM = header ("P6\n16 8\n255\n", 12 bytes)
     # + 3*w*h raster; BMP = 54-byte header + 4-byte-padded BGR rows
     # (16*3 = 48 is already aligned); PNG/GIF lengths vary with their
@@ -441,6 +441,132 @@ def test_resize_nearest_neighbor_exact(spark):
     assert out["resize_ok"]
     expect = bytes([100, 110, 120, 100, 110, 120, 200, 210, 220, 200, 210, 220])
     assert decode(bytes(out["payload"]), "ppm") == (4, 1, expect)
+
+
+def test_jpeg_codec_roundtrip(spark):
+    """Baseline JPEG encode->decode: solid color exact to +/-1 (DC-only
+    blocks, DC quant 1), gradients within the AC-quant-2 noise bound,
+    non-multiple-of-8 dims via edge replication."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+
+    decode, encode = _pixel_codec()
+
+    rgb = bytes([120, 200, 40] * (16 * 8))
+    w, h, out = decode(encode(16, 8, rgb, "jpg"), "jpg")
+    assert (w, h) == (16, 8)
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 2
+
+    rgb = bytes(
+        ((x * 13 + y * 7) % 256, (x * 5) % 256, (y * 11) % 256)[c]
+        for y in range(8)
+        for x in range(16)
+        for c in range(3)
+    )
+    w, h, out = decode(encode(16, 8, rgb, "jpg"), "jpg")
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 4
+
+    rgb = bytes((7 * p + 31 * c) % 256 for p in range(10 * 6) for c in range(3))
+    w, h, out = decode(encode(10, 6, rgb, "jpg"), "jpg")
+    assert (w, h) == (10, 6)
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 4
+
+
+def _handmade_jpeg_gray(n_mcus: int = 1, dri: int = 0) -> bytes:
+    """Hand-assembled baseline JPEG, INDEPENDENT of the repo encoder:
+    grayscale (1 component), n_mcus 8x8 DC-only blocks of Y=200
+    (level-shifted 72 -> DC coefficient 576 at quant 1), Huffman tables
+    with a single 1-bit code each (DC: symbol 10; AC: EOB).
+    Entropy bits per block: '0' + 10-bit 576 + '0' = 0x48 0x0F padded.
+    With dri=1, blocks are separated by byte-aligned RST markers."""
+    import struct as _s
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + _s.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC0, bytes([8]) + _s.pack(">HH", 8, 8 * n_mcus) + bytes([1, 1, 0x11, 0]))
+    dc_bits = bytes([1] + [0] * 15)
+    out += seg(0xC4, bytes([0x00]) + dc_bits + bytes([10]))
+    out += seg(0xC4, bytes([0x10]) + dc_bits + bytes([0x00]))
+    if dri:
+        out += seg(0xDD, _s.pack(">H", dri))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    block = bytes([0x48, 0x0F])  # 0|1001000000|0 + 1111 padding
+    if dri:
+        pieces = []
+        for m in range(n_mcus):
+            pieces.append(block)
+            if m < n_mcus - 1:
+                pieces.append(bytes([0xFF, 0xD0 + (m % 8)]))
+        out += b"".join(pieces)
+    else:
+        out += block * n_mcus
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decoder_handmade_bitstream(spark):
+    """Decode a bitstream the repo encoder did NOT produce — catches
+    symmetric encoder/decoder bugs (wrong zigzag, wrong extend, wrong
+    table build). DC-only gray 200 must come back exactly."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+
+    decode, _ = _pixel_codec()
+    w, h, rgb = decode(_handmade_jpeg_gray(), "jpg")
+    assert (w, h) == (8, 8)
+    assert set(rgb) == {200}
+
+    # Restart-marker path: 3 MCUs with DRI=1 and RST0/RST1 between.
+    w, h, rgb = decode(_handmade_jpeg_gray(n_mcus=3, dri=1), "jpg")
+    assert (w, h) == (24, 8)
+    assert set(rgb) == {200}
+
+
+def test_jpeg_decoder_honest_failures(spark):
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+    import hashlib
+    import pytest as _pytest
+
+    decode, encode = _pixel_codec()
+    # progressive SOF2 stays an honest seam
+    prog = _handmade_jpeg_gray().replace(b"\xff\xc0", b"\xff\xc2")
+    with _pytest.raises(NotImplementedError):
+        decode(prog, "jpg")
+    # a digest blob is not a JPEG (fake_media_df's jpg rows)
+    with _pytest.raises(ValueError):
+        decode(hashlib.md5(b"blob").digest() * 4, "jpg")
+    # truncated scan
+    good = encode(16, 8, bytes([9, 9, 9] * 128), "jpg")
+    with _pytest.raises(ValueError):
+        decode(good[:-20], "jpg")
+
+
+def test_jpeg_rows_flow_through_pipeline(spark):
+    """A REAL JPEG row now decodes (decode_ok) and resizes (re-encoded
+    as JPEG) through the Arrow-batched operators."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+        resize_images,
+    )
+
+    decode, encode = _pixel_codec()
+    rgb = bytes([120, 200, 40] * (16 * 8))
+    media = spark.createDataFrame(
+        [(3, "image", "jpg", bytearray(encode(16, 8, rgb, "jpg")), 16, 8, None)],
+        MEDIA_SCHEMA,
+    )
+    feat = extract_features(media).collect()[0]
+    assert feat["decode_ok"]
+    assert abs(feat["feat"][0] * 255 - 120) <= 2  # mean_r of the solid color
+    assert feat["feat"][1] * 255 <= 2  # std_r ~ 0
+
+    out = resize_images(media, width=8, height=4).collect()[0]
+    assert out["resize_ok"]
+    w2, h2, rgb2 = decode(bytes(out["payload"]), "jpg")
+    assert (w2, h2) == (8, 4)
+    assert max(abs(a - b) for a, b in zip(bytes([120, 200, 40] * 32), rgb2)) <= 3
 
 
 def test_truncated_raster_marks_decode_failure(spark):
