@@ -171,6 +171,36 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _planes_hp_df(spark, tables: int, planes_per_table: int, dim: int) -> DataFrame:
+    """The LSH hyperplane bank as a ONE-ROW broadcast DataFrame
+    (hp: array<array<array<double>>>, [table][plane][component]).
+
+    Shipping the planes as DATA instead of inlining tables x planes x
+    dim scalar Literals keeps the expression tree (and the generated
+    code) constant-size as the bank grows — the 8x4x64 multiprobe plan
+    was ~1 MB of literal nodes and paid seconds of analysis/codegen
+    per run; as a broadcast attribute it is one join input. Values are
+    bit-identical (Python float -> DoubleType is exact), so the DuckDB
+    oracle replication is untouched."""
+    hp = [hyperplanes(dim, planes_per_table, seed=7 + 97 * t) for t in range(tables)]
+    return spark.createDataFrame([(hp,)], "hp array<array<array<double>>>")
+
+
+def _bucket_from_dots(dots: Column, planes_per_table: int) -> Column:
+    """Sign-pattern bucket id from a per-table dot-product array."""
+    import functools
+
+    return functools.reduce(
+        lambda a, b: a + b,
+        [
+            F.when(
+                F.element_at(dots, p + 1) > 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for p in range(planes_per_table)
+        ],
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -192,20 +222,31 @@ def lsh_topk(
     """
     from pyspark.sql import Window
 
+    planes_df = _planes_hp_df(embeddings.sparkSession, tables, planes_per_table, dim)
+
     def buckets(vec: Column) -> Column:
         per_table = []
         for t in range(tables):
-            hp = hyperplanes(dim, planes_per_table, seed=7 + 97 * t)
+            dots = F.transform(
+                F.element_at(F.col("hp"), t + 1), lambda pl: _dot(vec, pl)
+            )
             per_table.append(
-                F.struct(F.lit(t).alias("tbl"), lsh_bucket(vec, hp).alias("bucket"))
+                F.struct(
+                    F.lit(t).alias("tbl"), _bucket_from_dots(dots, planes_per_table).alias("bucket")
+                )
             )
         return F.array(*per_table)
 
-    emb_b = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets(F.col(vec_col))).alias("bb")
-    ).select(id_col, vec_col, "bb.tbl", "bb.bucket")
+    emb_b = (
+        embeddings.crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col), F.col(vec_col), F.explode(buckets(F.col(vec_col))).alias("bb")
+        )
+        .select(id_col, vec_col, "bb.tbl", "bb.bucket")
+    )
     q_b = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(planes_df))
         .select("query_id", "q_vec", F.explode(buckets(F.col("q_vec"))).alias("bb"))
         .select("query_id", "q_vec", "bb.tbl", "bb.bucket")
     )
@@ -252,22 +293,15 @@ def lsh_multiprobe_topk(
     """
     import functools
 
+    planes_df = _planes_hp_df(embeddings.sparkSession, tables, planes_per_table, dim)
+
     def bucket_structs(vec: Column, with_flips: bool) -> Column:
         out = []
         for t in range(tables):
-            hp = hyperplanes(dim, planes_per_table, seed=7 + 97 * t)
-            dots = F.array(
-                *[_dot(vec, F.array(*[F.lit(x) for x in plane])) for plane in hp]
+            dots = F.transform(
+                F.element_at(F.col("hp"), t + 1), lambda pl: _dot(vec, pl)
             )
-            bucket = functools.reduce(
-                lambda a, b: a + b,
-                [
-                    F.when(
-                        F.element_at(dots, p + 1) > 0, F.lit(1 << p).cast("long")
-                    ).otherwise(F.lit(0).cast("long"))
-                    for p in range(planes_per_table)
-                ],
-            )
+            bucket = _bucket_from_dots(dots, planes_per_table)
             out.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
             if with_flips:
                 absd = F.transform(dots, lambda d: F.abs(d))
@@ -290,13 +324,18 @@ def lsh_multiprobe_topk(
                 )
         return F.array(*out)
 
-    emb_b = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(bucket_structs(F.col(vec_col), with_flips=False)).alias("bb"),
-    ).select(id_col, vec_col, "bb.tbl", "bb.bucket")
+    emb_b = (
+        embeddings.crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(bucket_structs(F.col(vec_col), with_flips=False)).alias("bb"),
+        )
+        .select(id_col, vec_col, "bb.tbl", "bb.bucket")
+    )
     q_b = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(planes_df))
         .select(
             "query_id",
             "q_vec",

@@ -337,6 +337,18 @@ def test_partitioned_layout_prunes_on_date(spark, tmp_path):
     assert scanned == {f"2024-01-{d:02d}" for d in range(20, 31)}
 
 
+@pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_lsh_multiprobe_topk"])
+def test_lsh_planes_are_broadcast_data_not_literals(spark, registry, name):
+    """The hyperplane bank must enter the plan as a broadcast one-row
+    join input, not as tables x planes x dim inlined scalar Literals —
+    the literal form made the multiprobe plan ~1 MB of expression nodes
+    and cost seconds of analysis/codegen per run. Gate on plan size so
+    a refactor back to literals fails loudly."""
+    plan = _plan(registry, spark, name)
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row planes join
+    assert len(plan) < 200_000
+
+
 def test_session_pins_aqe_skew_join(spark):
     """pin_session must leave AQE skew-join splitting on: the banded /
     tiled self-joins (LSH buckets, SimHash chunks, winnowing grams)
