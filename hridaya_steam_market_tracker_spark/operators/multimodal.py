@@ -6,14 +6,16 @@ REAL codecs (pure stdlib, no image libraries needed): uncompressed
 filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced), **GIF**
 (87a/89a first frame, full LZW with dictionary growth, global/local
 palettes, 4-pass interlace), and **JPEG** (ITU-T T.81 baseline
-sequential DCT: DQT/DHT/SOF0/SOS parse, Huffman entropy decode with
-byte-stuffing + restart markers, dequantize, IDCT, generic h/v chroma
-upsampling, YCbCr->RGB) decode to RGB pixel arrays and re-encode (PNG
-as 8-bit RGB; GIF as an exact-palette clear-refreshed LZW stream; JPEG
-as near-lossless 4:4:4 baseline JFIF). Progressive JPEG (SOF2) and
-container formats (mp4) remain clearly-marked NotImplementedError
-stubs until a codec library is plugged in; the 'fake' format keeps its
-digest-based deterministic pseudo-decode for plumbing tests.
+sequential AND progressive DCT: DQT/DHT/SOF/SOS parse, Huffman entropy
+decode with byte-stuffing + restart markers, spectral-selection +
+successive-approximation scan accumulation, dequantize, IDCT, generic
+h/v chroma upsampling, YCbCr->RGB) decode to RGB pixel arrays and
+re-encode (PNG as 8-bit RGB; GIF as an exact-palette clear-refreshed
+LZW stream; JPEG as near-lossless 4:4:4 baseline JFIF).
+Lossless/arithmetic JPEG and container formats (mp4) remain
+clearly-marked NotImplementedError stubs until a codec library is
+plugged in; the 'fake' format keeps its digest-based deterministic
+pseudo-decode for plumbing tests.
 
 Scale posture: mapInPandas streams Arrow batches — memory is bounded
 by spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob
@@ -64,8 +66,9 @@ def _pixel_codec():
     header comments allowed), 'png' (8-bit gray/RGB/palette/alpha,
     filters 0-4, non-interlaced), 'gif' (GIF87a/89a first frame, full
     LZW, global/local palettes, Adam-style 4-pass interlace), 'jpg'
-    (baseline sequential DCT per ITU-T T.81, gray or YCbCr, any h/v
-    sampling, restart markers; progressive raises NotImplementedError).
+    (baseline sequential AND progressive DCT per ITU-T T.81, gray or
+    YCbCr, any h/v sampling, restart markers; lossless/arithmetic
+    raise NotImplementedError).
     encode(w, h, rgb, fmt) is the inverse (PNG encodes as 8-bit RGB
     filter 0; GIF as a clear-code-refreshed 9-bit LZW stream over an
     exact <=256-color palette; JPEG as near-lossless 4:4:4 baseline).
@@ -174,12 +177,14 @@ def _pixel_codec():
         return out
 
     def jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
-        """Baseline sequential DCT JFIF decoder (ITU-T T.81): DQT/DHT/
-        SOF0/SOS parse, Huffman entropy decode with byte-stuffing and
-        restart markers, dequantize, IDCT, generic h/v chroma
-        upsampling (replication), YCbCr->RGB. Progressive (SOF2) and
-        the other non-baseline frame types stay honest
-        NotImplementedError seams."""
+        """DCT JFIF decoder (ITU-T T.81), baseline sequential (SOF0/1)
+        AND progressive (SOF2): DQT/DHT/SOF/SOS parse, Huffman entropy
+        decode with byte-stuffing and restart markers; progressive
+        scans (spectral selection + successive approximation, Annex G)
+        accumulate into a coefficient store reconstructed at EOI;
+        dequantize, IDCT, generic h/v chroma upsampling (replication),
+        YCbCr->RGB. Lossless/arithmetic/hierarchical frame types stay
+        honest NotImplementedError seams."""
         if payload[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG")
         pos = 2
@@ -187,6 +192,8 @@ def _pixel_codec():
         huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
         frame = None
         dri = 0
+        progressive = False
+        store: dict = {}  # progressive coefficient accumulator
         while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("bad JPEG marker stream")
@@ -214,7 +221,7 @@ def _pixel_codec():
                     else:
                         qt[tq] = list(seg[i : i + 64])
                         i += 64
-            elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
                 h_img, w_img = struct.unpack_from(">HH", seg, 1)
                 if seg[0] != 8:
                     raise NotImplementedError("only 8-bit JPEG supported")
@@ -226,10 +233,11 @@ def _pixel_codec():
                     cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                     comps.append((cid, hv >> 4, hv & 15, tq))
                 frame = (w_img, h_img, comps)
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    "only baseline sequential JPEG supported (got SOF "
+                    "only baseline/progressive DCT JPEG supported (got SOF "
                     f"0x{marker:02x})"
                 )
             elif marker == 0xC4:  # DHT
@@ -260,8 +268,16 @@ def _pixel_codec():
                 for c in range(ns):
                     cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                     scan.append((cs, tt >> 4, tt & 15))
-                return _jpeg_scan(payload, pos, frame, qt, huff, scan, dri)
+                if not progressive:
+                    return _jpeg_scan(payload, pos, frame, qt, huff, scan, dri)
+                ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+                pos = _jpeg_prog_scan(
+                    payload, pos, frame, huff, scan,
+                    ss, se, ahal >> 4, ahal & 15, dri, store,
+                )
             # APPn / COM / others: skipped
+        if progressive and store:
+            return _jpeg_prog_reconstruct(frame, qt, store)
         raise ValueError("JPEG contains no scan data")
 
     def _jpeg_scan(data, p, frame, qt, huff, scan, dri):
@@ -370,19 +386,25 @@ def _pixel_codec():
                                         0 if v < 0 else (255 if v > 255 else v)
                                     )
                 mcu_count += 1
-        # Upsample (replication) + color convert.
+        return _jpeg_finish(
+            planes, [s[0] for s in scan], by_id, hmax, vmax, w_img, h_img
+        )
+
+    def _jpeg_finish(planes, comp_ids, by_id, hmax, vmax, w_img, h_img):
+        """Shared tail: upsample component planes (replication) and
+        convert to RGB (JFIF YCbCr) or expand grayscale."""
         out = bytearray(3 * w_img * h_img)
-        if len(scan) == 1:
-            plane, pw = planes[scan[0][0]]
+        if len(comp_ids) == 1:
+            plane, pw = planes[comp_ids[0]]
             for y in range(h_img):
                 for x in range(w_img):
                     g = plane[y * pw + x]
                     o = 3 * (y * w_img + x)
                     out[o] = out[o + 1] = out[o + 2] = g
             return w_img, h_img, bytes(out)
-        if len(scan) != 3:
+        if len(comp_ids) != 3:
             raise NotImplementedError("only 1- or 3-component JPEG supported")
-        (y_id, _, _), (cb_id, _, _), (cr_id, _, _) = scan
+        y_id, cb_id, cr_id = comp_ids
         for y in range(h_img):
             for x in range(w_img):
                 vals = []
@@ -399,6 +421,271 @@ def _pixel_codec():
                 out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
                 out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
         return w_img, h_img, bytes(out)
+
+    def _jpeg_prog_geom(frame):
+        """Per-component block geometry: MCU-padded store grid plus the
+        non-interleaved ceil(comp/8) grid T.81 uses for single-component
+        scans."""
+        w_img, h_img, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = (w_img + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h_img + 8 * vmax - 1) // (8 * vmax)
+        geom = {}
+        for cid, ch, cv, tq in comps:
+            cw = (w_img * ch + hmax - 1) // hmax
+            chh = (h_img * cv + vmax - 1) // vmax
+            geom[cid] = {
+                "bw": mcux * ch,  # padded store grid (blocks)
+                "bh": mcuy * cv,
+                "nw": (cw + 7) // 8,  # non-interleaved scan grid
+                "nh": (chh + 7) // 8,
+            }
+        return hmax, vmax, mcux, mcuy, geom
+
+    def _jpeg_prog_scan(data, p, frame, huff, scan, ss, se, ah, al, dri, store):
+        """Decode ONE progressive scan (T.81 Annex G) into the zigzag
+        coefficient store; returns the stream position of the next
+        marker. DC scans may be interleaved; AC scans are per-spec
+        single-component. Successive-approximation refinement follows
+        the public libjpeg semantics (correction bits on nonzero
+        history, +/-1<<Al insertions)."""
+        w_img, h_img, comps = frame
+        by_id = {c[0]: c for c in comps}
+        hmax, vmax, mcux, mcuy, geom = _jpeg_prog_geom(frame)
+        if "coef" not in store:
+            store["coef"] = {
+                cid: [[0] * 64 for _ in range(g["bw"] * g["bh"])]
+                for cid, g in geom.items()
+            }
+            store["comp_order"] = [c[0] for c in comps]
+        coef = store["coef"]
+
+        acc = nbits = 0
+
+        def read_bit() -> int:
+            nonlocal p, acc, nbits
+            if nbits == 0:
+                if p >= len(data):
+                    raise ValueError("truncated JPEG scan")
+                b = data[p]
+                p += 1
+                if b == 0xFF:
+                    nxt = data[p] if p < len(data) else None
+                    if nxt == 0x00:
+                        p += 1
+                    else:
+                        raise ValueError("unexpected marker inside scan")
+                acc, nbits = b, 8
+            nbits -= 1
+            return (acc >> nbits) & 1
+
+        def decode_symbol(table) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = table.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid JPEG Huffman code")
+
+        def bits_raw(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def extend(v: int, s: int) -> int:
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        preds = {cs: 0 for cs, _td, _ta in scan}
+        eobrun = 0
+
+        def restart(m_index: int) -> None:
+            nonlocal p, acc, nbits, eobrun
+            acc = nbits = 0
+            if p + 1 >= len(data) or data[p] != 0xFF or not (
+                0xD0 <= data[p + 1] <= 0xD7
+            ):
+                raise ValueError("missing JPEG restart marker")
+            p += 2
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+
+        def dc_block(cs, td, blk):
+            tab = huff.get((0, td))
+            if tab is None:
+                raise ValueError("JPEG scan references missing DHT")
+            if ah == 0:
+                s = decode_symbol(tab)
+                diff = extend(bits_raw(s), s) if s else 0
+                preds[cs] += diff
+                blk[0] = preds[cs] << al
+            else:
+                if read_bit():
+                    blk[0] |= 1 << al
+
+        def ac_first(ta, blk):
+            nonlocal eobrun
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            tab = huff.get((1, ta))
+            if tab is None:
+                raise ValueError("JPEG scan references missing DHT")
+            k = ss
+            while k <= se:
+                rs = decode_symbol(tab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits_raw(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index overflow")
+                blk[k] = extend(bits_raw(s), s) << al
+                k += 1
+
+        def ac_refine(ta, blk):
+            nonlocal eobrun
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if eobrun == 0:
+                tab = huff.get((1, ta))
+                if tab is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                while k <= se:
+                    rs = decode_symbol(tab)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s == 0:
+                        if r != 15:
+                            # Refinement EOB counts the CURRENT block too:
+                            # the eobrun>0 branch below still reads this
+                            # block's correction bits, then decrements
+                            # (libjpeg decode_mcu_AC_refine semantics).
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits_raw(r)
+                            break
+                        # r == 15 (ZRL): skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("bad JPEG refinement magnitude")
+                        val = p1 if read_bit() else m1
+                    while k <= se:
+                        c = blk[k]
+                        if c != 0:
+                            if read_bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c > 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val != 0 and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = blk[k]
+                    if c != 0:
+                        if read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c > 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+        if ss == 0:  # DC scan (interleaved or single-component)
+            if se != 0:
+                raise ValueError("JPEG DC scan with nonzero Se")
+            if len(scan) > 1:
+                m = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if dri and m and m % dri == 0:
+                            restart(m)
+                        for cs, td, _ta in scan:
+                            _cid, ch, cv, _tq = by_id[cs]
+                            g = geom[cs]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    bi = (my * cv + by) * g["bw"] + (mx * ch + bx)
+                                    dc_block(cs, td, coef[cs][bi])
+                        m += 1
+            else:
+                cs, td, _ta = scan[0]
+                g = geom[cs]
+                m = 0
+                for by in range(g["nh"]):
+                    for bx in range(g["nw"]):
+                        if dri and m and m % dri == 0:
+                            restart(m)
+                        dc_block(cs, td, coef[cs][by * g["bw"] + bx])
+                        m += 1
+        else:  # AC scan: single component per T.81
+            if len(scan) != 1:
+                raise ValueError("JPEG AC scan must be non-interleaved")
+            cs, _td, ta = scan[0]
+            g = geom[cs]
+            m = 0
+            for by in range(g["nh"]):
+                for bx in range(g["nw"]):
+                    if dri and m and m % dri == 0:
+                        restart(m)
+                    blk = coef[cs][by * g["bw"] + bx]
+                    if ah == 0:
+                        ac_first(ta, blk)
+                    else:
+                        ac_refine(ta, blk)
+                    m += 1
+
+        # Skip padding bits, then advance to the next true marker.
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+                0xD0 <= data[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return p
+
+    def _jpeg_prog_reconstruct(frame, qt, store):
+        """Dequantize + IDCT the accumulated coefficient store and run
+        the shared upsample/color-convert tail."""
+        w_img, h_img, comps = frame
+        by_id = {c[0]: c for c in comps}
+        hmax, vmax, _mcux, _mcuy, geom = _jpeg_prog_geom(frame)
+        planes = {}
+        for cid, _ch, _cv, tq in comps:
+            if tq not in qt:
+                raise ValueError("JPEG frame references missing DQT")
+            q = qt[tq]
+            g = geom[cid]
+            pw = g["bw"] * 8
+            plane = [0] * (pw * g["bh"] * 8)
+            for by in range(g["bh"]):
+                for bx in range(g["bw"]):
+                    blk = store["coef"][cid][by * g["bw"] + bx]
+                    nat = [0.0] * 64
+                    for k in range(64):
+                        nat[_zz[k]] = float(blk[k] * q[k])
+                    pix = _idct2(nat)
+                    for yy in range(8):
+                        row_off = (by * 8 + yy) * pw + bx * 8
+                        for xx in range(8):
+                            v = int(round(pix[8 * yy + xx])) + 128
+                            plane[row_off + xx] = (
+                                0 if v < 0 else (255 if v > 255 else v)
+                            )
+            planes[cid] = (plane, pw)
+        return _jpeg_finish(
+            planes, store["comp_order"], by_id, hmax, vmax, w_img, h_img
+        )
 
     def decode(payload: bytes, fmt: str | None) -> tuple[int, int, bytes]:
         if not payload:

@@ -36,11 +36,11 @@ from hridaya_steam_market_tracker_spark.queries import register
         "Decode + featurize binary media blobs via Arrow-batched mapInPandas. "
         "REAL pure-stdlib codecs for BMP (24-bit BI_RGB), PPM (P6), PNG "
         "(zlib + filters 0-4, gray/RGB/palette/alpha), GIF (LZW, palettes, "
-        "interlace), and baseline JPEG (T.81 sequential DCT: Huffman + "
-        "dequant + IDCT + chroma upsampling) decode actual pixels into "
-        "per-channel mean/std features; invalid bytes and progressive JPEG "
-        "are marked decode_ok=false. Returns per-blob feature vectors + "
-        "content hashes."
+        "interlace), and JPEG (T.81 baseline + progressive DCT: Huffman + "
+        "scan accumulation + dequant + IDCT + chroma upsampling) decode "
+        "actual pixels into per-channel mean/std features; invalid bytes "
+        "and unsupported codecs are marked decode_ok=false. Returns "
+        "per-blob feature vectors + content hashes."
     ),
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -337,6 +337,17 @@ def test_partitioned_layout_prunes_on_date(spark, tmp_path):
     assert scanned == {f"2024-01-{d:02d}" for d in range(20, 31)}
 
 
+@pytest.mark.parametrize("name", ["ann_ivf_recall_vs_brute", "ann_pq_recall_vs_brute"])
+def test_recall_rows_no_python_no_cartesian(spark, registry, name):
+    """The recall@k metric queries compose an approximate pipeline with
+    the exact brute tier: the brute side is allowed its broadcast
+    cross join (query side is 10 rows), but nothing may fall into a
+    CartesianProduct or row-level Python."""
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 @pytest.mark.parametrize("name", ["ann_lsh_topk", "ann_lsh_multiprobe_topk"])
 def test_lsh_planes_are_broadcast_data_not_literals(spark, registry, name):
     """The hyperplane bank must enter the plan as a broadcast one-row

@@ -5,6 +5,7 @@ plumbing must behave as a real decode pipeline would.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hridaya_steam_market_tracker_spark.operators import dedup as D
@@ -523,16 +524,232 @@ def test_jpeg_decoder_handmade_bitstream(spark):
     assert set(rgb) == {200}
 
 
+def test_jpeg_decoder_420_subsampling(spark):
+    """Hand-built 4:2:0 JPEG (Y sampling 2x2, chroma 1x1): one 16x16
+    MCU = 4 Y blocks + Cb + Cr, all DC-only. Exercises the generic h/v
+    upsampling path the 4:4:4 encoder never produces. Y=200 DC blocks
+    with neutral chroma (DC 0 -> plane 128) must decode to uniform
+    gray 200."""
+    import struct as _s
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+
+    def seg(marker, body):
+        return bytes((0xFF, marker)) + _s.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    # SOF0: 16x16, comp 1 sampling 2x2 (tq 0), comps 2/3 sampling 1x1
+    out += seg(
+        0xC0,
+        bytes([8]) + _s.pack(">HH", 16, 16)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    # DC table: two 2-bit codes — 00 -> size 10, 01 -> size 0
+    dc_bits = bytes([0, 2] + [0] * 14)
+    out += seg(0xC4, bytes([0x00]) + dc_bits + bytes([10, 0]))
+    # AC table: one 1-bit code -> EOB
+    out += seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    # DC prediction is per component: Y diffs are 576, 0, 0, 0; chroma 0.
+    bits = "00" + format(576, "010b") + "0"          # Y block 1: DC 576, EOB
+    bits += ("01" + "0") * 3                          # Y blocks 2-4: diff 0, EOB
+    bits += ("01" + "0") * 2                          # Cb, Cr: DC 0, EOB
+    bits += "1" * ((8 - len(bits) % 8) % 8)           # pad with 1s
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = int(bits[i : i + 8], 2)
+        data.append(b)
+        if b == 0xFF:
+            data.append(0x00)
+    out += bytes(data) + b"\xff\xd9"
+
+    decode, _ = _pixel_codec()
+    w, h, rgb = decode(bytes(out), "jpg")
+    assert (w, h) == (16, 16)
+    assert set(rgb) == {200}
+
+
+def _ref_idct_gray(coef_zz):
+    """INDEPENDENT reference: direct (non-separable) T.81 IDCT of one
+    gray 8x8 block from zigzag coefficients at quant 1 — cross-checks
+    the decoder's separable IDCT, dezigzag, and scan accumulation."""
+    import math
+
+    zz = []
+    for s in range(15):
+        rng = (
+            range(min(s, 7), max(0, s - 7) - 1, -1)
+            if s % 2 == 0
+            else range(max(0, s - 7), min(s, 7) + 1)
+        )
+        for r in rng:
+            zz.append(r * 8 + (s - r))
+    nat = [0.0] * 64
+    for k, v in enumerate(coef_zz):
+        nat[zz[k]] = float(v)
+    c = lambda u: math.sqrt(0.5) if u == 0 else 1.0
+    px = []
+    for y in range(8):
+        for x in range(8):
+            sval = sum(
+                c(u) * c(v) / 4.0 * nat[v * 8 + u]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for v in range(8)
+                for u in range(8)
+            )
+            px.append(max(0, min(255, int(round(sval)) + 128)))
+    return px
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = ""
+
+    def put(self, val, n):
+        self.bits += format(val, f"0{n}b")
+
+    def data(self):
+        padded = self.bits + "1" * ((8 - len(self.bits) % 8) % 8)
+        out = bytearray()
+        for i in range(0, len(padded), 8):
+            b = int(padded[i : i + 8], 2)
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+        return bytes(out)
+
+
+def _jseg(marker, body):
+    import struct as _s
+
+    return bytes((0xFF, marker)) + _s.pack(">H", len(body) + 2) + body
+
+
+def _dht(cls, tid, lengths_to_vals):
+    """DHT from {code_length: [symbols...]} (canonical order)."""
+    bits = [0] * 16
+    vals = []
+    for length in sorted(lengths_to_vals):
+        bits[length - 1] = len(lengths_to_vals[length])
+        vals += lengths_to_vals[length]
+    return _jseg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+
+def test_jpeg_progressive_spectral_selection(spark):
+    """Hand-built progressive JPEG (SOF2), grayscale 8x8: a DC-only
+    scan then an AC band scan placing one coefficient (zigzag k=1 =
+    100). Decoded pixels must match the independent direct-IDCT
+    reference of [576, 100]."""
+    import struct as _s
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _jseg(0xC2, bytes([8]) + _s.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    out += _dht(0, 0, {1: [10]})
+    bw = _BitWriter()
+    bw.put(0, 1)        # DC symbol: size 10
+    bw.put(576, 10)     # DC value
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bw.data()
+    out += _dht(1, 0, {1: [0x07], 2: [0x00]})
+    bw = _BitWriter()
+    bw.put(0, 1)        # AC symbol (r=0, s=7)
+    bw.put(100, 7)      # AC value at k=1
+    bw.put(0b10, 2)     # EOB
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.data()
+    out += b"\xff\xd9"
+
+    decode, _ = _pixel_codec()
+    w, h, rgb = decode(bytes(out), "jpg")
+    assert (w, h) == (8, 8)
+    expect = _ref_idct_gray([576, 100])
+    gray = [rgb[3 * i] for i in range(64)]
+    assert rgb[0::3] == rgb[1::3] == rgb[2::3]
+    assert max(abs(a - b) for a, b in zip(gray, expect)) <= 1
+
+
+def test_jpeg_progressive_successive_approximation(spark):
+    """Hand-built progressive JPEG with successive approximation: DC
+    first at Al=1 (288) + DC refine bit (-> 577); AC first at Al=1
+    (k=1 value 2 -> stored 4) + AC refine (EOB covering the block,
+    correction bit lifts 4 -> 5). Exercises the refinement semantics
+    (correction bits inside an EOB run) against the direct-IDCT
+    reference of [577, 5]."""
+    import struct as _s
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+
+    out = bytearray(b"\xff\xd8")
+    out += _jseg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _jseg(0xC2, bytes([8]) + _s.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0]))
+    # DC first scan, Al=1: diff 288 (size 9)
+    out += _dht(0, 0, {1: [9]})
+    bw = _BitWriter()
+    bw.put(0, 1)
+    bw.put(288, 9)
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bw.data()
+    # DC refinement, Ah=1, Al=0: one raw bit (1) -> DC 576|1 = 577
+    bw = _BitWriter()
+    bw.put(1, 1)
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bw.data()
+    # AC first scan, Al=1: k=1 value 2 (size 2), then EOB
+    out += _dht(1, 0, {1: [0x02], 2: [0x00]})
+    bw = _BitWriter()
+    bw.put(0, 1)        # (r=0, s=2)
+    bw.put(2, 2)        # value 2 -> stored 4
+    bw.put(0b10, 2)     # EOB
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + bw.data()
+    # AC refinement, Ah=1, Al=0: EOB immediately, then the correction
+    # bit for the nonzero-history k=1 (4 -> 5)
+    bw = _BitWriter()
+    bw.put(0b10, 2)     # EOB (r=0)
+    bw.put(1, 1)        # correction bit
+    out += _jseg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + bw.data()
+    out += b"\xff\xd9"
+
+    decode, _ = _pixel_codec()
+    w, h, rgb = decode(bytes(out), "jpg")
+    assert (w, h) == (8, 8)
+    expect = _ref_idct_gray([577, 5])
+    gray = [rgb[3 * i] for i in range(64)]
+    assert max(abs(a - b) for a, b in zip(gray, expect)) <= 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_jpeg_roundtrip_property_random_images(spark, seed):
+    """Adversarial (uniform-noise) images at odd dimensions: every AC
+    coefficient quantizes with error <= 1, and the IDCT spreads that
+    across the block — empirically the worst case stays far below the
+    analytic bound. Deterministic seeds, exact dims, bounded error."""
+    import hashlib as _h
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
+
+    decode, encode = _pixel_codec()
+    w, h = 5 + seed, 9 - seed
+    raw = (_h.sha256(f"jpgprop{seed}".encode()).digest() * (3 * w * h // 32 + 1))[
+        : 3 * w * h
+    ]
+    w2, h2, out = decode(encode(w, h, bytes(raw), "jpg"), "jpg")
+    assert (w2, h2) == (w, h)
+    errs = [abs(a - b) for a, b in zip(raw, out)]
+    assert max(errs) <= 12 and sum(errs) / len(errs) <= 3
+
+
 def test_jpeg_decoder_honest_failures(spark):
     from hridaya_steam_market_tracker_spark.operators.multimodal import _pixel_codec
     import hashlib
     import pytest as _pytest
 
     decode, encode = _pixel_codec()
-    # progressive SOF2 stays an honest seam
-    prog = _handmade_jpeg_gray().replace(b"\xff\xc0", b"\xff\xc2")
+    # lossless (SOF3) stays an honest seam
+    lossless = _handmade_jpeg_gray().replace(b"\xff\xc0", b"\xff\xc3")
     with _pytest.raises(NotImplementedError):
-        decode(prog, "jpg")
+        decode(lossless, "jpg")
     # a digest blob is not a JPEG (fake_media_df's jpg rows)
     with _pytest.raises(ValueError):
         decode(hashlib.md5(b"blob").digest() * 4, "jpg")
