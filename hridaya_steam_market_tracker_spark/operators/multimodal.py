@@ -1341,6 +1341,254 @@ def checked_media_df(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synth_mp4(seed: int, n_frames: int, timescale: int, with_stss: bool) -> bytes:
+    """Minimal valid ISO BMFF (MP4) file, pure stdlib: ftyp + mdat +
+    moov/trak/mdia/minf/stbl with real stts (two delta runs), stsz,
+    stsc (single chunk), stco, and optionally stss (sync every 5th
+    sample). Frame timing/size/offset are closed-form in (seed, j), so
+    a SQL oracle can recompute the whole index arithmetically. The
+    mdat payload is fake frame bytes — the container INDEX is the real
+    artifact; codec decode stays stubbed."""
+    import struct
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    sizes = [10 + (j * 7 + seed) % 17 for j in range(n_frames)]
+    n1 = n_frames // 2
+    d1, d2 = 30 + seed % 5, 40 + seed % 3
+    duration = n1 * d1 + (n_frames - n1) * d2
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")  # 24 bytes
+    mdat = box(
+        b"mdat",
+        b"".join(bytes([(seed + j) % 256]) * sz for j, sz in enumerate(sizes)),
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(b"fake", b""))
+    stts = box(
+        b"stts",
+        struct.pack(">II", 0, 2)
+        + struct.pack(">II", n1, d1)
+        + struct.pack(">II", n_frames - n1, d2),
+    )
+    stsc = box(b"stsc", struct.pack(">II", 0, 1) + struct.pack(">III", 1, n_frames, 1))
+    stsz = box(
+        b"stsz",
+        struct.pack(">III", 0, 0, n_frames)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stco = box(b"stco", struct.pack(">II", 0, 1) + struct.pack(">I", 24 + 8))
+    stbl_kids = stsd + stts + stsc + stsz + stco
+    if with_stss:
+        syncs = [j + 1 for j in range(n_frames) if j % 5 == 0]  # 1-based
+        stbl_kids += box(
+            b"stss",
+            struct.pack(">II", 0, len(syncs))
+            + b"".join(struct.pack(">I", s) for s in syncs),
+        )
+    stbl = box(b"stbl", stbl_kids)
+    minf = box(b"minf", stbl)
+    mdhd = box(
+        b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = box(b"hdlr", struct.pack(">II4s12sB", 0, 0, b"vide", b"\x00" * 12, 0))
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    tkhd = box(b"tkhd", struct.pack(">I", 0) + b"\x00" * 80)
+    trak = box(b"trak", tkhd + mdia)
+    mvhd = box(b"mvhd", struct.pack(">IIIII", 0, 0, 0, timescale, duration) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+MP4_INDEX_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, byte_offset long, "
+    "n_bytes int, keyframe boolean, parse_ok boolean"
+)
+
+
+def extract_mp4_frame_index(media: DataFrame) -> DataFrame:
+    """REAL MP4 container demux via Arrow-batched mapInPandas: walk the
+    ISO BMFF box tree (64-bit sizes supported) to the first video
+    trak's stbl and reconstruct the full sample index — decode
+    timestamps from stts runs, sizes from stsz, byte offsets from
+    stsc chunk mapping + stco/co64, keyframes from stss (absent =>
+    all sync). One output row per frame (media_id, frame_idx, ts_ms,
+    byte_offset, n_bytes, keyframe, parse_ok); an unparseable payload
+    yields a single parse_ok=false row — the honest-failure discipline
+    the image codecs use. This is the real scale path for video
+    pipelines: frame-level work items with byte ranges, produced
+    without touching a codec; the frame DECODE stays a stub."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def boxes(data, start, end):
+            pos = start
+            while pos + 8 <= end:
+                size, t = struct.unpack_from(">I4s", data, pos)
+                hdr = 8
+                if size == 1:
+                    size = struct.unpack_from(">Q", data, pos + 8)[0]
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                if size < hdr or pos + size > end:
+                    raise ValueError("bad MP4 box size")
+                yield t, pos + hdr, pos + size
+                pos += size
+
+        def child(data, start, end, name):
+            for t, s, e in boxes(data, start, end):
+                if t == name:
+                    return s, e
+            return None
+
+        def parse(payload: bytes):
+            if len(payload) < 12 or payload[4:8] != b"ftyp":
+                raise ValueError("not an MP4 (missing ftyp)")
+            moov = child(payload, 0, len(payload), b"moov")
+            if moov is None:
+                raise ValueError("MP4 missing moov")
+            for t, s, e in boxes(payload, *moov):
+                if t != b"trak":
+                    continue
+                mdia = child(payload, s, e, b"mdia")
+                if mdia is None:
+                    continue
+                hd = child(payload, *mdia, b"hdlr")
+                if hd is not None and payload[hd[0] + 8 : hd[0] + 12] != b"vide":
+                    continue
+                mdhd = child(payload, *mdia, b"mdhd")
+                minf = child(payload, *mdia, b"minf")
+                if mdhd is None or minf is None:
+                    continue
+                if payload[mdhd[0]] == 1:  # version 1: 64-bit times
+                    timescale = struct.unpack_from(">I", payload, mdhd[0] + 20)[0]
+                else:
+                    timescale = struct.unpack_from(">I", payload, mdhd[0] + 12)[0]
+                stbl = child(payload, *minf, b"stbl")
+                if stbl is None:
+                    continue
+                return index_from_stbl(payload, stbl, timescale)
+            raise ValueError("MP4 contains no video trak")
+
+        def full_u32s(data, s, n):
+            return list(struct.unpack_from(f">{n}I", data, s))
+
+        def index_from_stbl(data, stbl, timescale):
+            stts = child(data, *stbl, b"stts")
+            stsz = child(data, *stbl, b"stsz")
+            stsc = child(data, *stbl, b"stsc")
+            stco = child(data, *stbl, b"stco")
+            co64 = child(data, *stbl, b"co64")
+            stss = child(data, *stbl, b"stss")
+            if stts is None or stsz is None or stsc is None or (
+                stco is None and co64 is None
+            ):
+                raise ValueError("MP4 stbl missing required boxes")
+            # stts: decode-time deltas as (count, delta) runs
+            n_ent = struct.unpack_from(">I", data, stts[0] + 4)[0]
+            deltas = []
+            for i in range(n_ent):
+                cnt, d = struct.unpack_from(">II", data, stts[0] + 8 + 8 * i)
+                deltas += [d] * cnt
+            # stsz: per-sample sizes (or constant)
+            const_sz, n_samples = struct.unpack_from(">II", data, stsz[0] + 4)
+            sizes = (
+                [const_sz] * n_samples
+                if const_sz
+                else full_u32s(data, stsz[0] + 12, n_samples)
+            )
+            if len(deltas) < n_samples:
+                raise ValueError("MP4 stts shorter than stsz")
+            # chunk offsets
+            if stco is not None:
+                n_ch = struct.unpack_from(">I", data, stco[0] + 4)[0]
+                offsets = full_u32s(data, stco[0] + 8, n_ch)
+            else:
+                n_ch = struct.unpack_from(">I", data, co64[0] + 4)[0]
+                offsets = list(struct.unpack_from(f">{n_ch}Q", data, co64[0] + 8))
+            # stsc: (first_chunk, samples_per_chunk, _desc) runs -> per-chunk spc
+            n_sc = struct.unpack_from(">I", data, stsc[0] + 4)[0]
+            runs = [
+                struct.unpack_from(">III", data, stsc[0] + 8 + 12 * i)
+                for i in range(n_sc)
+            ]
+            spc = []
+            for i, (first, per, _d) in enumerate(runs):
+                last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_ch
+                spc += [per] * (last - first + 1)
+            syncs = None
+            if stss is not None:
+                n_sync = struct.unpack_from(">I", data, stss[0] + 4)[0]
+                syncs = set(full_u32s(data, stss[0] + 8, n_sync))
+            out = []
+            t = 0
+            j = 0
+            for ch, chunk_off in enumerate(offsets):
+                off = chunk_off
+                for _ in range(spc[ch] if ch < len(spc) else 0):
+                    if j >= n_samples:
+                        break
+                    out.append(
+                        (
+                            j,
+                            (t * 1000) // timescale,
+                            off,
+                            sizes[j],
+                            True if syncs is None else (j + 1) in syncs,
+                        )
+                    )
+                    off += sizes[j]
+                    t += deltas[j]
+                    j += 1
+            if j != n_samples:
+                raise ValueError("MP4 stsc/stco cover fewer samples than stsz")
+            return out
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    for j, ts, off, sz, key in parse(bytes(payload or b"")):
+                        recs.append((mid, j, ts, off, sz, key, True))
+                except (ValueError, struct.error):
+                    recs.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "byte_offset",
+                    "n_bytes", "keyframe", "parse_ok",
+                ],
+            )
+
+    videos = media.filter(
+        (F.col("media_type") == "video") & (F.col("format") == "mp4")
+    ).select("media_id", "payload")
+    return videos.mapInPandas(op, schema=MP4_INDEX_SCHEMA)
+
+
+def checked_mp4_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable MP4 table: real container bytes from synth_mp4
+    with timescale/frame-count/sizes/deltas closed-form in media_id;
+    stss present on even ids (sync every 5th frame), absent on odd
+    (all frames sync). Every 8th row (i % 8 == 5) carries an invalid
+    digest payload to value-check the parse_ok=false marking."""
+    rows = []
+    for i in range(n):
+        if i % 8 == 5:
+            payload = hashlib.md5(f"mp4{i}".encode()).digest() * 4
+        else:
+            payload = synth_mp4(
+                seed=i,
+                n_frames=10 + i % 7,
+                timescale=600 + 100 * (i % 4),
+                with_stss=(i % 2 == 0),
+            )
+        rows.append((i, "video", "mp4", bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synth_wav_ramp(seed: int, rate: int = 8000, n: int = 400) -> bytes:
     """Deterministic 16-bit mono PCM WAV whose samples are the pure
     integer sawtooth ``((t * (2*seed+3)) % 4001) - 2000`` — transcendental-

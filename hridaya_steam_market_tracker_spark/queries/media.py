@@ -313,3 +313,57 @@ def multimodal_audio_features_checked(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     return extract_audio_features(checked_audio_df(spark, n=32))
+
+
+@register(
+    "multimodal_mp4_frame_index_checked",
+    oracle="""
+    WITH m AS (
+      SELECT i, 600 + 100 * (i % 4) AS tsc, 10 + i % 7 AS nf
+      FROM generate_series(0, 15) g(i) WHERE i % 8 <> 5
+    ),
+    f AS (
+      SELECT m.i, m.tsc, m.nf, j.j AS frame_idx,
+             10 + (j.j * 7 + m.i) % 17 AS sz,
+             CASE WHEN j.j < m.nf // 2 THEN 30 + m.i % 5
+                  ELSE 40 + m.i % 3 END AS delta
+      FROM m, LATERAL (SELECT unnest(range(0, m.nf)) AS j) j
+    ),
+    c AS (
+      SELECT i, tsc, frame_idx, sz,
+             coalesce(sum(delta) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t,
+             coalesce(sum(sz) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM f
+    )
+    SELECT i AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((t * 1000) // tsc AS BIGINT) AS ts_ms,
+           CAST(32 + off AS BIGINT) AS byte_offset,
+           CAST(sz AS INTEGER) AS n_bytes,
+           CASE WHEN i % 2 = 0 THEN frame_idx % 5 = 0 ELSE TRUE END AS keyframe,
+           TRUE AS parse_ok
+    FROM c
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM generate_series(0, 15) g(i) WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED MP4 container demux: real ISO BMFF bytes "
+        "(ftyp/mdat/moov with stts delta runs, stsz, stsc chunk map, "
+        "stco, optional stss) are parsed box-by-box in Arrow-batched "
+        "mapInPandas into the per-frame index — decode timestamp, byte "
+        "offset, size, keyframe flag — while the oracle recomputes the "
+        "whole index arithmetically from the generator formulas "
+        "(integer window cumsums). The frame-level work-item table a "
+        "100 TB video pipeline fans out on, produced without a codec; "
+        "invalid payloads value-check parse_ok=false."
+    ),
+)
+def multimodal_mp4_frame_index_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_mp4_df,
+        extract_mp4_frame_index,
+    )
+
+    return extract_mp4_frame_index(checked_mp4_df(spark, n=16))

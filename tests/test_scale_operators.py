@@ -786,6 +786,71 @@ def test_jpeg_rows_flow_through_pipeline(spark):
     assert max(abs(a - b) for a, b in zip(bytes([120, 200, 40] * 32), rgb2)) <= 3
 
 
+def test_mp4_index_multichunk_stsc_and_co64(spark):
+    """Hand-built MP4 exercising the generic demux paths the synth
+    generator does not produce: TWO chunks with different
+    samples-per-chunk (stsc runs) addressed by 64-bit co64 offsets.
+    Offsets must restart at each chunk's base and advance by sample
+    size within the chunk."""
+    import struct as _s
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_mp4_frame_index,
+    )
+
+    def box(t, payload):
+        return _s.pack(">I", 8 + len(payload)) + t + payload
+
+    sizes = [5, 6, 7, 8, 9]  # 5 samples: chunk1 = [5,6,7], chunk2 = [8,9]
+    stsd = box(b"stsd", _s.pack(">II", 0, 1) + box(b"fake", b""))
+    stts = box(b"stts", _s.pack(">II", 0, 1) + _s.pack(">II", 5, 100))
+    stsc = box(
+        b"stsc",
+        _s.pack(">II", 0, 2)
+        + _s.pack(">III", 1, 3, 1)  # chunk 1: 3 samples
+        + _s.pack(">III", 2, 2, 1),  # chunks 2+: 2 samples
+    )
+    stsz = box(
+        b"stsz",
+        _s.pack(">III", 0, 0, 5) + b"".join(_s.pack(">I", s) for s in sizes),
+    )
+    co64 = box(b"co64", _s.pack(">II", 0, 2) + _s.pack(">QQ", 1000, 2000))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + co64)
+    mdhd = box(b"mdhd", _s.pack(">IIIIIHH", 0, 0, 0, 1000, 500, 0x55C4, 0))
+    hdlr = box(b"hdlr", _s.pack(">II4s12sB", 0, 0, b"vide", b"\x00" * 12, 0))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    trak = box(b"trak", box(b"tkhd", b"\x00" * 84) + mdia)
+    moov = box(b"moov", box(b"mvhd", b"\x00" * 100) + trak)
+    payload = box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isom") + moov
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", "mp4", bytearray(payload), None, None, None),
+            (2, "video", "mp4", bytearray(b"garbage"), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in extract_mp4_frame_index(media).collect()
+    }
+    assert len(rows) == 6  # 5 frames + 1 parse_ok=false row
+    expect = {
+        0: (1000, 5, 0),
+        1: (1005, 6, 100),
+        2: (1011, 7, 200),
+        3: (2000, 8, 300),  # chunk 2 restarts at co64 offset 2000
+        4: (2008, 9, 400),
+    }
+    for j, (off, sz, ts) in expect.items():
+        r = rows[(1, j)]
+        assert (r["byte_offset"], r["n_bytes"], r["ts_ms"]) == (off, sz, ts)
+        assert r["parse_ok"] and r["keyframe"]  # no stss -> all sync
+    bad = rows[(2, None)]
+    assert not bad["parse_ok"] and bad["ts_ms"] is None
+
+
 def test_truncated_raster_marks_decode_failure(spark):
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
         MEDIA_SCHEMA,
