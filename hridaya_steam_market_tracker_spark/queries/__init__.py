@@ -67,6 +67,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_frame_sample_checked",
     "multimodal_audio_features_checked",
     "multimodal_mp4_frame_index_checked",
+    "multimodal_mp4_frame_sample_checked",
+    "blob_decompress_stats_checked",
+    "warc_record_index_checked",
     "ann_ivf_recall_vs_brute",
     "ann_pq_recall_vs_brute",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the

@@ -698,3 +698,111 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("df").cast("double")), 6).alias("avg_df"),
         )
     )
+
+
+@register(
+    "blob_decompress_stats_checked",
+    oracle="""
+    WITH m AS (SELECT i FROM generate_series(0, 53) g(i)),
+    ok AS (
+      SELECT i,
+             ['zlib', 'gzip', 'bz2', 'xz', 'none'][i % 5 + 1] AS codec,
+             'doc ' || CAST(i AS VARCHAR) || ' '
+               || repeat('lorem ipsum dolor sit amet ', 3 + i % 5) AS text
+      FROM m WHERE i % 9 <> 7
+    )
+    SELECT i AS doc_id, codec,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha256, text, TRUE AS decompress_ok
+    FROM ok
+    UNION ALL
+    SELECT i,
+           CASE WHEN i % 5 = 4 THEN 'zlib'
+                ELSE ['zlib', 'gzip', 'bz2', 'xz', 'none'][i % 5 + 1] END,
+           NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 9 = 7
+    """,
+    doc=(
+        "VALUE-CHECKED blob decompression (the WARC/CommonCrawl "
+        "ingestion step): documents compressed with rotating stdlib "
+        "codecs (zlib/gzip/bz2/xz/none) are inflated in Arrow-batched "
+        "mapInPandas; the oracle recomputes length, SHA-256, and the "
+        "exact text of the DECOMPRESSED bytes from the closed-form "
+        "plaintext — the compressed side is free to be "
+        "nondeterministic, which is exactly why the check targets the "
+        "inflated bytes. Corrupt streams value-check "
+        "decompress_ok=false; per-row failure marking keeps one "
+        "poisoned archive member from killing a 100 TB stage."
+    ),
+)
+def blob_decompress_stats_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.compression import (
+        decompress_blobs,
+        synth_compressed_docs,
+    )
+
+    return decompress_blobs(synth_compressed_docs(spark, n=54))
+
+
+@register(
+    "warc_record_index_checked",
+    oracle="""
+    WITH m AS (SELECT i, 3 + i % 4 AS nr FROM generate_series(0, 11) g(i)),
+    ok AS (
+      SELECT m.i, j.j AS record_idx,
+             ['response', 'request', 'metadata'][j.j % 3 + 1] AS warc_type,
+             'http://example.com/' || m.i || '/' || j.j AS target_uri,
+             'payload ' || m.i || ' ' || j.j || ' '
+               || repeat('x', 10 + (m.i + j.j) % 20) AS body
+      FROM m, LATERAL (SELECT unnest(range(0, m.nr)) AS j) j
+      WHERE m.i % 7 <> 3
+    )
+    SELECT i AS blob_id, CAST(record_idx AS INTEGER) AS record_idx,
+           warc_type, target_uri,
+           CAST(length(body) AS INTEGER) AS content_length,
+           sha256(body) AS payload_sha256, TRUE AS parse_ok
+    FROM ok
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 7 = 3
+    """,
+    doc=(
+        "VALUE-CHECKED WARC ingestion, composed end-to-end: synthetic "
+        ".warc/.warc.gz blobs (gzip on even ids) run decompress_blobs "
+        "then parse_warc_records — two Arrow stages splitting each "
+        "archive into records with type, target URI, declared length, "
+        "and payload SHA-256, all recomputed closed-form by the "
+        "oracle. Corrupt archives (i % 7 == 3) value-check the "
+        "parse_ok=false marking. The CommonCrawl ingestion front door "
+        "for a 100 TB text pipeline."
+    ),
+)
+def warc_record_index_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import gzip as _gzip
+
+    from hridaya_steam_market_tracker_spark.operators.compression import (
+        decompress_blobs,
+        parse_warc_records,
+        synth_warc,
+    )
+
+    rows = []
+    for i in range(12):
+        raw = (
+            b"this is not a warc file at all"
+            if i % 7 == 3
+            else synth_warc(seed=i, n_records=3 + i % 4)
+        )
+        codec = "gzip" if i % 2 == 0 else "none"
+        payload = _gzip.compress(raw, mtime=0) if codec == "gzip" else raw
+        rows.append((i, codec, bytearray(payload)))
+    blobs = spark.createDataFrame(rows, "doc_id long, codec string, payload binary")
+    inflated = (
+        decompress_blobs(blobs)
+        .filter(F.col("decompress_ok"))
+        .select(
+            F.col("doc_id").alias("blob_id"),
+            F.encode(F.col("text"), "utf-8").alias("payload"),
+        )
+    )
+    return parse_warc_records(inflated)
