@@ -70,6 +70,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_mp4_frame_sample_checked",
     "blob_decompress_stats_checked",
     "warc_record_index_checked",
+    "bpe_train_merges",
+    "bpe_doc_token_stats",
     "ann_ivf_recall_vs_brute",
     "ann_pq_recall_vs_brute",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
@@ -101,6 +103,7 @@ def load_all() -> dict[str, Query]:
     CORRECTNESS_r01/r02).
     """
     from hridaya_steam_market_tracker_spark.queries import (  # noqa: F401
+        bpe_q,
         tpch,
         timeseries,
         windows,

@@ -1,0 +1,46 @@
+"""BPE training against a hand-worked toy corpus (Sennrich-style)."""
+
+from __future__ import annotations
+
+from hridaya_steam_market_tracker_spark.operators.bpe import bpe_segment, bpe_train
+
+
+def _toy(spark):
+    return spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        "doc_id long, text string",
+    )
+
+
+def test_bpe_train_hand_computed(spark):
+    """Corpus low x3, lower x2, newest x1. Hand-worked pair counts:
+    round 1 ties (l,o) and (o,w) at 5 -> left-asc tie-break picks
+    (l,o); round 2 (lo,w) at 5; round 3 (low,</w>) at 3 (ties with
+    (w,e) at 3 -> 'low' < 'w'). Corpus tokens 31 -> 26 -> 21 -> 18."""
+    rows = {
+        r["round"]: r
+        for r in bpe_train(_toy(spark), n_merges=3).collect()
+    }
+    assert (rows[1]["left"], rows[1]["right"], rows[1]["freq"]) == ("l", "o", 5)
+    assert (rows[2]["left"], rows[2]["right"], rows[2]["freq"]) == ("lo", "w", 5)
+    assert (rows[3]["left"], rows[3]["right"], rows[3]["freq"]) == ("low", "</w>", 3)
+    assert [rows[r]["corpus_tokens_after"] for r in (1, 2, 3)] == [26, 21, 18]
+
+
+def test_bpe_segment_toy(spark):
+    """After 3 merges: doc 1 = 'low</w>' x3 -> 3 tokens, 1 distinct;
+    doc 2 = 'low e r </w>' x2 -> 8 tokens, 4 distinct; doc 3 =
+    'n e w e s t </w>' -> 7 tokens, 6 distinct (e twice)."""
+    docs = _toy(spark)
+    merges = bpe_train(docs, n_merges=3)
+    seg = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
+    assert (seg[1]["n_bpe_tokens"], seg[1]["n_distinct_tokens"]) == (3, 1)
+    assert (seg[2]["n_bpe_tokens"], seg[2]["n_distinct_tokens"]) == (8, 4)
+    assert (seg[3]["n_bpe_tokens"], seg[3]["n_distinct_tokens"]) == (7, 6)
+
+
+def test_bpe_train_deterministic(spark):
+    docs = _toy(spark)
+    a = sorted(map(tuple, bpe_train(docs, n_merges=3).collect()))
+    b = sorted(map(tuple, bpe_train(docs, n_merges=3).collect()))
+    assert a == b
