@@ -26,7 +26,7 @@ _N_MERGES = 8
 # Vocabulary CTE shared by both oracles: lowercase whitespace tokens ->
 # separator-joined char representation with the </w> end marker.
 _W0 = """
-    w0 AS (
+    w0 AS MATERIALIZED (
       SELECT concat(regexp_replace(word, '(.)', '\\1' || chr(31), 'g'), '</w>')
                AS repr,
              CAST(count(*) AS BIGINT) AS cnt
@@ -56,7 +56,7 @@ def _round_stages(r: int) -> str:
     ),
     m{r} AS (SELECT l, r2, freq FROM p{r}
              ORDER BY freq DESC, l ASC, r2 ASC LIMIT 1),
-    w{r} AS (
+    w{r} AS MATERIALIZED (
       SELECT replace(w.repr, m.l || chr(31) || m.r2, m.l || m.r2) AS repr, w.cnt
       FROM {prev} w CROSS JOIN m{r} m
     ),
