@@ -52,6 +52,11 @@ HEADLINE = [
     "bm25_search_scores",
     "ann_lsh_multiprobe_topk",
     "dedup_clusters_star",
+    # NOT benched: bpe_train_merges — its per-round localCheckpoints run
+    # eagerly at plan-build time, so the noop-save timer would record only
+    # the final 8-row union read (~40 ms), not the training work. Honest
+    # timings for it live in tests; including a misleading number here
+    # would pollute the round-over-round record.
 ]
 
 

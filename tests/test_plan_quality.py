@@ -158,6 +158,29 @@ def test_kmeans_lite_plan_depth_constant_across_iterations(spark):
     assert "ExistingRDD" in plans[3]
 
 
+def test_bpe_train_plan_depth_constant_across_rounds(spark):
+    """Each BPE round localCheckpoints the vocabulary, so the merge
+    table's plan depth must not grow with n_merges (same discipline as
+    kmeans_lite; a regression here re-nests every round's argmax
+    subtree into the next round's plan)."""
+    from hridaya_steam_market_tracker_spark.operators.bpe import bpe_train
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    depths = {}
+    for n in (1, 3):
+        plan = (
+            bpe_train(docs, n_merges=n)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the union adds one branch per round, so normalize per round:
+        # per-branch depth must stay constant as n_merges grows
+        depths[n] = len(plan.splitlines()) / n
+    assert abs(depths[1] - depths[3]) <= 2
+
+
 def test_emb_cosine_near_dup_is_not_cartesian(spark, registry):
     """The exact cosine self-join must run as the tiled block equi-join:
     no CartesianProduct / BroadcastNestedLoopJoin over the pair space."""
