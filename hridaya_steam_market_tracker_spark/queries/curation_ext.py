@@ -806,3 +806,58 @@ def warc_record_index_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parse_warc_records(inflated)
+
+
+@register(
+    "bigram_lm_doc_scores",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_prepend('<s>', ws) AS padded, len(ws) AS n
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS ws FROM documents)
+      WHERE len(ws) > 0
+    ),
+    bi AS (
+      SELECT doc_id, padded[k.k] AS w1, padded[k.k + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS k) k
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+    vv AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi)
+    ),
+    s AS (
+      SELECT bi.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(round(
+               ln(CAST(bc.c12 + 1 AS DOUBLE) / CAST(uc.c1 + vv.v AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_micro_nats
+      FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+      GROUP BY bi.doc_id
+    )
+    SELECT doc_id, n_bigrams, score_micro_nats,
+           round(CAST(score_micro_nats AS DOUBLE)
+                 / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 9) AS avg_logprob,
+           round(exp(-(CAST(score_micro_nats AS DOUBLE)
+                 / (CAST(n_bigrams AS DOUBLE) * 1000000.0))), 6) AS perplexity
+    FROM s
+    """,
+    doc=(
+        "CCNet-style LM quality filter, VALUE-CHECKED: an add-one "
+        "bigram model trained on the corpus itself (two aggregations; "
+        "the model tables broadcast back, vocabulary-sized), each doc "
+        "scored by its BOS-padded bigram log-likelihood. Every "
+        "log-probability integerizes to micro-nats BEFORE the per-doc "
+        "sum (the PQ-ADC trick), so the BIGINT score is immune to float "
+        "summation order and the oracle hash-matches the trained "
+        "model's scores exactly; avg_logprob/perplexity derive from the "
+        "exact integers."
+    ),
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.lm import (
+        bigram_lm_doc_scores as _score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return _score(docs)

@@ -44,3 +44,25 @@ def test_bpe_train_deterministic(spark):
     a = sorted(map(tuple, bpe_train(docs, n_merges=3).collect()))
     b = sorted(map(tuple, bpe_train(docs, n_merges=3).collect()))
     assert a == b
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Corpus 'a b' + 'a b a': c(<s>,a)=2, c(a,b)=2, c(b,a)=1;
+    w1 counts <s>=2, a=2, b=1; V=3. p(a|<s>)=p(b|a)=3/5, p(a|b)=2/4."""
+    import math
+
+    from hridaya_steam_market_tracker_spark.operators.lm import (
+        bigram_lm_doc_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a")], "doc_id long, text string"
+    )
+    micro = lambda p: int(round(math.log(p) * 1e6))
+    rows = {r["doc_id"]: r for r in bigram_lm_doc_scores(docs).collect()}
+    assert rows[1]["n_bigrams"] == 2
+    assert rows[1]["score_micro_nats"] == micro(0.6) + micro(0.6)
+    assert rows[2]["n_bigrams"] == 3
+    assert rows[2]["score_micro_nats"] == micro(0.6) + micro(0.6) + micro(0.5)
+    assert abs(rows[2]["perplexity"] - math.exp(
+        -(micro(0.6) * 2 + micro(0.5)) / 3e6)) < 1e-5
