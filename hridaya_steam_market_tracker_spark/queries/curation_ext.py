@@ -861,3 +861,120 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return _score(docs)
+
+
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_prepend('<s>', ws) AS padded, len(ws) AS n
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS ws FROM documents)
+      WHERE len(ws) > 0
+    ),
+    bi AS (
+      SELECT doc_id, padded[k.k] AS w1, padded[k.k + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS k) k
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+    vv AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi)
+    ),
+    per_src AS (
+      SELECT doc.source,
+             CAST(count(DISTINCT bi.doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(round(
+               ln(CAST(bc.c12 + 1 AS DOUBLE) / CAST(uc.c1 + vv.v AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM bi
+      JOIN documents doc ON doc.doc_id = bi.doc_id
+      JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+      GROUP BY doc.source
+    ),
+    inv AS (
+      SELECT source, n_docs, n_bigrams,
+             CAST(round(exp(CAST(score_micro AS DOUBLE)
+               / (CAST(n_bigrams AS DOUBLE) * 1000000.0)) * 1000000.0, 0)
+               AS BIGINT) AS inv_ppl_micro
+      FROM per_src
+    )
+    SELECT source, n_docs, n_bigrams, inv_ppl_micro,
+           round(CAST(inv_ppl_micro AS DOUBLE)
+                 / CAST((SELECT sum(inv_ppl_micro) FROM inv) AS DOUBLE), 9)
+             AS mix_weight
+    FROM inv
+    """,
+    doc=(
+        "Training-mix planning (quality-weighted domain sampling, the "
+        "DoReMi/CCNet-family recipe shape): per source domain, doc and "
+        "bigram counts plus an LM-quality sampling weight — inverse "
+        "perplexity under the corpus bigram model, normalized across "
+        "domains. Determinism end to end: LM scores are exact BIGINT "
+        "micro-nats, inverse perplexities integerize to micro-units "
+        "before the cross-domain normalization sum, so the weights are "
+        "identical doubles in both engines. One extra shuffle over the "
+        "doc-level scoring: the per-source rollup."
+    ),
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.lm import _doc_bigrams
+
+    docs = table(spark, sf_dir, "documents")
+    bi = _doc_bigrams(docs, "text", "doc_id")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vv = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    logp_micro = F.round(
+        F.log(
+            (F.col("c12") + 1).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double")
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    # doc -> source is corpus-sized: no broadcast hint (AQE broadcasts it
+    # at fixture scale on its own; at 100 TB it degrades to a keyed join).
+    per_src = (
+        bi.join(docs.select("doc_id", "source"), "doc_id")
+        .join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(logp_micro).cast("long").alias("score_micro"),
+        )
+    )
+    inv = per_src.select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        F.round(
+            F.exp(
+                F.col("score_micro").cast("double")
+                / (F.col("n_bigrams").cast("double") * 1000000.0)
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("long")
+        .alias("inv_ppl_micro"),
+    )
+    denom = inv.agg(F.sum("inv_ppl_micro").cast("long").alias("denom"))
+    return inv.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        "inv_ppl_micro",
+        F.round(
+            F.col("inv_ppl_micro").cast("double") / F.col("denom").cast("double"), 9
+        ).alias("mix_weight"),
+    )
