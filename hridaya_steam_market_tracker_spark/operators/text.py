@@ -75,6 +75,40 @@ def pii_counts(text: Column) -> dict[str, Column]:
     return counts
 
 
+# HTML -> text extraction (the WARC-payload step of a web-corpus
+# pipeline), as a scan-stage regexp chain in the Java∩RE2 subset —
+# no lookarounds, inline (?is) flags, lazy quantifiers only where both
+# engines support them. Heuristic by design (tags containing '>'
+# inside quoted attributes are out of scope, like every regex-based
+# extractor); entity decoding handles the six universal entities with
+# &amp; LAST so '&amp;lt;' decodes once, not twice.
+_HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]*>", " "),
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", "\""),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column) -> Column:
+    """Strip markup to visible text: script/style/comment blocks out,
+    every remaining tag becomes a space (so adjacent block elements
+    don't fuse words), common entities decoded, whitespace normalized
+    via clean_text. Pure native expressions — zero Python, zero
+    shuffles; at 100 TB this runs inside the scan stage right after
+    WARC payload extraction."""
+    out = html
+    for pattern, rep in _HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pattern, rep)
+    return clean_text(out)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokens (empty strings filtered)."""
     return F.filter(F.split(F.trim(text), WS_SPLIT_RE), lambda t: t != "")

@@ -74,6 +74,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "bpe_doc_token_stats",
     "bigram_lm_doc_scores",
     "domain_mix_weights",
+    "html_text_extract_checked",
     "ann_ivf_recall_vs_brute",
     "ann_pq_recall_vs_brute",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the

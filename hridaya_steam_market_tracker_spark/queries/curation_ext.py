@@ -978,3 +978,87 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inv_ppl_micro").cast("double") / F.col("denom").cast("double"), 9
         ).alias("mix_weight"),
     )
+
+
+# HTML wrapper injected around each document (both engines build the
+# identical markup; the chain below must strip it back out).
+_HTML_WRAP_SQL = """
+      SELECT doc_id,
+             '<html><head><script>var x = ' || CAST(doc_id AS VARCHAR)
+             || ';</script><style>.c{color:red}</style></head><body>'
+             || '<!-- boilerplate --><h1>Title ' || CAST(doc_id AS VARCHAR)
+             || '</h1><p class="a">' || text || '</p>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<ul><li>alpha &amp; beta</li><li>x &lt; y</li></ul>'
+                     ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+"""
+
+
+def _html_strip_chain_sql(expr: str) -> str:
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        CONTROL_CHARS_RE,
+        _HTML_STRIP_STEPS,
+    )
+
+    for pat, rep in _HTML_STRIP_STEPS:
+        rep_sql = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '{rep_sql}', 'g')"
+    return (
+        f"trim(regexp_replace(regexp_replace({expr}, "
+        f"'{CONTROL_CHARS_RE}', '', 'g'), '\\s+', ' ', 'g'))"
+    )
+
+
+@register(
+    "html_text_extract_checked",
+    oracle=f"""
+    WITH wrapped AS ({_HTML_WRAP_SQL}),
+    extracted AS (
+      SELECT doc_id, {_html_strip_chain_sql("html")} AS extracted
+      FROM wrapped
+    )
+    SELECT doc_id, CAST(length(extracted) AS INTEGER) AS n_chars,
+           sha256(extracted) AS extracted_sha256
+    FROM extracted
+    """,
+    doc=(
+        "HTML -> text extraction (the WARC-payload step of a web-corpus "
+        "pipeline), VALUE-CHECKED: deterministic markup (script/style/"
+        "comment blocks, heading + paragraph tags, entity-bearing list "
+        "items) wraps every document; operators/text.py:html_to_text "
+        "strips it with a scan-stage Java∩RE2 regexp chain — blocks "
+        "out, tags to spaces, six-entity decode with &amp; last, C4 "
+        "whitespace cleanup — and the oracle runs the identical chain, "
+        "hashing the extracted bytes. Zero Python, zero shuffles."
+    ),
+)
+def html_text_extract_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import html_to_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><script>var x = "),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><style>.c{color:red}</style></head><body>"),
+            F.lit("<!-- boilerplate --><h1>Title "),
+            F.col("doc_id").cast("string"),
+            F.lit('</h1><p class="a">'),
+            F.col("text"),
+            F.lit("</p>"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("<ul><li>alpha &amp; beta</li><li>x &lt; y</li></ul>"),
+            ).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    extracted = html_to_text(F.col("html"))
+    return wrapped.select(
+        "doc_id",
+        F.length(extracted).cast("int").alias("n_chars"),
+        F.sha2(extracted, 256).alias("extracted_sha256"),
+    )

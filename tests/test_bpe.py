@@ -66,3 +66,22 @@ def test_bigram_lm_hand_computed(spark):
     assert rows[2]["score_micro_nats"] == micro(0.6) + micro(0.6) + micro(0.5)
     assert abs(rows[2]["perplexity"] - math.exp(
         -(micro(0.6) * 2 + micro(0.5)) / 3e6)) < 1e-5
+
+
+def test_html_to_text_semantics(spark):
+    """Semantic expectations (the oracle only proves cross-engine regex
+    parity): scripts/styles/comments vanish, tags separate words,
+    entities decode once, whitespace normalizes."""
+    from hridaya_steam_market_tracker_spark.operators.text import html_to_text
+    from pyspark.sql import functions as F
+
+    html = (
+        "<html><head><script>var a = '<p>not text</p>';</script>"
+        "<style>p{}</style></head><body><!-- hidden -->"
+        "<h1>Hello</h1><p>world &amp; friends</p>"
+        "<div>x &lt; y &gt; z</div><span>&quot;q&#39;s&quot;</span>"
+        "<p>double &amp;lt; stays</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    out = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert out == "Hello world & friends x < y > z \"q's\" double &lt; stays"

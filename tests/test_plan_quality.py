@@ -82,6 +82,9 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "clean_text_stats",
         "url_domain_stats",
         "ngram_novelty_scores",
+        "html_text_extract_checked",
+        "bigram_lm_doc_scores",
+        "domain_mix_weights",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
