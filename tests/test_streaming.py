@@ -361,3 +361,45 @@ def test_trending_topk_end_to_end(spark, tmp_path):
             assert r["market_hash_name"] == "hot"
     finally:
         q.stop()
+
+
+def test_binary_ingestion_tier_streams(spark, tmp_path):
+    """The Arrow-batched binary operators run under Structured
+    Streaming unchanged: a file stream of gzip'd documents flows
+    through decompress_blobs (mapInPandas) into a memory sink with the
+    same per-row results as the batch path — the shape a continuous
+    WARC-ingest job uses at scale (availableNow batches)."""
+    import gzip
+
+    from hridaya_steam_market_tracker_spark.operators.compression import (
+        decompress_blobs,
+    )
+
+    src_dir = str(tmp_path / "blobs")
+    rows = [
+        (i, "gzip", bytearray(gzip.compress(f"stream doc {i}".encode(), mtime=0)))
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, codec string, payload binary"
+    ).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, codec string, payload binary"
+    ).parquet(src_dir)
+    out = decompress_blobs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("inflated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("SELECT * FROM inflated_stream").collect()
+    }
+    assert got == {i: f"stream doc {i}" for i in range(20)}
