@@ -5,6 +5,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is fully evaluated through the `noop` sink (no driver-side
 row transfer, no result truncation) — the honest cost of the plan.
 
+Round-4 note on ann_lsh_multiprobe_topk (~2.7 s, the slowest entry):
+the fixture's embeddings parquet is one ~800 KB file -> ONE input
+partition, so the corpus-side bucket computation (2048 fused
+multiply-adds per row via higher-order functions) runs serially; at
+real scale the scan has thousands of partitions and this cost
+parallelizes away. Adding a repartition would fake the bench number by
+inserting a shuffle the 100 TB plan should not have, so it stays.
+
 Round-3 drift attribution (the r2 verdict asked): an A/B at sf0.1 with
 spark.sql.ansi.enabled=false measured ANSI overhead at ~15% uniformly
 (total 6.62 s on vs 5.63 s off; per-query ratios 0.96-1.66x, noise-
