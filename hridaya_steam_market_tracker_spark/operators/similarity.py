@@ -814,3 +814,75 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def sign_cells(
+    embeddings: DataFrame,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sign-quantizer cell assignment: each vector's cell
+    is its sign pattern against ``planes`` seeded-LCG hyperplanes
+    (2^planes cells). The scan-stage partitioner for cluster-then-
+    compare work (semantic dedup): downstream pairwise comparisons run
+    WITHIN cells only, so the corpus never meets itself in a full
+    self-join. Planes ship as one broadcast row (constant-size plan).
+
+    Returns the input columns plus ``cell`` (long).
+    """
+    hp = hyperplanes(dim, planes, seed=seed)
+    planes_df = embeddings.sparkSession.createDataFrame(
+        [(hp,)], "hp array<array<double>>"
+    )
+    dots = F.transform(F.col("hp"), lambda pl: _dot(F.col(vec_col), pl))
+    return (
+        embeddings.crossJoin(F.broadcast(planes_df))
+        .withColumn("cell", _bucket_from_dots(dots, planes))
+        .drop("hp")
+    )
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style near-duplicate candidate mining (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into quantizer cells, then
+    verify exact cosine >= threshold for pairs WITHIN a cell only.
+
+    The published recipe clusters with k-means and compares inside each
+    cluster; this variant uses the deterministic sign quantizer
+    (``sign_cells``) for the partitioning step so the whole pipeline is
+    exactly reproducible cross-engine (Lloyd's float feedback loop is
+    not). Same asymptotics: comparison cost is sum of per-cell
+    quadratics instead of one corpus quadratic. At scale the cell join
+    is a plain equi-join on ``cell`` — AQE skew-split handles a hot
+    cell, and raising ``planes`` shrinks cells geometrically.
+
+    Approximate by design: cross-cell near-dups are missed (recall of
+    the sign partition); the exact tier is ``cosine_self_join``.
+
+    Returns (cell, i, j, cos_sim) with i < j.
+    """
+    cells = sign_cells(embeddings, planes, dim, seed, id_col, vec_col)
+    a = cells.select(
+        F.col("cell"), F.col(id_col).alias("i"), F.col(vec_col).alias("va")
+    )
+    b = cells.select(
+        F.col("cell"), F.col(id_col).alias("j"), F.col(vec_col).alias("vb")
+    )
+    c = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("i") < F.col("j"))
+        .filter(c >= threshold)
+        .select("cell", "i", "j", F.round(c, 6).alias("cos_sim"))
+    )

@@ -77,6 +77,10 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "html_text_extract_checked",
     "ann_ivf_recall_vs_brute",
     "ann_pq_recall_vs_brute",
+    "semantic_dedup_keep_list",
+    "dsir_importance_weights",
+    "url_blocklist_filter",
+    "perceptron_quality_scores",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",
@@ -125,6 +129,7 @@ def load_all() -> dict[str, Query]:
         media,
         parsers,
         rollups,
+        selection,
         streaming_twins,
     )
 

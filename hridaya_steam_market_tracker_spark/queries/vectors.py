@@ -622,3 +622,91 @@ def ann_pq_recall_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id")
     )
     return _recall_vs(brute, pq)
+
+
+# Single-bank sign-quantizer cells for semantic dedup: seed 7, 8 planes
+# x 64 dims = 512 LCG steps, replicated bit-exactly (HUGEINT LCG, same
+# double conversion) like the multi-table LSH oracle above.
+_SEMDEDUP_CELLS = """
+    lcg AS (
+      SELECT 0 AS step, CAST(7 AS HUGEINT) AS state
+      UNION ALL
+      SELECT step + 1,
+             (state * 6364136223846793005 + 1442695040888963407) % 9223372036854775808
+      FROM lcg WHERE step < 512
+    ),
+    plane_vals AS (
+      SELECT (step-1) // 64 AS p, (step-1) % 64 AS d,
+             CAST(state AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0 AS v
+      FROM lcg WHERE step >= 1
+    ),
+    planes AS (SELECT p, list(v ORDER BY d) AS plane FROM plane_vals GROUP BY p),
+    cells AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             CAST(sum(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                                   pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding
+    )
+"""
+
+
+@register(
+    "semantic_dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_CELLS},
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_inner_product(a.v, b.v)
+            / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v))
+            >= 0.4
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, CAST(min(lab) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT c.vec_id, CAST(cl.cell AS BIGINT) AS cell, c.component,
+           c.component = c.vec_id AS kept
+    FROM comp c JOIN cells cl USING (vec_id)
+    """,
+    doc=(
+        "SemDeDup-style semantic dedup keep-list (Abbas et al. 2023): "
+        "partition embeddings into deterministic sign-quantizer cells, "
+        "verify exact cosine >= 0.4 within cells only, take connected "
+        "components of the verified pair graph, keep min-id per "
+        "component. The sub-quadratic cluster-then-compare tier of "
+        "emb_near_dup_clusters — cell equi-join instead of the tiled "
+        "full self-join; fully value-checked because the quantizer is "
+        "the seeded-LCG sign family, not Lloyd k-means."
+    ),
+)
+def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    cells = S.sign_cells(emb, planes=8, dim=64, seed=7)
+    pairs = S.semantic_dedup_pairs(emb, threshold=0.4, planes=8, dim=64, seed=7)
+    labels = connected_components(
+        emb.select("vec_id"), pairs.select("i", "j"), id_col="vec_id"
+    )
+    return (
+        labels.select(F.col("node").alias("vec_id"), "component")
+        .join(cells.select("vec_id", "cell"), "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            "component",
+            (F.col("component") == F.col("vec_id")).alias("kept"),
+        )
+    )

@@ -85,6 +85,10 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "html_text_extract_checked",
         "bigram_lm_doc_scores",
         "domain_mix_weights",
+        "semantic_dedup_keep_list",
+        "dsir_importance_weights",
+        "url_blocklist_filter",
+        "perceptron_quality_scores",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
@@ -124,6 +128,17 @@ def test_sign_quantizer_ann_no_cartesian_no_python(spark, registry, name, max_sh
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Exchange") <= max_shuffles
+
+
+def test_semantic_dedup_is_cell_equijoin(spark, registry):
+    """SemDeDup tier: the corpus may only meet itself through the cell
+    equi-join (plus the components label joins) — never a
+    CartesianProduct, never the tiled full self-join. That is the whole
+    point of the cluster-then-compare shape at 100 TB."""
+    plan = _plan(registry, spark, "semantic_dedup_keep_list")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 4
 
 
 def test_registered_ngram_jaccard_uses_hot_shingle_guard(spark, registry, monkeypatch):
