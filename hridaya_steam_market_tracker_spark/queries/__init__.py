@@ -81,6 +81,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "dsir_importance_weights",
     "url_blocklist_filter",
     "perceptron_quality_scores",
+    "dedup_keep_best_quality",
+    "ccnet_perplexity_buckets",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",

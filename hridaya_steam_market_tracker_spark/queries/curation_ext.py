@@ -1062,3 +1062,89 @@ def html_text_extract_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(extracted).cast("int").alias("n_chars"),
         F.sha2(extracted, 256).alias("extracted_sha256"),
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, list_prepend('<s>', ws) AS padded, len(ws) AS n
+      FROM (SELECT doc_id, {_TOKS_LOWER} AS ws FROM documents)
+      WHERE len(ws) > 0
+    ),
+    bi AS (
+      SELECT doc_id, padded[k.k] AS w1, padded[k.k + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS k) k
+    ),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+    uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+    vv AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi)
+    ),
+    s AS (
+      SELECT bi.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(round(
+               ln(CAST(bc.c12 + 1 AS DOUBLE) / CAST(uc.c1 + vv.v AS DOUBLE))
+               * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_micro_nats
+      FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vv
+      GROUP BY bi.doc_id
+    ),
+    j AS (
+      SELECT s.doc_id, doc.source,
+             round(CAST(s.score_micro_nats AS DOUBLE)
+                   / (CAST(s.n_bigrams AS DOUBLE) * 1000000.0), 9) AS avg_logprob,
+             round(exp(-(CAST(s.score_micro_nats AS DOUBLE)
+                   / (CAST(s.n_bigrams AS DOUBLE) * 1000000.0))), 6) AS perplexity
+      FROM s JOIN documents doc USING (doc_id)
+    ),
+    b AS (
+      SELECT *, ntile(3) OVER (PARTITION BY source
+                               ORDER BY avg_logprob DESC, doc_id ASC) AS bucket
+      FROM j
+    )
+    SELECT doc_id, source, avg_logprob, perplexity,
+           CAST(bucket AS INTEGER) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                       ELSE 'tail' END AS bucket_label,
+           bucket <= 2 AS keep
+    FROM b
+    """,
+    doc=(
+        "CCNet head/middle/tail perplexity bucketing (Wenzek et al. "
+        "2020): per-source terciles of the corpus-trained bigram-LM "
+        "per-token log-likelihood, keep = head+middle (the published "
+        "selection rule). Ordering is on the rounded exact-integer-"
+        "derived avg_logprob with doc_id tie-break, so the NTILE "
+        "assignment is cross-engine deterministic; one window over the "
+        "already-scored docs — the bucketing itself adds a single "
+        "source-keyed shuffle."
+    ),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hridaya_steam_market_tracker_spark.operators.lm import (
+        bigram_lm_doc_scores as _score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scores = _score(docs).select("doc_id", "avg_logprob", "perplexity")
+    joined = scores.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    bucket = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "source",
+        "avg_logprob",
+        "perplexity",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket == 1, "head")
+        .when(bucket == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket_label"),
+        (bucket <= 2).alias("keep"),
+    )

@@ -445,3 +445,71 @@ def curation_pipeline_kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+_QUALITY_SQL = f"""
+      round(CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END * 0.4
+    + CASE WHEN CAST(len(list_filter({_TOKS_LOWER}, x -> list_contains({_STOPLIST}, x))) AS DOUBLE) / len({_TOKS}) >= 0.05 THEN 1.0 ELSE 0.5 END * 0.4
+    + CASE WHEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) <= 0.2 THEN 1.0 ELSE 0.4 END * 0.2, 6)
+"""
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+             FROM reach GROUP BY node),
+    scored AS (SELECT doc_id, {_QUALITY_SQL} AS quality_score FROM documents)
+    SELECT c.doc_id, c.component, s.quality_score,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY s.quality_score DESC, c.doc_id ASC) = 1
+             AS canonical
+    FROM comp c JOIN scored s USING (doc_id)
+    """,
+    doc=(
+        "Quality-aware canonical selection: same near-dup clusters as "
+        "dedup_clusters, but the survivor per cluster is the HIGHEST-"
+        "QUALITY member (composite gate score, doc_id tie-break) instead "
+        "of min-id — what a production curation pipeline actually keeps "
+        "(the min-id rule discards a clean copy when a boilerplate-"
+        "ridden near-dup happens to have the smaller id). One extra "
+        "broadcast-sized window over the cluster labels."
+    ),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, num_hashes=32, bands=16, threshold=0.5
+    ).select("i", "j")
+    labels = connected_components(docs.select("doc_id"), pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    scored = with_text_stats(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labels.join(scored, "doc_id")
+        .withColumn("canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "component", "quality_score", "canonical")
+    )

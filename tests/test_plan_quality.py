@@ -89,6 +89,8 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "dsir_importance_weights",
         "url_blocklist_filter",
         "perceptron_quality_scores",
+        "dedup_keep_best_quality",
+        "ccnet_perplexity_buckets",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
