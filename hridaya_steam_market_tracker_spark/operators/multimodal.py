@@ -12,8 +12,12 @@ successive-approximation scan accumulation, dequantize, IDCT, generic
 h/v chroma upsampling, YCbCr->RGB) decode to RGB pixel arrays and
 re-encode (PNG as 8-bit RGB; GIF as an exact-palette clear-refreshed
 LZW stream; JPEG as near-lossless 4:4:4 baseline JFIF).
-Lossless/arithmetic JPEG and container formats (mp4) remain
-clearly-marked NotImplementedError stubs until a codec library is
+The MP4 side is real too: an ISO-BMFF demuxer (`_mp4_parser`) walks
+the box tree to the full per-frame sample index, and
+`decode_mp4_frames` composes it with the JPEG codec for REAL
+video-frame decode of MJPEG tracks. Lossless/arithmetic JPEG and
+compressed video codecs (avc1/hevc) remain clearly-marked
+NotImplementedError / per-frame-failure seams until a codec library is
 plugged in; the 'fake' format keeps its digest-based deterministic
 pseudo-decode for plumbing tests.
 
@@ -1341,30 +1345,50 @@ def checked_media_df(spark, n: int = 48) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def synth_mp4(seed: int, n_frames: int, timescale: int, with_stss: bool) -> bytes:
+def synth_mp4(
+    seed: int,
+    n_frames: int,
+    timescale: int,
+    with_stss: bool,
+    frame_payloads: list[bytes] | None = None,
+    codec: bytes = b"fake",
+) -> bytes:
     """Minimal valid ISO BMFF (MP4) file, pure stdlib: ftyp + mdat +
     moov/trak/mdia/minf/stbl with real stts (two delta runs), stsz,
     stsc (single chunk), stco, and optionally stss (sync every 5th
     sample). Frame timing/size/offset are closed-form in (seed, j), so
-    a SQL oracle can recompute the whole index arithmetically. The
-    mdat payload is fake frame bytes — the container INDEX is the real
-    artifact; codec decode stays stubbed."""
+    a SQL oracle can recompute the whole index arithmetically. By
+    default the mdat payload is fake frame bytes (container INDEX is
+    the artifact); pass ``frame_payloads`` (e.g. real JPEG streams for
+    an MJPEG track) to carry decodable frames — stsz then records the
+    true byte sizes."""
     import struct
 
     def box(t: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + t + payload
 
-    sizes = [10 + (j * 7 + seed) % 17 for j in range(n_frames)]
+    if frame_payloads is None:
+        sizes = [10 + (j * 7 + seed) % 17 for j in range(n_frames)]
+        frames = [bytes([(seed + j) % 256]) * sz for j, sz in enumerate(sizes)]
+    else:
+        assert len(frame_payloads) == n_frames
+        frames = list(frame_payloads)
+        sizes = [len(p) for p in frames]
     n1 = n_frames // 2
     d1, d2 = 30 + seed % 5, 40 + seed % 3
     duration = n1 * d1 + (n_frames - n1) * d2
 
-    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")  # 24 bytes
-    mdat = box(
-        b"mdat",
-        b"".join(bytes([(seed + j) % 256]) * sz for j, sz in enumerate(sizes)),
-    )
-    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(b"fake", b""))
+    # major brand + minor version + TWO compatible brands = 16-byte
+    # payload -> 24-byte box, so mdat data really starts at 32 (the
+    # stco value below). The single-brand variant was 20 bytes, leaving
+    # stco 4 bytes past the true frame start — invisible to the index
+    # extractor (it reports what stco says) but fatal once
+    # decode_mp4_frames actually slices frame bytes.
+    ftyp = box(
+        b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"iso2"
+    )  # 24 bytes
+    mdat = box(b"mdat", b"".join(frames))
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(codec, b""))
     stts = box(
         b"stts",
         struct.pack(">II", 0, 2)
@@ -1406,6 +1430,140 @@ MP4_INDEX_SCHEMA = (
 )
 
 
+def _mp4_parser():
+    """Build the self-contained ISO BMFF sample-index parser (same
+    capture-by-value discipline as `_pixel_codec`): returns
+    ``parse(payload) -> [(frame_idx, ts_ms, byte_offset, n_bytes,
+    keyframe)]``, raising ValueError on malformed containers. Shared
+    by the index extractor and the MJPEG frame decoder."""
+    import struct
+
+    def boxes(data, start, end):
+        pos = start
+        while pos + 8 <= end:
+            size, t = struct.unpack_from(">I4s", data, pos)
+            hdr = 8
+            if size == 1:
+                size = struct.unpack_from(">Q", data, pos + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad MP4 box size")
+            yield t, pos + hdr, pos + size
+            pos += size
+
+    def child(data, start, end, name):
+        for t, s, e in boxes(data, start, end):
+            if t == name:
+                return s, e
+        return None
+
+    def parse(payload: bytes):
+        if len(payload) < 12 or payload[4:8] != b"ftyp":
+            raise ValueError("not an MP4 (missing ftyp)")
+        moov = child(payload, 0, len(payload), b"moov")
+        if moov is None:
+            raise ValueError("MP4 missing moov")
+        for t, s, e in boxes(payload, *moov):
+            if t != b"trak":
+                continue
+            mdia = child(payload, s, e, b"mdia")
+            if mdia is None:
+                continue
+            hd = child(payload, *mdia, b"hdlr")
+            if hd is not None and payload[hd[0] + 8 : hd[0] + 12] != b"vide":
+                continue
+            mdhd = child(payload, *mdia, b"mdhd")
+            minf = child(payload, *mdia, b"minf")
+            if mdhd is None or minf is None:
+                continue
+            if payload[mdhd[0]] == 1:  # version 1: 64-bit times
+                timescale = struct.unpack_from(">I", payload, mdhd[0] + 20)[0]
+            else:
+                timescale = struct.unpack_from(">I", payload, mdhd[0] + 12)[0]
+            stbl = child(payload, *minf, b"stbl")
+            if stbl is None:
+                continue
+            return index_from_stbl(payload, stbl, timescale)
+        raise ValueError("MP4 contains no video trak")
+
+    def full_u32s(data, s, n):
+        return list(struct.unpack_from(f">{n}I", data, s))
+
+    def index_from_stbl(data, stbl, timescale):
+        stts = child(data, *stbl, b"stts")
+        stsz = child(data, *stbl, b"stsz")
+        stsc = child(data, *stbl, b"stsc")
+        stco = child(data, *stbl, b"stco")
+        co64 = child(data, *stbl, b"co64")
+        stss = child(data, *stbl, b"stss")
+        if stts is None or stsz is None or stsc is None or (
+            stco is None and co64 is None
+        ):
+            raise ValueError("MP4 stbl missing required boxes")
+        # stts: decode-time deltas as (count, delta) runs
+        n_ent = struct.unpack_from(">I", data, stts[0] + 4)[0]
+        deltas = []
+        for i in range(n_ent):
+            cnt, d = struct.unpack_from(">II", data, stts[0] + 8 + 8 * i)
+            deltas += [d] * cnt
+        # stsz: per-sample sizes (or constant)
+        const_sz, n_samples = struct.unpack_from(">II", data, stsz[0] + 4)
+        sizes = (
+            [const_sz] * n_samples
+            if const_sz
+            else full_u32s(data, stsz[0] + 12, n_samples)
+        )
+        if len(deltas) < n_samples:
+            raise ValueError("MP4 stts shorter than stsz")
+        # chunk offsets
+        if stco is not None:
+            n_ch = struct.unpack_from(">I", data, stco[0] + 4)[0]
+            offsets = full_u32s(data, stco[0] + 8, n_ch)
+        else:
+            n_ch = struct.unpack_from(">I", data, co64[0] + 4)[0]
+            offsets = list(struct.unpack_from(f">{n_ch}Q", data, co64[0] + 8))
+        # stsc: (first_chunk, samples_per_chunk, _desc) runs -> per-chunk spc
+        n_sc = struct.unpack_from(">I", data, stsc[0] + 4)[0]
+        runs = [
+            struct.unpack_from(">III", data, stsc[0] + 8 + 12 * i)
+            for i in range(n_sc)
+        ]
+        spc = []
+        for i, (first, per, _d) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_ch
+            spc += [per] * (last - first + 1)
+        syncs = None
+        if stss is not None:
+            n_sync = struct.unpack_from(">I", data, stss[0] + 4)[0]
+            syncs = set(full_u32s(data, stss[0] + 8, n_sync))
+        out = []
+        t = 0
+        j = 0
+        for ch, chunk_off in enumerate(offsets):
+            off = chunk_off
+            for _ in range(spc[ch] if ch < len(spc) else 0):
+                if j >= n_samples:
+                    break
+                out.append(
+                    (
+                        j,
+                        (t * 1000) // timescale,
+                        off,
+                        sizes[j],
+                        True if syncs is None else (j + 1) in syncs,
+                    )
+                )
+                off += sizes[j]
+                t += deltas[j]
+                j += 1
+        if j != n_samples:
+            raise ValueError("MP4 stsc/stco cover fewer samples than stsz")
+        return out
+    return parse
+
+
 def extract_mp4_frame_index(media: DataFrame) -> DataFrame:
     """REAL MP4 container demux via Arrow-batched mapInPandas: walk the
     ISO BMFF box tree (64-bit sizes supported) to the first video
@@ -1417,134 +1575,12 @@ def extract_mp4_frame_index(media: DataFrame) -> DataFrame:
     yields a single parse_ok=false row — the honest-failure discipline
     the image codecs use. This is the real scale path for video
     pipelines: frame-level work items with byte ranges, produced
-    without touching a codec; the frame DECODE stays a stub."""
+    without touching a codec (frame decode lives in
+    decode_mp4_frames for MJPEG payloads)."""
+    parse = _mp4_parser()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
-
-        def boxes(data, start, end):
-            pos = start
-            while pos + 8 <= end:
-                size, t = struct.unpack_from(">I4s", data, pos)
-                hdr = 8
-                if size == 1:
-                    size = struct.unpack_from(">Q", data, pos + 8)[0]
-                    hdr = 16
-                elif size == 0:
-                    size = end - pos
-                if size < hdr or pos + size > end:
-                    raise ValueError("bad MP4 box size")
-                yield t, pos + hdr, pos + size
-                pos += size
-
-        def child(data, start, end, name):
-            for t, s, e in boxes(data, start, end):
-                if t == name:
-                    return s, e
-            return None
-
-        def parse(payload: bytes):
-            if len(payload) < 12 or payload[4:8] != b"ftyp":
-                raise ValueError("not an MP4 (missing ftyp)")
-            moov = child(payload, 0, len(payload), b"moov")
-            if moov is None:
-                raise ValueError("MP4 missing moov")
-            for t, s, e in boxes(payload, *moov):
-                if t != b"trak":
-                    continue
-                mdia = child(payload, s, e, b"mdia")
-                if mdia is None:
-                    continue
-                hd = child(payload, *mdia, b"hdlr")
-                if hd is not None and payload[hd[0] + 8 : hd[0] + 12] != b"vide":
-                    continue
-                mdhd = child(payload, *mdia, b"mdhd")
-                minf = child(payload, *mdia, b"minf")
-                if mdhd is None or minf is None:
-                    continue
-                if payload[mdhd[0]] == 1:  # version 1: 64-bit times
-                    timescale = struct.unpack_from(">I", payload, mdhd[0] + 20)[0]
-                else:
-                    timescale = struct.unpack_from(">I", payload, mdhd[0] + 12)[0]
-                stbl = child(payload, *minf, b"stbl")
-                if stbl is None:
-                    continue
-                return index_from_stbl(payload, stbl, timescale)
-            raise ValueError("MP4 contains no video trak")
-
-        def full_u32s(data, s, n):
-            return list(struct.unpack_from(f">{n}I", data, s))
-
-        def index_from_stbl(data, stbl, timescale):
-            stts = child(data, *stbl, b"stts")
-            stsz = child(data, *stbl, b"stsz")
-            stsc = child(data, *stbl, b"stsc")
-            stco = child(data, *stbl, b"stco")
-            co64 = child(data, *stbl, b"co64")
-            stss = child(data, *stbl, b"stss")
-            if stts is None or stsz is None or stsc is None or (
-                stco is None and co64 is None
-            ):
-                raise ValueError("MP4 stbl missing required boxes")
-            # stts: decode-time deltas as (count, delta) runs
-            n_ent = struct.unpack_from(">I", data, stts[0] + 4)[0]
-            deltas = []
-            for i in range(n_ent):
-                cnt, d = struct.unpack_from(">II", data, stts[0] + 8 + 8 * i)
-                deltas += [d] * cnt
-            # stsz: per-sample sizes (or constant)
-            const_sz, n_samples = struct.unpack_from(">II", data, stsz[0] + 4)
-            sizes = (
-                [const_sz] * n_samples
-                if const_sz
-                else full_u32s(data, stsz[0] + 12, n_samples)
-            )
-            if len(deltas) < n_samples:
-                raise ValueError("MP4 stts shorter than stsz")
-            # chunk offsets
-            if stco is not None:
-                n_ch = struct.unpack_from(">I", data, stco[0] + 4)[0]
-                offsets = full_u32s(data, stco[0] + 8, n_ch)
-            else:
-                n_ch = struct.unpack_from(">I", data, co64[0] + 4)[0]
-                offsets = list(struct.unpack_from(f">{n_ch}Q", data, co64[0] + 8))
-            # stsc: (first_chunk, samples_per_chunk, _desc) runs -> per-chunk spc
-            n_sc = struct.unpack_from(">I", data, stsc[0] + 4)[0]
-            runs = [
-                struct.unpack_from(">III", data, stsc[0] + 8 + 12 * i)
-                for i in range(n_sc)
-            ]
-            spc = []
-            for i, (first, per, _d) in enumerate(runs):
-                last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_ch
-                spc += [per] * (last - first + 1)
-            syncs = None
-            if stss is not None:
-                n_sync = struct.unpack_from(">I", data, stss[0] + 4)[0]
-                syncs = set(full_u32s(data, stss[0] + 8, n_sync))
-            out = []
-            t = 0
-            j = 0
-            for ch, chunk_off in enumerate(offsets):
-                off = chunk_off
-                for _ in range(spc[ch] if ch < len(spc) else 0):
-                    if j >= n_samples:
-                        break
-                    out.append(
-                        (
-                            j,
-                            (t * 1000) // timescale,
-                            off,
-                            sizes[j],
-                            True if syncs is None else (j + 1) in syncs,
-                        )
-                    )
-                    off += sizes[j]
-                    t += deltas[j]
-                    j += 1
-            if j != n_samples:
-                raise ValueError("MP4 stsc/stco cover fewer samples than stsz")
-            return out
 
         for pdf in batches:
             recs = []
@@ -1566,6 +1602,94 @@ def extract_mp4_frame_index(media: DataFrame) -> DataFrame:
         (F.col("media_type") == "video") & (F.col("format") == "mp4")
     ).select("media_id", "payload")
     return videos.mapInPandas(op, schema=MP4_INDEX_SCHEMA)
+
+
+MJPEG_DECODE_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, width int, height int, "
+    "mean_intensity double, decode_ok boolean"
+)
+
+
+def decode_mp4_frames(media: DataFrame) -> DataFrame:
+    """REAL video-frame decode for MJPEG-in-MP4: demux the container
+    to per-frame byte ranges (`_mp4_parser`), slice each frame's bytes
+    out of the payload, decode them through the real baseline-JPEG
+    codec, and emit per-frame statistics. One row per frame:
+    (media_id, frame_idx, ts_ms, width, height, mean_intensity,
+    decode_ok); an unparseable container yields one decode_ok=false
+    row, an undecodable individual frame keeps its index row with
+    NULL pixel stats — per-frame honest failure.
+
+    This closes the video-decode seam for the one codec the stdlib
+    stack really implements; non-JPEG sample entries (avc1/hevc) still
+    fail per-frame until a codec library is plugged in. Scale shape is
+    identical to extract_mp4_frame_index: Arrow-batched, partition-
+    parallel, no driver involvement — at 100 TB the demux+decode rides
+    the scan of the video blob column."""
+    parse = _mp4_parser()
+    pixel_decode, _ = _pixel_codec()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                try:
+                    samples = parse(data)
+                except (ValueError, struct.error):
+                    recs.append((mid, None, None, None, None, None, False))
+                    continue
+                for j, ts, off, sz, _key in samples:
+                    try:
+                        w, h, rgb = pixel_decode(data[off : off + sz], "jpg")
+                        mean = (sum(rgb) / len(rgb)) / 255.0
+                        recs.append((mid, j, ts, w, h, mean, True))
+                    except (NotImplementedError, ValueError):
+                        recs.append((mid, j, ts, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height",
+                    "mean_intensity", "decode_ok",
+                ],
+            )
+
+    videos = media.filter(
+        (F.col("media_type") == "video") & (F.col("format") == "mp4")
+    ).select("media_id", "payload")
+    return videos.mapInPandas(op, schema=MJPEG_DECODE_SCHEMA)
+
+
+def checked_mjpeg_df(spark, n: int = 12) -> DataFrame:
+    """Oracle-checkable MJPEG-in-MP4 table: each video's frames are
+    REAL baseline-JPEG encodings of constant-GRAY rasters whose level
+    is closed-form in (media_id, frame_idx): v = (37*i + 11*j) % 256
+    at w = 8 + i % 5, h = 6 + i % 3. Constant-gray frames round-trip
+    the near-lossless 4:4:4 JPEG path EXACTLY (Y == v, neutral chroma,
+    DC-only blocks), so a SQL oracle can state each decoded frame's
+    mean intensity arithmetically — certifying demux + JPEG decode end
+    to end. On i % 5 == 2 videos, frame j == 1 carries garbage bytes
+    to value-check the per-frame decode_ok=false marking."""
+    _, encode = _pixel_codec()
+    rows = []
+    for i in range(n):
+        nf = 5 + i % 4
+        w, h = 8 + i % 5, 6 + i % 3
+        frames = []
+        for j in range(nf):
+            if i % 5 == 2 and j == 1:
+                frames.append(hashlib.md5(f"badframe{i}".encode()).digest())
+            else:
+                v = (37 * i + 11 * j) % 256
+                frames.append(encode(w, h, bytes([v]) * (3 * w * h), "jpg"))
+        payload = synth_mp4(
+            i, nf, 500 + 100 * (i % 3), with_stss=False,
+            frame_payloads=frames, codec=b"mjpa",
+        )
+        rows.append((i, "video", "mp4", bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def checked_mp4_df(spark, n: int = 16) -> DataFrame:

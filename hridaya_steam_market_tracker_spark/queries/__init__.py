@@ -68,6 +68,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_audio_features_checked",
     "multimodal_mp4_frame_index_checked",
     "multimodal_mp4_frame_sample_checked",
+    "multimodal_mjpeg_decode_checked",
     "blob_decompress_stats_checked",
     "warc_record_index_checked",
     "bpe_train_merges",

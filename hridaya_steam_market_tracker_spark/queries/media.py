@@ -457,3 +457,57 @@ def multimodal_mp4_frame_sample_checked(spark: SparkSession, sf_dir: str) -> Dat
         F.col("right_byte_offset").cast("long").alias("byte_offset"),
         F.col("right_n_bytes").cast("int").alias("n_bytes"),
     )
+
+
+@register(
+    "multimodal_mjpeg_decode_checked",
+    oracle="""
+    WITH m AS (
+      SELECT i, 500 + 100 * (i % 3) AS tsc, 5 + i % 4 AS nf,
+             8 + i % 5 AS w, 6 + i % 3 AS h
+      FROM generate_series(0, 11) g(i)
+    ),
+    f AS (
+      SELECT m.i, m.tsc, m.w, m.h, j.j AS frame_idx,
+             CASE WHEN j.j < m.nf // 2 THEN 30 + m.i % 5
+                  ELSE 40 + m.i % 3 END AS delta,
+             (37 * m.i + 11 * j.j) % 256 AS v,
+             (m.i % 5 = 2 AND j.j = 1) AS bad
+      FROM m, LATERAL (SELECT unnest(range(0, m.nf)) AS j) j
+    ),
+    c AS (
+      SELECT i, tsc, w, h, frame_idx, v, bad,
+             coalesce(sum(delta) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+      FROM f
+    )
+    SELECT i AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((t * 1000) // tsc AS BIGINT) AS ts_ms,
+           CASE WHEN bad THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+           CASE WHEN bad THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+           CASE WHEN bad THEN NULL
+                ELSE CAST(v * 3 * w * h AS DOUBLE)
+                     / CAST(3 * w * h AS DOUBLE) / 255.0 END AS mean_intensity,
+           NOT bad AS decode_ok
+    FROM c
+    """,
+    doc=(
+        "VALUE-CHECKED real video-frame decode (MJPEG-in-MP4): demux "
+        "the ISO BMFF container to frame byte ranges, slice each "
+        "frame's REAL baseline-JPEG bytes out of mdat, decode them "
+        "through the T.81 codec, and emit per-frame pixel statistics. "
+        "Frames are constant-gray rasters (closed-form level in "
+        "media_id/frame_idx), which round-trip the near-lossless 4:4:4 "
+        "JPEG path exactly, so the oracle restates every decoded mean "
+        "arithmetically — certifying container demux + entropy decode "
+        "+ IDCT + color transform end to end. One corrupted frame per "
+        "i%5==2 video value-checks per-frame decode_ok=false marking."
+    ),
+)
+def multimodal_mjpeg_decode_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_mjpeg_df,
+        decode_mp4_frames,
+    )
+
+    return decode_mp4_frames(checked_mjpeg_df(spark, n=12))

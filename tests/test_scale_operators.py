@@ -1343,3 +1343,44 @@ def test_gif_codec_roundtrip_and_lzw_edge_cases(spark):
 
     with _pytest.raises(ValueError):
         decode(b"GIF89a" + struct.pack("<HH", 1, 1) + bytes((0, 0, 0)) + b"\x99", "gif")
+
+
+def test_mjpeg_frame_decode_end_to_end(spark):
+    """decode_mp4_frames must demux the container, slice TRUE frame
+    byte ranges, and decode real JPEG frames exactly (constant-gray
+    round trip); a corrupted frame fails per-frame while the rest of
+    the video still decodes."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_mjpeg_df,
+        decode_mp4_frames,
+    )
+
+    rows = {
+        (r["media_id"], r["frame_idx"]): r
+        for r in decode_mp4_frames(checked_mjpeg_df(spark, n=6)).collect()
+    }
+    n_frames = sum(5 + i % 4 for i in range(6))
+    assert len(rows) == n_frames
+    for (i, j), r in rows.items():
+        if i % 5 == 2 and j == 1:
+            assert not r["decode_ok"] and r["width"] is None
+        else:
+            v = (37 * i + 11 * j) % 256
+            assert r["decode_ok"]
+            assert (r["width"], r["height"]) == (8 + i % 5, 6 + i % 3)
+            assert r["mean_intensity"] == v / 255.0  # EXACT round trip
+
+
+def test_synth_mp4_stco_points_at_first_frame():
+    """The stco offset must address the first mdat payload byte (the
+    single-brand ftyp used to leave it 4 bytes past the frame start —
+    harmless for index reporting, fatal for actual byte slicing)."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _mp4_parser,
+        synth_mp4,
+    )
+
+    frames = [b"ABCDE", b"fghij", b"KLMNO"]
+    payload = synth_mp4(3, 3, 600, with_stss=False, frame_payloads=frames)
+    for (j, _ts, off, sz, _k), want in zip(_mp4_parser()(payload), frames):
+        assert payload[off : off + sz] == want
