@@ -84,6 +84,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "perceptron_quality_scores",
     "dedup_keep_best_quality",
     "ccnet_perplexity_buckets",
+    "knn_label_accuracy",
+    "hard_negative_mining",
+    "incremental_daily_rollup",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",

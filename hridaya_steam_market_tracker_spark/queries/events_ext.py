@@ -263,3 +263,64 @@ def stream_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_hours"),
         )
     )
+
+
+@register(
+    "incremental_daily_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+             AS sum_micro,
+           round(CAST(sum(CAST(round(value * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0), 6) AS avg_value
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+    doc=(
+        "Incremental materialized-view maintenance for the daily rollup: "
+        "the Spark side aggregates the pre-cutoff history and the post-"
+        "cutoff delta as SEPARATE partial states and merges them "
+        "(union + re-aggregate), proving partial-merge == one-shot "
+        "recompute. Partials carry counts and BIGINT micro-unit sums — "
+        "exact integers, so the merge is truly associative (float sums "
+        "would drift with summation order and break both the oracle "
+        "hash and, at scale, cross-batch reproducibility); avg derives "
+        "from the exact state. Cutoff = data-derived max(ts) - 7 days, "
+        "broadcast. This is the A7/HWM ingest pattern applied to "
+        "aggregates: at 100 TB you re-aggregate only the delta and "
+        "merge into the stored state instead of rescanning history."
+    ),
+)
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    now = events.agg(F.max("ts").alias("now_ts"))
+    e = events.crossJoin(F.broadcast(now)).withColumn(
+        "v_micro", F.round(F.col("value") * 1000000.0, 0).cast("long")
+    )
+    cutoff = F.col("now_ts") - F.expr("INTERVAL 7 DAYS")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v_micro").cast("long").alias("sum_micro"),
+        )
+
+    state = partial(e.filter(F.col("ts") < cutoff))  # stored history
+    delta = partial(e.filter(F.col("ts") >= cutoff))  # new batch
+    merged = (
+        state.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_micro").cast("long").alias("sum_micro"),
+        )
+    )
+    return merged.select(
+        "day",
+        "n",
+        "sum_micro",
+        F.round(
+            F.col("sum_micro").cast("double") / (F.col("n") * F.lit(1000000.0)), 6
+        ).alias("avg_value"),
+    )

@@ -710,3 +710,161 @@ def semantic_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("component") == F.col("vec_id")).alias("kept"),
         )
     )
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             a.label AS nn_label, round({_COS}, 6) AS cos_sim,
+             a.vec_id AS nn_id
+      FROM embeddings a JOIN embeddings q ON a.vec_id <> q.vec_id
+    ),
+    nn AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN nn_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN nn_label = true_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM nn WHERE rn = 1 GROUP BY true_label
+    """,
+    doc=(
+        "Embedding-space quality metric: leave-one-out 1-NN label "
+        "accuracy per class — for every vector, does its cosine nearest "
+        "neighbor carry the same label? The standard linear-probe-free "
+        "eval a training pipeline runs after re-embedding a corpus. "
+        "Exact pairwise tier via the tiled block self-join (both "
+        "orientations), rank on the rounded score + id tie-break so "
+        "both engines pick the same neighbor."
+    ),
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_self_join(emb, threshold=-1.0, n_blocks=16)
+    # Both orientations: each vector as the query side once.
+    sym = pairs.select(
+        F.col("i").alias("query_id"), F.col("j").alias("nn_id"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("j").alias("query_id"), F.col("i").alias("nn_id"), "cos_sim"
+        )
+    )
+    lab = emb.select("vec_id", "label")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nn_id").asc()
+    )
+    nn = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("query_id"),
+                                   F.col("label").alias("true_label"))),
+            "query_id",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("vec_id").alias("nn_id"),
+                                   F.col("label").alias("nn_label"))),
+            "nn_id",
+        )
+    )
+    hit = F.when(F.col("nn_label") == F.col("true_label"), 1).otherwise(0)
+    return nn.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(hit).cast("long").alias("n_correct"),
+        F.round(F.sum(hit) / F.count(F.lit(1)).cast("double"), 6).alias("accuracy"),
+    )
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             a.vec_id AS cand_id, a.label AS cand_label,
+             round({_COS}, 6) AS cos_sim
+      FROM embeddings a
+      JOIN embeddings q ON q.vec_id < 10 AND a.vec_id <> q.vec_id
+    ),
+    pos AS (
+      SELECT anchor_id, cand_id AS positive_id, cos_sim AS positive_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored WHERE cand_label = anchor_label
+    ),
+    neg AS (
+      SELECT anchor_id, cand_id AS negative_id, cos_sim AS negative_sim,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, cand_id ASC) AS rn
+      FROM scored WHERE cand_label <> anchor_label
+    )
+    SELECT p.anchor_id, p.positive_id, p.positive_sim,
+           n.negative_id, n.negative_sim,
+           p.positive_sim - n.negative_sim AS margin
+    FROM pos p JOIN neg n USING (anchor_id)
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+    doc=(
+        "Contrastive-training triplet mining (anchor, hardest positive, "
+        "hardest negative): for each anchor (vec_id < 10, broadcast), "
+        "the most-similar same-label vector and the most-similar "
+        "DIFFERENT-label vector — the in-batch hard-negative recipe "
+        "every embedding-model trainer runs over its corpus. One "
+        "broadcast scan + two per-anchor windows; margin < 0 flags "
+        "anchors whose nearest neighbor crosses the class boundary."
+    ),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("cand_label"),
+            F.round(S.cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("cand_label") == F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("positive_id"),
+            F.col("cos_sim").alias("positive_sim"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cos_sim").alias("negative_sim"),
+        )
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "positive_sim",
+        "negative_id",
+        "negative_sim",
+        (F.col("positive_sim") - F.col("negative_sim")).alias("margin"),
+    )
