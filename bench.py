@@ -60,6 +60,12 @@ HEADLINE = [
     "bm25_search_scores",
     "ann_lsh_multiprobe_topk",
     "dedup_clusters_star",
+    # round-4 selection tier (pure-lazy plans; the perceptron and
+    # semantic-dedup queries are excluded for the same reason as
+    # bpe_train_merges: their iterative localCheckpoints run at
+    # plan-build time, outside the timer)
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
     # NOT benched: bpe_train_merges — its per-round localCheckpoints run
     # eagerly at plan-build time, so the noop-save timer would record only
     # the final 8-row union read (~40 ms), not the training work. Honest
