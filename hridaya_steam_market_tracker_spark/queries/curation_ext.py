@@ -1148,3 +1148,231 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket_label"),
         (bucket <= 2).alias("keep"),
     )
+
+
+# The capstone: the full modern pretraining curation recipe as ONE
+# Catalyst plan. Every stage's semantics (and its SQL fragment) is the
+# already-oracle-checked standalone query; this registration proves the
+# COMPOSITION — what an actual 100 TB ingest batch runs before export:
+#   quality gate >= 0.7         (text_quality_stats)
+#   Gopher repetition gate      (doc_repetition_stats)
+#   5-gram decontamination      (decontaminate_train_test; eval slice dropped)
+#   exact dedup keep-first      (dedup_exact fingerprints)
+#   near-dup cluster canonical  (dedup_keep_best_quality: quality argmax)
+#   DSIR sign-gate selection    (dsir_importance_weights; target = src18/19)
+# -> per-source corpus summary (docs kept, token budget, avg quality).
+from hridaya_steam_market_tracker_spark.queries.docs import (  # noqa: E402
+    _SHINGLES as _SHINGLES3,
+    _STOPLIST as _STOPLIST_E2E,
+)
+
+
+@register(
+    "pretrain_pipeline_e2e",
+    oracle=f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, source, text, {_TOKS_LOWER} AS w FROM documents
+      WHERE length(text) > 0
+    ),
+    q AS (
+      SELECT doc_id, source, text, w,
+             round(CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END * 0.4
+                 + CASE WHEN CAST(len(list_filter(w, x -> list_contains({_STOPLIST_E2E}, x))) AS DOUBLE) / len(w) >= 0.05 THEN 1.0 ELSE 0.5 END * 0.4
+                 + CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) <= 0.2 THEN 1.0 ELSE 0.4 END * 0.2,
+                 6) AS quality_score
+      FROM d0 WHERE len(w) > 0
+    ),
+    g1 AS (SELECT * FROM q WHERE quality_score >= 0.7),
+    gdoc AS (
+      SELECT doc_id, w,
+             [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg,
+             [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] AS tg
+      FROM g1
+    ),
+    bgx AS (SELECT doc_id, b AS gram, count(*) AS c
+            FROM gdoc, unnest(bg) AS t(b) GROUP BY 1, 2),
+    topbg AS (SELECT doc_id, gram, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, gram DESC) AS rn
+              FROM bgx),
+    rep AS (
+      SELECT g.doc_id,
+             (round(t.c * length(t.gram)
+                    / CAST(length(array_to_string(g.w, ' ')) AS DOUBLE), 6) > 0.15
+              OR round((len(g.tg) - len(list_distinct(g.tg)))
+                       / CAST(len(g.tg) AS DOUBLE), 6) > 0.02) AS repetitive
+      FROM gdoc g JOIN topbg t ON t.doc_id = g.doc_id AND t.rn = 1
+    ),
+    g2 AS (SELECT g1.* FROM g1 JOIN rep USING (doc_id) WHERE NOT rep.repetitive),
+    sh5 AS (
+      SELECT doc_id, source,
+             list_distinct([array_to_string(w[i:i+4], ' ')
+                            for i in range(1, len(w) - 3)]) AS s
+      FROM d0 WHERE len(w) >= 5
+    ),
+    ev AS (SELECT DISTINCT gr FROM sh5, unnest(s) AS t(gr)
+           WHERE source IN ('src18', 'src19')),
+    tr AS (SELECT doc_id, len(s) AS n_grams, gr FROM sh5, unnest(s) AS t(gr)
+           WHERE source NOT IN ('src18', 'src19')),
+    dec AS (
+      SELECT doc_id,
+             round(count(CASE WHEN gr IN (SELECT gr FROM ev) THEN 1 END)
+                   / CAST(any_value(n_grams) AS DOUBLE), 6) >= 0.5 AS contaminated
+      FROM tr GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT g2.* FROM g2 JOIN dec USING (doc_id)
+      WHERE g2.source NOT IN ('src18', 'src19') AND NOT dec.contaminated
+    ),
+    g4 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(array_to_string(w, ' ')) ORDER BY doc_id) AS fprn
+        FROM g3
+      ) WHERE fprn = 1
+    ),
+    sh3 AS (SELECT doc_id, {_SHINGLES3} AS s FROM g4),
+    prs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM prs UNION SELECT j, i FROM prs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM g4
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+    g5 AS (
+      SELECT g4.* FROM g4 JOIN (
+        SELECT c.doc_id, row_number() OVER (
+          PARTITION BY c.component
+          ORDER BY g.quality_score DESC, c.doc_id ASC) AS crn
+        FROM comp c JOIN g4 g USING (doc_id)
+      ) k USING (doc_id) WHERE k.crn = 1
+    ),
+    bi AS (
+      SELECT doc_id, source, g
+      FROM (SELECT doc_id, source,
+                   [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS gs
+            FROM d0 WHERE len(w) >= 2) t,
+      unnest(gs) AS u(g)
+    ),
+    b AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5('dsir:' || g), 1, 15))::BIGINT % 256
+                  AS BIGINT) AS bucket
+      FROM bi
+    ),
+    counts AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN source IN ('src18', 'src19') THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN source IN ('src18', 'src19') THEN 0 ELSE 1 END)
+                  AS BIGINT) AS cr
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+            FROM counts),
+    model AS (
+      SELECT bucket,
+             CAST(round((ln((ct + 1) / CAST(nt + 256 AS DOUBLE))
+                       - ln((cr + 1) / CAST(nr + 256 AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS lr_micro
+      FROM counts CROSS JOIN tot WHERE cr > 0
+    ),
+    docb AS (
+      SELECT doc_id, bucket, count(*) AS c FROM b
+      WHERE source NOT IN ('src18', 'src19') GROUP BY 1, 2
+    ),
+    dsir AS (
+      SELECT doc_id, CAST(sum(c * lr_micro) AS BIGINT) > 0 AS selected
+      FROM docb JOIN model USING (bucket) GROUP BY doc_id
+    )
+    SELECT g5.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(len(g5.w)) AS BIGINT) AS n_tokens,
+           round(avg(g5.quality_score), 6) AS avg_quality
+    FROM g5 JOIN dsir USING (doc_id)
+    WHERE dsir.selected
+    GROUP BY g5.source
+    """,
+    doc=(
+        "CAPSTONE — the full modern pretraining curation recipe as ONE "
+        "Catalyst plan: composite quality gate, Gopher repetition gate, "
+        "5-gram eval decontamination, exact-fingerprint dedup, near-dup "
+        "cluster canonicalization by quality argmax, and DSIR sign-gate "
+        "selection, ending in the per-source corpus summary (docs kept, "
+        "token budget, avg quality). Every stage is the already-oracle-"
+        "checked standalone query; this row value-checks the "
+        "COMPOSITION. Pair mining uses the MinHash+LSH scale path; the "
+        "oracle restates it as exact Jaccard (equivalent at these "
+        "banding parameters, cross-checked by dedup_clusters)."
+    ),
+)
+def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+    from hridaya_steam_market_tracker_spark.operators.dsir import (
+        dsir_importance_weights,
+    )
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        fingerprint,
+        with_text_stats,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    base = with_text_stats(docs).select(
+        "doc_id", "source", "text", "quality_score", "n_tokens"
+    )
+    g1 = base.filter(F.col("quality_score") >= 0.7)
+    rep = (
+        with_repetition_stats(docs)
+        .filter(F.col("n_tokens") >= 3)
+        .select("doc_id", "repetitive")
+    )
+    g2 = g1.join(rep, "doc_id").filter(~F.col("repetitive"))
+    dec = D.ngram_decontaminate(
+        docs, eval_pred=F.col("source").isin(*_EVAL_SOURCES), n=5, threshold=0.5
+    ).select("doc_id", "contaminated")
+    g3 = (
+        g2.filter(~F.col("source").isin(*_EVAL_SOURCES))
+        .join(dec, "doc_id")
+        .filter(~F.col("contaminated"))
+    )
+    w_fp = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    g4 = (
+        g3.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("fprn", F.row_number().over(w_fp))
+        .filter(F.col("fprn") == 1)
+        .drop("fp", "fprn")
+    )
+    g4_docs = docs.join(g4.select("doc_id"), "doc_id")
+    pairs = D.minhash_near_duplicates(
+        g4_docs, num_hashes=32, bands=16, threshold=0.5
+    ).select("i", "j")
+    comp = connected_components(g4.select("doc_id"), pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    w_cl = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    g5 = (
+        g4.join(comp, "doc_id")
+        .withColumn("crn", F.row_number().over(w_cl))
+        .filter(F.col("crn") == 1)
+    )
+    dsir = dsir_importance_weights(docs, target_sources=_EVAL_SOURCES).select(
+        "doc_id", "selected"
+    )
+    g6 = g5.join(dsir, "doc_id").filter(F.col("selected"))
+    return g6.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )

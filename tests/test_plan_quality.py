@@ -91,6 +91,7 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "perceptron_quality_scores",
         "dedup_keep_best_quality",
         "ccnet_perplexity_buckets",
+        "pretrain_pipeline_e2e",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
