@@ -531,3 +531,98 @@ def hist_quantiles_per_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_est(0.9).alias("p90_est"),
         q_est(0.99).alias("p99_est"),
     )
+
+
+_BLOOM_M, _BLOOM_K = 16384, 3
+_BLOOM_PROBES = 3000  # keys 1..3000; customers occupy a subset
+
+
+@register(
+    "bloom_filter_probe",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5('bloom' || i.i || ':' ||
+                                      CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                  % {_BLOOM_M} AS BIGINT) AS p
+      FROM customer, (SELECT unnest(range(0, {_BLOOM_K})) AS i) i
+    ),
+    probes AS (SELECT unnest(range(1, {_BLOOM_PROBES} + 1)) AS key),
+    ppos AS (
+      SELECT key,
+             CAST(('0x' || substr(md5('bloom' || i.i || ':' ||
+                                      CAST(key AS VARCHAR)), 1, 15))::BIGINT
+                  % {_BLOOM_M} AS BIGINT) AS p
+      FROM probes, (SELECT unnest(range(0, {_BLOOM_K})) AS i) i
+    ),
+    verdict AS (
+      SELECT key,
+             count(DISTINCT p) = count(DISTINCT CASE WHEN p IN (SELECT p FROM pos)
+                                                     THEN p END) AS bloom_positive
+      FROM ppos GROUP BY key
+    )
+    SELECT v.key, v.bloom_positive,
+           c.c_custkey IS NOT NULL AS present,
+           v.bloom_positive AND c.c_custkey IS NULL AS false_positive
+    FROM verdict v LEFT JOIN customer c ON c.c_custkey = v.key
+    """,
+    doc=(
+        "Bloom-filter membership — the semi-join pushdown primitive: "
+        "build a 2048-bit, 3-hash filter over customer keys as ONE "
+        "broadcast row (sorted distinct bit positions), then verify "
+        "probe keys map-side with zero shuffle on the probe stream. "
+        "Portable 60-bit md5 position hashes make the filter bit-exact "
+        "cross-engine, so both the positives AND the false-positive set "
+        "are value-checked (no soundness slack: a Bloom filter never "
+        "false-negatives, and the oracle proves this build doesn't). At "
+        "100 TB this is the runtime-filter shape: ship the small side's "
+        "filter to the fact scan and drop rows before the join shuffle."
+    ),
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+
+    def positions(key_str):
+        return F.array_distinct(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"bloom{i}:"), key_str)), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_M
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        )
+
+    filt = (
+        customer.select(
+            F.explode(positions(F.col("c_custkey").cast("string"))).alias("p")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_set("p")).alias("bits"))
+    )
+    probes = spark.range(1, _BLOOM_PROBES + 1).select(F.col("id").alias("key"))
+    verdict = probes.crossJoin(F.broadcast(filt)).select(
+        "key",
+        (
+            F.size(
+                F.array_except(positions(F.col("key").cast("string")), F.col("bits"))
+            )
+            == 0
+        ).alias("bloom_positive"),
+    )
+    keys = customer.select(F.col("c_custkey").cast("long").alias("key")).distinct()
+    return (
+        verdict.join(keys.withColumn("__hit", F.lit(1)), "key", "left")
+        .select(
+            "key",
+            "bloom_positive",
+            F.col("__hit").isNotNull().alias("present"),
+            (F.col("bloom_positive") & F.col("__hit").isNull()).alias("false_positive"),
+        )
+    )

@@ -92,6 +92,7 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "dedup_keep_best_quality",
         "ccnet_perplexity_buckets",
         "pretrain_pipeline_e2e",
+        "bloom_filter_probe",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
