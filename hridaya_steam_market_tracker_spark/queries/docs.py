@@ -513,3 +513,50 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("canonical", F.row_number().over(w) == 1)
         .select("doc_id", "component", "quality_score", "canonical")
     )
+
+
+@register(
+    "dedup_recall_audit",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+           CAST(count(*) AS BIGINT) AS n_minhash_pairs,
+           CAST(0 AS BIGINT) AS n_missed,
+           CAST(0 AS BIGINT) AS n_spurious
+    FROM pairs
+    """,
+    doc=(
+        "Candidate-generation recall AUDIT: the MinHash+LSH pair set "
+        "(banded candidates + exact-Jaccard verify) compared against "
+        "the exact inverted-index pair set at the same threshold. The "
+        "oracle asserts the audit's CLAIM — zero missed and zero "
+        "spurious pairs at the registered banding parameters (32 "
+        "hashes x 16 bands vs threshold 0.5, where band-collision "
+        "probability for a true pair is ~1-(1-0.5^2)^16 = 0.99+) — so "
+        "a future parameter change that silently loses recall flips "
+        "this row red in the driver, not just a pytest. This is the "
+        "runtime twin of the equivalence argument the cluster oracles "
+        "(dedup_clusters, pretrain_pipeline_e2e) rely on."
+    ),
+)
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=64).select("i", "j")
+    mh = D.minhash_near_duplicates(
+        docs, num_hashes=32, bands=16, threshold=0.5
+    ).select("i", "j")
+    missed = exact.exceptAll(mh)
+    spurious = mh.exceptAll(exact)
+    return (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_pairs"))
+        .crossJoin(mh.agg(F.count(F.lit(1)).cast("long").alias("n_minhash_pairs")))
+        .crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
+        .crossJoin(spurious.agg(F.count(F.lit(1)).cast("long").alias("n_spurious")))
+    )
