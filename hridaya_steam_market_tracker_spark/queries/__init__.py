@@ -90,6 +90,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "pretrain_pipeline_e2e",
     "bloom_filter_probe",
     "dedup_recall_audit",
+    "mmr_diverse_topk",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",

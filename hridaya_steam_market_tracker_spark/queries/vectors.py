@@ -868,3 +868,161 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "negative_sim",
         (F.col("positive_sim") - F.col("negative_sim")).alias("margin"),
     )
+
+
+_MMR_K, _MMR_POOL, _MMR_LAMBDA = 5, 20, 0.7
+
+
+def _mmr_oracle(k: int = _MMR_K) -> str:
+    """Unrolled greedy MMR rounds (same chained-CTE discipline as the
+    perceptron oracle): sel{r} accumulates picks; each round scores the
+    remaining pool 0.7*sim(q,d) - 0.3*max_{s in sel} sim(d,s) on the
+    6dp-rounded sims, so the argmax is cross-engine deterministic."""
+    rounds = []
+    prev = "sel1"
+    for r in range(2, k + 1):
+        rounds.append(f"""
+    s{r} AS (
+      SELECT query_id, cand_id, {r} AS pick_order, mmr_score FROM (
+        SELECT c.query_id, c.cand_id,
+               round({_MMR_LAMBDA} * c.simq
+                     - {round(1 - _MMR_LAMBDA, 10)} * coalesce(m.maxs, 0.0), 7)
+                 AS mmr_score,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 {_MMR_LAMBDA} * c.simq
+                 - {round(1 - _MMR_LAMBDA, 10)} * coalesce(m.maxs, 0.0) DESC,
+                 c.cand_id ASC) AS rn
+        FROM cands c
+        LEFT JOIN (
+          SELECT p.query_id, p.a AS cand_id, max(p.sim) AS maxs
+          FROM psim p JOIN {prev} s ON s.query_id = p.query_id AND s.cand_id = p.b
+          GROUP BY 1, 2
+        ) m ON m.query_id = c.query_id AND m.cand_id = c.cand_id
+        WHERE NOT EXISTS (SELECT 1 FROM {prev} s
+                          WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)
+      ) WHERE rn = 1
+    ),
+    sel{r} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{r})""")
+        prev = f"sel{r}"
+    chain = ",".join(rounds)
+    return f"""
+    WITH ranked AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS cand_id,
+             round({_COS}, 6) AS simq,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY round({_COS}, 6) DESC, a.vec_id ASC) AS rk
+      FROM embeddings a
+      JOIN embeddings q ON q.vec_id < 10 AND a.vec_id <> q.vec_id
+    ),
+    cands AS (SELECT query_id, cand_id, simq FROM ranked WHERE rk <= {_MMR_POOL}),
+    psim AS (
+      SELECT ca.query_id, ca.cand_id AS a, cb.cand_id AS b,
+             round(list_inner_product(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[]))
+                   / sqrt(list_inner_product(CAST(ea.embedding AS DOUBLE[]),
+                                             CAST(ea.embedding AS DOUBLE[]))
+                        * list_inner_product(CAST(eb.embedding AS DOUBLE[]),
+                                             CAST(eb.embedding AS DOUBLE[]))), 6)
+               AS sim
+      FROM cands ca
+      JOIN cands cb ON ca.query_id = cb.query_id AND ca.cand_id <> cb.cand_id
+      JOIN embeddings ea ON ea.vec_id = ca.cand_id
+      JOIN embeddings eb ON eb.vec_id = cb.cand_id
+    ),
+    s1pre AS (
+      SELECT query_id, cand_id, 1 AS pick_order,
+             round({_MMR_LAMBDA} * simq, 7) AS mmr_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY simq DESC, cand_id ASC) AS rn
+      FROM cands
+    ),
+    sel1 AS (SELECT query_id, cand_id, pick_order, mmr_score FROM s1pre WHERE rn = 1)
+    {"," + chain if chain else ""}
+    SELECT query_id, cand_id AS vec_id,
+           CAST(pick_order AS INTEGER) AS pick_order, mmr_score
+    FROM {prev}
+    """
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    doc=(
+        "Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+        "1998): greedily pick 5 of the top-20 cosine candidates per "
+        "query, trading relevance against redundancy (lambda = 0.7) — "
+        "the diversity-aware retrieval step RAG/dedup pipelines run on "
+        "top of ANN results. Per-query candidate pools are tiny by "
+        "construction, so the greedy rounds are broadcast-joined "
+        "argmaxes over a bounded set; sims are 6dp-rounded before "
+        "scoring, making the whole greedy trajectory value-checkable "
+        "against unrolled round CTEs."
+    ),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cands = (
+        S.cosine_topk(emb, queries, k=_MMR_POOL)
+        .select("query_id", F.col("vec_id").alias("cand_id"), F.col("cos_sim").alias("simq"))
+    )
+    vecs = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
+    cv = cands.join(vecs, "cand_id")
+    a = cv.select("query_id", F.col("cand_id").alias("a"), F.col("embedding").alias("va"))
+    b = cv.select("query_id", F.col("cand_id").alias("b"), F.col("embedding").alias("vb"))
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select("query_id", "a", "b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    cands = cands.localCheckpoint(eager=True)
+
+    w = Window.partitionBy("query_id")
+    first = (
+        cands.withColumn(
+            "rn", F.row_number().over(w.orderBy(F.col("simq").desc(), F.col("cand_id").asc()))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "cand_id",
+            F.lit(1).alias("pick_order"),
+            F.round(F.lit(_MMR_LAMBDA) * F.col("simq"), 7).alias("mmr_score"),
+        )
+    )
+    selected = first.localCheckpoint(eager=True)
+    for r in range(2, _MMR_K + 1):
+        maxs = (
+            psim.join(
+                selected.select("query_id", F.col("cand_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("cand_id"))
+            .agg(F.max("sim").alias("maxs"))
+        )
+        score = F.lit(_MMR_LAMBDA) * F.col("simq") - F.lit(
+            round(1 - _MMR_LAMBDA, 10)
+        ) * F.coalesce(F.col("maxs"), F.lit(0.0))
+        pick = (
+            cands.join(selected.select("query_id", "cand_id", F.lit(1).alias("__in")),
+                       ["query_id", "cand_id"], "left")
+            .filter(F.col("__in").isNull())
+            .join(maxs, ["query_id", "cand_id"], "left")
+            .withColumn("rn", F.row_number().over(
+                w.orderBy(score.desc(), F.col("cand_id").asc())))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                F.lit(r).alias("pick_order"),
+                F.round(score, 7).alias("mmr_score"),
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id",
+        F.col("cand_id").alias("vec_id"),
+        F.col("pick_order").cast("int").alias("pick_order"),
+        "mmr_score",
+    )
