@@ -91,6 +91,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "bloom_filter_probe",
     "dedup_recall_audit",
     "mmr_diverse_topk",
+    "doc_embeddings_hashed",
+    "semantic_dedup_text_e2e",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",

@@ -560,3 +560,183 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed")))
         .crossJoin(spurious.agg(F.count(F.lit(1)).cast("long").alias("n_spurious")))
     )
+
+
+_HASH_DIM = 64
+
+
+def _hashed_emb_ctes() -> str:
+    """Shared oracle CTEs: feature-hashed doc embeddings (Weinberger et
+    al. 2009): each token adds +-1 at dim md5-hash(token) % 64, sign
+    from an independent hash bit; the count vector L2-normalizes and
+    rounds to 6dp. Produces `hemb` = (doc_id, dim, v)."""
+    return f"""
+    dtok AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+      unnest(w) AS u(t)
+    ),
+    contrib AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('hdim:' || t), 1, 15))::BIGINT
+                  % {_HASH_DIM} AS BIGINT) AS dim,
+             CASE WHEN ('0x' || substr(md5('hsgn:' || t), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM dtok
+    ),
+    cagg AS (SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS c
+             FROM contrib GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.i AS dim FROM (SELECT DISTINCT doc_id FROM cagg) d,
+      (SELECT unnest(range(0, {_HASH_DIM})) AS i) g
+    ),
+    dense AS (
+      SELECT g.doc_id, g.dim, coalesce(c.c, 0) AS c
+      FROM grid g LEFT JOIN cagg c ON c.doc_id = g.doc_id AND c.dim = g.dim
+    ),
+    nrm AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS n2
+            FROM dense GROUP BY doc_id),
+    hemb AS (
+      SELECT d.doc_id, d.dim,
+             CASE WHEN n.n2 > 0 THEN round(d.c / n.n2, 6) ELSE 0.0 END AS v
+      FROM dense d JOIN nrm n USING (doc_id)
+    )
+    """
+
+
+@register(
+    "doc_embeddings_hashed",
+    oracle=f"""
+    WITH {_hashed_emb_ctes()}
+    SELECT doc_id, CAST(dim AS INTEGER) AS dim, v FROM hemb
+    """,
+    doc=(
+        "Feature-hashed document embeddings (the hashing trick, "
+        "Weinberger et al. 2009; fastText-family representation without "
+        "training): every token adds +-1 at dim md5(token) % 64 with an "
+        "independent hash-bit sign, L2-normalized. One explode + one "
+        "(doc, dim) aggregation, dense 64-dim assembly via a sequence "
+        "transform — no model weights, fully deterministic, so the "
+        "embedding VALUES are oracle-checked, not just shaped. The "
+        "bridge between the text tier and the vector tier: downstream "
+        "similarity/dedup operators consume these exactly like the "
+        "fixture embeddings."
+    ),
+)
+def doc_embeddings_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return _hashed_doc_embeddings(docs).select(
+        "doc_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("doc_id", F.col("dim").cast("int").alias("dim"), "v")
+
+
+def _hashed_doc_embeddings(docs: DataFrame) -> DataFrame:
+    """(doc_id, embedding array<double>) — see doc_embeddings_hashed."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    tok = docs.select("doc_id", F.explode(toks).alias("t"))
+    dim = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("hdim:"), F.col("t"))), 1, 15), 16, 10)
+        .cast("long") % _HASH_DIM
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("hsgn:"), F.col("t"))), 1, 15), 16, 10)
+        .cast("long") % 2 == 0,
+        1,
+    ).otherwise(-1)
+    cagg = (
+        tok.select("doc_id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("c"))
+    )
+    dense = cagg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "c"))).alias("m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(_HASH_DIM - 1).cast("long")),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
+    )
+    norm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, c: acc + (c * c).cast("double"))
+    )
+    emb = F.transform(
+        arr,
+        lambda c: F.when(norm > 0, F.round(c.cast("double") / norm, 6)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return dense.select("doc_id", emb.alias("embedding"))
+
+
+@register(
+    "semantic_dedup_text_e2e",
+    oracle=f"""
+    WITH RECURSIVE {_hashed_emb_ctes().strip().rstrip()},
+    hvec AS (SELECT doc_id, list(v ORDER BY dim) AS vec FROM hemb GROUP BY doc_id),
+    lcg AS (
+      SELECT 0 AS step, CAST(7 AS HUGEINT) AS state
+      UNION ALL
+      SELECT step + 1,
+             (state * 6364136223846793005 + 1442695040888963407) % 9223372036854775808
+      FROM lcg WHERE step < 512
+    ),
+    plane_vals AS (
+      SELECT (step-1) // 64 AS p, (step-1) % 64 AS d,
+             CAST(state AS DOUBLE) / 9223372036854775808.0 * 2.0 - 1.0 AS v
+      FROM lcg WHERE step >= 1
+    ),
+    planes AS (SELECT p, list(v ORDER BY d) AS plane FROM plane_vals GROUP BY p),
+    cells AS (
+      SELECT h.doc_id, h.vec,
+             CAST(sum(CASE WHEN list_inner_product(h.vec, pl.plane) > 0
+                           THEN (CAST(1 AS BIGINT) << pl.p)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS cell
+      FROM hvec h CROSS JOIN planes pl
+      GROUP BY h.doc_id, h.vec
+    ),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.doc_id < b.doc_id
+      WHERE list_inner_product(a.vec, b.vec)
+            / sqrt(list_inner_product(a.vec, a.vec)
+                 * list_inner_product(b.vec, b.vec)) >= 0.9
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM hvec
+      UNION
+      SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component,
+           min(lab) = node AS kept
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "END-TO-END semantic dedup from raw text: feature-hashed 64-dim "
+        "doc embeddings -> deterministic sign-quantizer cells -> exact "
+        "cosine >= 0.9 within cells -> connected components keep-list. "
+        "The full SemDeDup recipe with NO pre-existing embedding column "
+        "— the hashing trick supplies the vectors, so the entire "
+        "pipeline (tokenize, embed, partition, verify, cluster) is one "
+        "plan and every stage is value-checked in the same oracle."
+    ),
+)
+def semantic_dedup_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+    from hridaya_steam_market_tracker_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = _hashed_doc_embeddings(docs)
+    pairs = semantic_dedup_pairs(
+        emb, threshold=0.9, planes=8, dim=_HASH_DIM, seed=7, id_col="doc_id"
+    ).select("i", "j")
+    labels = connected_components(emb.select("doc_id"), pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("kept"),
+    )

@@ -93,6 +93,8 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "ccnet_perplexity_buckets",
         "pretrain_pipeline_e2e",
         "bloom_filter_probe",
+        "doc_embeddings_hashed",
+        "semantic_dedup_text_e2e",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
