@@ -93,6 +93,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "mmr_diverse_topk",
     "doc_embeddings_hashed",
     "semantic_dedup_text_e2e",
+    "source_kl_divergence",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",

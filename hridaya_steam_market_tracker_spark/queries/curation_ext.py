@@ -1376,3 +1376,74 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "source_kl_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, t
+      FROM (SELECT source, {_TOKS_LOWER} AS w FROM documents), unnest(w) AS u(t)
+    ),
+    sc AS (SELECT source, t, CAST(count(*) AS BIGINT) AS cs
+           FROM tok GROUP BY 1, 2),
+    cc AS (SELECT t, CAST(count(*) AS BIGINT) AS ccnt FROM tok GROUP BY 1),
+    st AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM sc GROUP BY 1),
+    tot AS (SELECT CAST(sum(ccnt) AS BIGINT) AS tc FROM cc),
+    terms AS (
+      SELECT s.source, s.cs, st.ts,
+             CAST(round(ln((s.cs * tot.tc) / CAST(c.ccnt * st.ts AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS lr_micro
+      FROM sc s JOIN cc c USING (t) JOIN st USING (source) CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(any_value(ts) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(cs * lr_micro) AS BIGINT) AS kl_micro_weighted,
+           round(CAST(sum(cs * lr_micro) AS DOUBLE)
+                 / (any_value(ts) * 1000000.0), 9) AS kl_nats
+    FROM terms GROUP BY source
+    """,
+    doc=(
+        "Domain-shift diagnostic: KL(source || corpus) over unigram "
+        "distributions, per source — the curation signal for spotting "
+        "outlier domains whose token mix diverges from the training "
+        "blend (cf. the domain-reweighting literature the mix-weights "
+        "query implements). Log-ratios integerize to micro-nats from "
+        "exact integer counts (same discipline as the LM scorer), so "
+        "the weighted BIGINT sum is immune to float summation order; "
+        "kl_nats derives from the exact integers. Two aggregations + "
+        "one broadcast totals join."
+    ),
+)
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    tok = docs.select("source", F.explode(toks).alias("t"))
+    sc = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    cc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("ccnt"))
+    st = sc.groupBy("source").agg(F.sum("cs").cast("long").alias("ts"))
+    tot = cc.agg(F.sum("ccnt").cast("long").alias("tc"))
+    lr_micro = F.round(
+        F.log(
+            (F.col("cs") * F.col("tc")) / (F.col("ccnt") * F.col("ts")).cast("double")
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    terms = (
+        sc.join(cc, "t")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "cs", "ts", lr_micro.alias("lr_micro"))
+    )
+    return terms.groupBy("source").agg(
+        F.first("ts").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("cs") * F.col("lr_micro")).cast("long").alias("kl_micro_weighted"),
+        F.round(
+            F.sum(F.col("cs") * F.col("lr_micro")).cast("double")
+            / (F.first("ts") * F.lit(1000000.0)),
+            9,
+        ).alias("kl_nats"),
+    )
