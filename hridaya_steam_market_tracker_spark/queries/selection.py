@@ -290,3 +290,134 @@ def perceptron_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = doc_features(docs)
     weights = batch_perceptron(feat, rounds=_PERCEPTRON_ROUNDS)
     return perceptron_scores(feat, weights)
+
+
+def _per_source_perceptron_oracle(rounds: int = _PERCEPTRON_ROUNDS) -> str:
+    """GROUPED round CTEs: one independent weight vector per source,
+    all trained in the same chained aggregation — the model-parallel
+    variant of _perceptron_oracle."""
+    margin = "(p.a * f.x1 + p.b * f.x2 + p.c * f.x3 + p.d * f.x4)"
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        terms = ", ".join(
+            f"p.{wc} + CAST(coalesce(sum(CASE WHEN f.y * {margin} <= 0 "
+            f"THEN f.y * f.{xc} END), 0) AS BIGINT) AS {wc}"
+            for wc, xc in zip("abcd", ("x1", "x2", "x3", "x4"))
+        )
+        rounds_sql.append(
+            f"w{r} AS (SELECT p.source, {terms} "
+            f"FROM w{r-1} p LEFT JOIN feat f USING (source) "
+            f"GROUP BY p.source, p.a, p.b, p.c, p.d)"
+        )
+    chain = ",\n    ".join(rounds_sql)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {_TOKS_LOWER} AS w FROM documents
+      WHERE length(text) > 0
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN round(
+                 CASE WHEN len(w) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.3 END * 0.4
+               + CASE WHEN CAST({_N_STOP} AS DOUBLE) / len(w) >= 0.05
+                      THEN 1.0 ELSE 0.5 END * 0.4
+               + CASE WHEN CAST({_N_PUNCT} AS DOUBLE) / length(text) <= 0.2
+                      THEN 1.0 ELSE 0.4 END * 0.2, 6) >= 0.7
+                  THEN 1 ELSE -1 END AS BIGINT) AS y,
+             CAST(1 AS BIGINT) AS x1,
+             CAST(({_N_STOP} * 1000) // len(w) AS BIGINT) AS x2,
+             CAST(({_N_PUNCT} * 1000) // length(text) AS BIGINT) AS x3,
+             CAST(least(len(w), 1000) AS BIGINT) AS x4
+      FROM d WHERE len(w) > 0
+    ),
+    w0 AS (SELECT DISTINCT source, CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+                  CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS d FROM feat),
+    {chain}
+    SELECT p.source, p.a AS w_bias, p.b AS w_stop_permille,
+           p.c AS w_punct_permille, p.d AS w_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ((p.a * f.x1 + p.b * f.x2 + p.c * f.x3 + p.d * f.x4) > 0)
+                              = (f.y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM w{rounds} p JOIN feat f USING (source)
+    GROUP BY 1, 2, 3, 4, 5
+    """
+
+
+@register(
+    "perceptron_per_source_models",
+    oracle=_per_source_perceptron_oracle(),
+    doc=(
+        "MODEL-PARALLEL training: one independent batch perceptron PER "
+        "SOURCE (20 models), all trained simultaneously — each round is "
+        "a single source-keyed aggregation with the per-source weight "
+        "rows joined back, so training 20 models costs the same plan "
+        "shape as training one. The Spark-native answer to per-domain "
+        "quality classifiers (thousands of models = same two exchanges "
+        "per round); all-integer, bit-exact vs grouped round CTEs. "
+        "Output: final weights + training accuracy per source."
+    ),
+)
+def perceptron_per_source_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.classifier import (
+        FEATURES,
+        WEIGHTS,
+        _margin,
+        doc_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    feat = (
+        doc_features(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        feat.select("source")
+        .distinct()
+        .select("source", *[F.lit(0).cast("long").alias(c) for c in WEIGHTS])
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PERCEPTRON_ROUNDS):
+        miss = (F.col("y") * _margin()) <= 0
+        delta = (
+            feat.join(F.broadcast(w), "source")
+            .groupBy("source")
+            .agg(
+                *[
+                    F.coalesce(F.sum(F.when(miss, F.col("y") * F.col(xc))), F.lit(0))
+                    .cast("long")
+                    .alias("d" + wc)
+                    for wc, xc in zip(WEIGHTS, FEATURES)
+                ]
+            )
+        )
+        w = (
+            w.join(delta, "source", "left")
+            .select(
+                "source",
+                *[
+                    (F.col(wc) + F.coalesce(F.col("d" + wc), F.lit(0)))
+                    .cast("long")
+                    .alias(wc)
+                    for wc in WEIGHTS
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+    scored = feat.join(F.broadcast(w), "source").select(
+        "source",
+        *WEIGHTS,
+        ((_margin() > 0) == (F.col("y") == 1)).cast("int").alias("ok"),
+    )
+    return scored.groupBy("source", *WEIGHTS).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_correct"),
+    ).select(
+        "source",
+        F.col("a").alias("w_bias"),
+        F.col("b").alias("w_stop_permille"),
+        F.col("c").alias("w_punct_permille"),
+        F.col("d").alias("w_len"),
+        "n_docs",
+        "n_correct",
+    )
