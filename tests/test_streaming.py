@@ -403,3 +403,61 @@ def test_binary_ingestion_tier_streams(spark, tmp_path):
         for r in spark.sql("SELECT * FROM inflated_stream").collect()
     }
     assert got == {i: f"stream doc {i}" for i in range(20)}
+
+
+def test_streaming_curation_front_door(spark, tmp_path):
+    """The curation gates run under Structured Streaming unchanged: a
+    file stream of documents flows through the scan-stage quality/
+    repetition scoring (with_text_stats + with_repetition_stats are
+    pure per-row expressions — no state, no watermark needed) and
+    exact-fingerprint in-stream dedup (watermarked dropDuplicates),
+    landing only clean, first-seen docs — the continuous-ingest twin
+    of pretrain_pipeline_e2e's first three gates."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        fingerprint,
+        with_text_stats,
+    )
+
+    src_dir = str(tmp_path / "docs_stream")
+    good = "the quick brown fox jumps over the lazy dog and runs far away home now"
+    rows = (
+        [(i, good + f" variant {i}", "2024-01-01T00:00:%02d" % i) for i in range(8)]
+        # exact duplicate payloads of doc 0 -> must dedup to one
+        + [(100 + j, good + " variant 0", "2024-01-01T00:01:%02d" % j) for j in range(3)]
+        # low-quality (no stopwords, all punct) -> must be gated out
+        + [(200, "!!! ??? ***", "2024-01-01T00:02:00")]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts_str string"
+    ).withColumn("event_time", F.to_timestamp("ts_str")).drop("ts_str").write.parquet(
+        src_dir
+    )
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, event_time timestamp"
+    ).parquet(src_dir)
+    gated = (
+        with_text_stats(stream)
+        .filter(F.col("quality_score") >= 0.7)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicates(["fp"])
+    )
+    q = (
+        gated.select("doc_id", "fp").writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM curated_stream").collect()}
+    # 200 gated out; of {0, 100, 101, 102} (same fingerprint) exactly one survives.
+    assert 200 not in got
+    dup_group = {0, 100, 101, 102}
+    assert len(got & dup_group) == 1
+    assert set(range(1, 8)) <= got
