@@ -95,6 +95,12 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "bloom_filter_probe",
         "doc_embeddings_hashed",
         "semantic_dedup_text_e2e",
+        "source_kl_divergence",
+        "incremental_daily_rollup",
+        "knn_label_accuracy",
+        "hard_negative_mining",
+        "mmr_diverse_topk",
+        "perceptron_per_source_models",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
