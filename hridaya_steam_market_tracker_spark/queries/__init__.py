@@ -95,6 +95,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "semantic_dedup_text_e2e",
     "source_kl_divergence",
     "perceptron_per_source_models",
+    "textrank_keywords",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",

@@ -1447,3 +1447,135 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kl_nats"),
     )
+
+
+_TR_ROUNDS, _TR_TOPK = 8, 3
+
+
+def _textrank_oracle(rounds: int = _TR_ROUNDS) -> str:
+    """Chained PageRank rounds in FIXED-POINT micro-units: the float
+    recurrence s' = 0.15 + 0.85 * sum(s(u)/deg(u)) is order-dependent
+    under IEEE summation, so both engines instead compute
+    contribution = s(u) // deg(u) (integer floor, micro-units) and
+    s' = 150000 + (850 * sum) // 1000 — BIGINT sums are associative,
+    making the whole per-document trajectory bit-exact."""
+    rounds_sql = []
+    for r in range(1, rounds + 1):
+        rounds_sql.append(
+            f"""s{r} AS (
+      SELECT e.doc_id, e.u AS token,
+             CAST(150000 + (850 * sum(s.score // d.deg)) // 1000 AS BIGINT)
+               AS score
+      FROM edges e
+      JOIN s{r-1} s ON s.doc_id = e.doc_id AND s.token = e.v
+      JOIN deg d ON d.doc_id = e.doc_id AND d.token = e.v
+      GROUP BY e.doc_id, e.u
+    )"""
+        )
+    chain = ",\n    ".join(rounds_sql)
+    return f"""
+    WITH d0 AS (
+      SELECT doc_id,
+             list_filter({_TOKS_LOWER}, t -> length(t) >= 4) AS w
+      FROM documents
+    ),
+    adj AS (
+      SELECT DISTINCT doc_id, w[i] AS u, w[i+1] AS v
+      FROM d0, LATERAL (SELECT unnest(range(1, len(w))) AS i) g
+      WHERE w[i] <> w[i+1]
+    ),
+    edges AS (SELECT doc_id, u, v FROM adj
+              UNION SELECT doc_id, v, u FROM adj),
+    deg AS (SELECT doc_id, u AS token, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1, 2),
+    s0 AS (SELECT doc_id, token, CAST(1000000 AS BIGINT) AS score FROM deg),
+    {chain},
+    ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token ASC) AS rank
+      FROM s{rounds}
+    )
+    SELECT doc_id, token, score AS score_micro, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_TR_TOPK}
+    """
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc=(
+        "TextRank keyword extraction (Mihalcea & Tarau 2004): per-"
+        "document word co-occurrence graph (window 2 over >=4-char "
+        "tokens), 8 PageRank rounds, top-3 words per doc. MODEL-"
+        "PARALLEL: every document's graph iterates simultaneously — "
+        "each round is ONE (doc, token)-keyed join+aggregation over the "
+        "pooled edge list, so 500 (or 500 M) graphs cost the same plan "
+        "shape. Rounds run in fixed-point micro-units (floor division, "
+        "integer sums) because the float recurrence is summation-order-"
+        "dependent — the same determinism discipline as the LM/DSIR "
+        "scorers, making the full trajectory value-checkable."
+    ),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""),
+        lambda t: F.length(t) >= 4,
+    )
+    seq = docs.select("doc_id", toks.alias("w"))
+    pairs = F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS u, element_at(w, i + 1) AS v))"
+    )
+    adj = (
+        seq.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.u", "p.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    edges = adj.unionByName(
+        adj.select("doc_id", F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().localCheckpoint(eager=True)
+    deg = edges.groupBy("doc_id", F.col("u").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    # contribution rides the edge list: join score+deg of the SOURCE v.
+    src = deg.select(
+        "doc_id", F.col("token").alias("v"), "deg"
+    ).localCheckpoint(eager=True)
+    scores = deg.select(
+        "doc_id", "token", F.lit(1000000).cast("long").alias("score")
+    ).localCheckpoint(eager=True)
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            edges.join(
+                scores.select("doc_id", F.col("token").alias("v"), "score"),
+                ["doc_id", "v"],
+            )
+            .join(src, ["doc_id", "v"])
+            .select("doc_id", F.col("u").alias("token"), F.expr("score div deg").alias("c"))
+        )
+        scores = (
+            contrib.groupBy("doc_id", "token")
+            .agg(
+                (F.lit(150000) + F.expr("850 * sum(c) div 1000"))
+                .cast("long")
+                .alias("score")
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TR_TOPK)
+        .select(
+            "doc_id",
+            "token",
+            F.col("score").alias("score_micro"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
