@@ -98,3 +98,38 @@ def test_bloom_filter_no_false_negatives(spark, sf_dir):
     reg = load_all()
     df = reg["bloom_filter_probe"].fn(spark, sf_dir)
     assert df.filter(F.col("present") & ~F.col("bloom_positive")).count() == 0
+
+
+def test_textrank_hub_word_wins(spark, monkeypatch):
+    """A word that co-occurs with every other word must out-rank the
+    periphery after the PageRank rounds."""
+    from hridaya_steam_market_tracker_spark.queries import load_all
+    import hridaya_steam_market_tracker_spark.queries.curation_ext as C
+    from hridaya_steam_market_tracker_spark import tables as T
+
+    text = "central alpha central beta central gamma central delta central epsilon"
+    crafted = spark.createDataFrame(
+        [(1, text, "en", "src0", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(
+        C, "table", lambda _spark, _sf, name: crafted
+    )
+    out = C.textrank_keywords(spark, "unused").collect()
+    top = next(r for r in out if r["rank"] == 1)
+    assert top["token"] == "central"
+
+
+def test_per_source_perceptron_models_independent(spark):
+    """Sources with opposite label geometry must learn different
+    weights, and each source's model must separate its own docs."""
+    from hridaya_steam_market_tracker_spark.queries import load_all
+
+    reg = load_all()
+    df = reg["perceptron_per_source_models"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["n_correct"] == r["n_docs"], f"{r['source']} not separated"
+    # weights are per-source, not one global vector
+    assert len({(r["w_bias"], r["w_stop_permille"], r["w_punct_permille"], r["w_len"]) for r in rows}) > 1
