@@ -96,6 +96,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "source_kl_divergence",
     "perceptron_per_source_models",
     "textrank_keywords",
+    "minhash_estimate_error",
+    "tfidf_cosine_pairs",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",
@@ -108,8 +110,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_audio_features",
     "ann_ivf_topk",
     "ann_pq_topk",
-    "freq_items_users",
-    "stratified_sample_events",
+    # (freq_items_users / stratified_sample_events dropped from the head
+    # in round 4: their rows-only records are current through r3 and the
+    # slots are better spent on new green-capable rows)
     "approx_distinct_users_per_stream",
     "hll_sketch_rollup",
     "approx_percentiles_per_stream",

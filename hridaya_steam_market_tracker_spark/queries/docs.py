@@ -740,3 +740,200 @@ def semantic_dedup_text_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("kept"),
     )
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
+    ab AS (
+      SELECT doc_id, g,
+             ('0x' || substr(md5('a:' || g), 1, 8))::BIGINT % 2147483647 AS a,
+             ('0x' || substr(md5('b:' || g), 1, 8))::BIGINT % 2147483647 AS b
+      FROM sh, unnest(s) AS u(g)
+    ),
+    sigs AS (
+      SELECT doc_id, p.p AS perm,
+             CAST(min((a + p.p * b) % 2147483647) AS BIGINT) AS mh
+      FROM ab, (SELECT unnest(range(0, 32)) AS p) p
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+               AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    m AS (
+      SELECT p.i, p.j, p.jaccard,
+             CAST(count(CASE WHEN si.mh = sj.mh THEN 1 END) AS BIGINT) AS k
+      FROM pairs p
+      JOIN sigs si ON si.doc_id = p.i
+      JOIN sigs sj ON sj.doc_id = p.j AND sj.perm = si.perm
+      GROUP BY 1, 2, 3
+    )
+    SELECT i, j, jaccard,
+           round(k / 32.0, 6) AS est_jaccard,
+           round(abs(jaccard - k / 32.0), 6) AS abs_err
+    FROM m
+    """,
+    doc=(
+        "Estimator-quality analysis for the MinHash family: for every "
+        "exact-Jaccard >= 0.5 pair, the 32-permutation signature "
+        "agreement fraction (the MinHash ESTIMATE of Jaccard) next to "
+        "the exact value and the absolute error. Because the 2-universal "
+        "affine signatures are bit-exact cross-engine, even the "
+        "ESTIMATOR'S OUTPUT is value-checked — the per-pair numbers an "
+        "engineer uses to size num_hashes against a target error "
+        "tolerance at corpus scale."
+    ),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=64)
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    sets = docs.select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = D.signatures_from_sets(sets, num_hashes=32)
+    sig_arr = F.array(*[F.col(f"mh_{s}") for s in range(32)])
+    sa = sigs.select(F.col("doc_id").alias("i"), sig_arr.alias("sig_i"))
+    sb = sigs.select(F.col("doc_id").alias("j"), sig_arr.alias("sig_j"))
+    k = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_i"), F.col("sig_j"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    return (
+        pairs.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            "i",
+            "j",
+            "jaccard",
+            F.round(k / F.lit(32.0), 6).alias("est_jaccard"),
+            F.round(F.abs(F.col("jaccard") - k / F.lit(32.0)), 6).alias("abs_err"),
+        )
+    )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    tok AS (SELECT doc_id, t FROM d, unnest(w) AS u(t)),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    wgt AS (
+      SELECT doc_id, t,
+             tf * CAST(round(ln(n / CAST(df AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+      FROM tf JOIN df USING (t) CROSS JOIN nd
+    ),
+    nz AS (SELECT * FROM wgt WHERE w > 0),
+    n2 AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM nz GROUP BY 1),
+    dt AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM nz a JOIN nz b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.i, d.j,
+           round(d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos_sim
+    FROM dt d JOIN n2 na ON na.doc_id = d.i JOIN n2 nb ON nb.doc_id = d.j
+    WHERE d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.9
+    """,
+    doc=(
+        "Sparse TF-IDF cosine similarity join via PREFIX FILTERING "
+        "(Bayardo et al. WWW'07 all-pairs similarity search) — the "
+        "text-side analog of the embedding near-dup join, in EXACT "
+        "INTEGER weights: idf integerizes to milli-nats, weights are "
+        "tf * idf_milli BIGINTs, dot products and squared norms exact "
+        "integer sums, so similarity values hash-match cross-engine. "
+        "Candidates come from indexing only each vector's PREFIX under "
+        "the rare-terms-first canonical order (suffix norm below the "
+        "threshold cannot reach cos >= 0.9 alone — LOSSLESS, unlike a "
+        "df cutoff, and the prefix holds the SHORTEST posting lists so "
+        "fan-out stays bounded at corpus scale); the bound uses "
+        "(t - 1e-6)^2 so one-ulp cumsum noise cannot flip a boundary "
+        "prefix decision. Each candidate's dot is then recomputed from "
+        "the full weight maps."
+    ),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    wgt = (
+        tf.join(df, "t")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "t",
+            "df",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n") / F.col("df").cast("double")) * 1000.0, 0).cast("long")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    n2 = wgt.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).cast("long").alias("n2"))
+    maps = wgt.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("t", "w"))).alias("m")
+    )
+    # Prefix filtering: canonical order = (df ASC, term) puts the rarest
+    # terms first; a term stays in the index iff the normalized mass
+    # from it to the end of the vector could still reach the threshold
+    # alone. Any cos >= t pair must then share an indexed term of at
+    # least one side, so (prefix x full) postings cover all candidates.
+    from pyspark.sql import Window
+
+    bound = (0.9 - 1e-6) ** 2
+    w_ord = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("t").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    suffix2 = F.sum((F.col("w") * F.col("w")).cast("double")).over(w_ord)
+    flagged = wgt.join(n2, "doc_id").withColumn(
+        "in_prefix", suffix2 / F.col("n2").cast("double") >= F.lit(bound)
+    )
+    prefix = flagged.filter(F.col("in_prefix")).select(F.col("doc_id").alias("p"), "t")
+    full = wgt.select(F.col("doc_id").alias("q"), "t")
+    cands = (
+        prefix.join(full, "t")
+        .filter(F.col("p") != F.col("q"))
+        .select(
+            F.least("p", "q").alias("i"), F.greatest("p", "q").alias("j")
+        )
+        .distinct()
+    )
+    # ...then the EXACT dot from the full weight maps.
+    mi = maps.select(F.col("doc_id").alias("i"), F.col("m").alias("m_i"))
+    mj = maps.select(F.col("doc_id").alias("j"), F.col("m").alias("m_j"))
+    dot = F.aggregate(
+        F.map_entries(F.col("m_i")),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + e["value"] * F.coalesce(F.element_at(F.col("m_j"), e["key"]), F.lit(0).cast("long")),
+    )
+    cos = F.col("dot").cast("double") / F.sqrt(
+        F.col("n2_i").cast("double") * F.col("n2_j").cast("double")
+    )
+    return (
+        cands.join(mi, "i")
+        .join(mj, "j")
+        .withColumn("dot", dot)
+        .join(n2.select(F.col("doc_id").alias("i"), F.col("n2").alias("n2_i")), "i")
+        .join(n2.select(F.col("doc_id").alias("j"), F.col("n2").alias("n2_j")), "j")
+        .filter(cos >= 0.9)
+        .select("i", "j", F.round(cos, 6).alias("cos_sim"))
+    )
