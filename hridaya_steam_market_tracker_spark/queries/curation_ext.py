@@ -1579,3 +1579,74 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, t
+      FROM (SELECT doc_id, source, {_TOKS_LOWER} AS w FROM documents),
+      unnest(w) AS u(t)
+    ),
+    per_doc AS (
+      SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY 1, 2
+    ),
+    first_seen AS (
+      SELECT source, t, min(doc_id) AS first_doc FROM tok GROUP BY 1, 2
+    ),
+    new_types AS (
+      SELECT source, first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1, 2
+    )
+    SELECT p.source, p.doc_id,
+           CAST(sum(p.n_tok) OVER (PARTITION BY p.source ORDER BY p.doc_id)
+                AS BIGINT) AS cum_tokens,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (PARTITION BY p.source
+                                                ORDER BY p.doc_id) AS BIGINT)
+             AS cum_vocab
+    FROM per_doc p LEFT JOIN new_types n ON n.source = p.source
+                                        AND n.doc_id = p.doc_id
+    """,
+    doc=(
+        "Heaps'-law vocabulary growth curve: cumulative corpus token "
+        "count vs cumulative distinct-type count in doc_id ingestion "
+        "order — the diagnostic that tells a corpus builder whether new "
+        "data still contributes novel vocabulary or has saturated "
+        "(V ~ k*N^b flattening), PER SOURCE so the running sums ride a "
+        "source-partitioned window (no single-partition global sort). "
+        "Computed without any per-prefix rescan: each type attributes "
+        "to its FIRST document (min-aggregate), then two running sums "
+        "over the per-doc rollup — doc-count rows, not tokens."
+    ),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    tok = docs.select("source", "doc_id", F.explode(toks).alias("t"))
+    per_doc = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_types = (
+        tok.groupBy("source", "t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        per_doc.join(new_types, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
+        )
+    )
