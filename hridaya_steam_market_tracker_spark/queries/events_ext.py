@@ -324,3 +324,62 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_micro").cast("double") / (F.col("n") * F.lit(1000000.0)), 6
         ).alias("avg_value"),
     )
+
+
+@register(
+    "winsorize_stream_values",
+    oracle="""
+    WITH q AS (
+      SELECT event_type AS stream,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type AS stream,
+           round(e.value, 6) AS value,
+           round(q.p05, 6) AS p05, round(q.p95, 6) AS p95,
+           round(CASE WHEN e.value < q.p05 THEN q.p05
+                      WHEN e.value > q.p95 THEN q.p95
+                      ELSE e.value END, 6) AS clamped,
+           (e.value < q.p05 OR e.value > q.p95) AS was_clamped
+    FROM events e JOIN q ON q.stream = e.event_type
+    """,
+    doc=(
+        "Per-stream winsorization — the robust-scaling feature "
+        "preprocessing step (clamp to [p05, p95] before normalization "
+        "so tail outliers cannot dominate a scaler): exact linear-"
+        "interpolated percentiles per stream (one agg over ~streams "
+        "rows, broadcast back), then a scan-stage clamp. Both engines "
+        "compute the same (n-1)*p interpolation on the same sorted "
+        "doubles, so the bounds and clamped values hash-match; the "
+        "approximate tier at corpus scale is approx_percentile (see "
+        "queries/sketches.py), same plan shape."
+    ),
+)
+def winsorize_stream_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    q = events.groupBy(F.col("event_type").alias("stream")).agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return (
+        events.join(
+            F.broadcast(q), events["event_type"] == q["stream"]
+        )
+        .select(
+            "event_id",
+            "stream",
+            F.round("value", 6).alias("value"),
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            F.round(clamped, 6).alias("clamped"),
+            ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))).alias(
+                "was_clamped"
+            ),
+        )
+    )
