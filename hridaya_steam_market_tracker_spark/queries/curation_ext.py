@@ -1650,3 +1650,118 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
         )
     )
+
+
+@register(
+    "stupid_backoff_eval_scores",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, list_prepend('<s>', ws) AS padded, len(ws) AS n
+      FROM (SELECT doc_id, source, {_TOKS_LOWER} AS ws FROM documents)
+      WHERE len(ws) > 0
+    ),
+    bi AS (
+      SELECT doc_id, source, padded[k.k] AS w1, padded[k.k + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(range(1, n + 1)) AS k) k
+    ),
+    tb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi
+           WHERE source IN ('src18', 'src19') GROUP BY 1, 2),
+    tu AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bi
+           WHERE source IN ('src18', 'src19') GROUP BY 1),
+    tw AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS c2 FROM bi
+           WHERE source IN ('src18', 'src19') GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi
+           WHERE source IN ('src18', 'src19')),
+    scored AS (
+      SELECT b.doc_id,
+             CASE WHEN coalesce(tb.c12, 0) > 0 THEN 0 ELSE 1 END AS backoff,
+             CAST(round(CASE
+               WHEN coalesce(tb.c12, 0) > 0
+                 THEN ln(tb.c12 / CAST(tu.c1 AS DOUBLE))
+               WHEN coalesce(tw.c2, 0) > 0
+                 THEN ln(0.4) + ln(tw.c2 / CAST(nn.n AS DOUBLE))
+               ELSE ln(0.4) + ln(1 / CAST(nn.n AS DOUBLE))
+             END * 1000000.0) AS BIGINT) AS lp_micro
+      FROM bi b
+      LEFT JOIN tb ON tb.w1 = b.w1 AND tb.w2 = b.w2
+      LEFT JOIN tu ON tu.w1 = b.w1
+      LEFT JOIN tw ON tw.w = b.w2
+      CROSS JOIN nn
+      WHERE b.source NOT IN ('src18', 'src19')
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(backoff) AS BIGINT) AS n_backoff,
+           CAST(sum(lp_micro) AS BIGINT) AS score_micro_nats,
+           -- exact integer average (nano-nats, floor on the positive
+           -- magnitude): score/(n*1e6) lands on tie-prone rational grid
+           -- points where the engines' double rounding disagrees
+           CAST(-(((-sum(lp_micro)) * 1000) // count(*)) AS BIGINT)
+             AS avg_nano_nats
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "Stupid-backoff LM scoring (Brants et al. 2007 — the canonical "
+        "MapReduce-scale LM): a bigram model trained on the curated "
+        "slice (src18/19) scores every raw document, backing off to "
+        "0.4 * unigram MLE for unseen bigrams and to a 0.4/N floor for "
+        "OOV words — the regime where backoff actually fires, unlike "
+        "self-scoring. Train counts broadcast (curated slice is small "
+        "vs the corpus); per-bigram log-scores integerize to micro-nats "
+        "before the per-doc BIGINT sum (the repo's LM determinism "
+        "discipline), so scores AND backoff counts are value-checked."
+    ),
+)
+def stupid_backoff_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.lm import _doc_bigrams
+
+    docs = table(spark, sf_dir, "documents")
+    bi = _doc_bigrams(docs, "text", "doc_id").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    is_train = F.col("source").isin(*_EVAL_SOURCES)
+    train = bi.filter(is_train)
+    tb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    tu = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    tw = train.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    nn = train.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lp = F.when(
+        F.coalesce(F.col("c12"), F.lit(0)) > 0,
+        F.log(F.col("c12") / F.col("c1").cast("double")),
+    ).otherwise(
+        F.log(F.lit(0.4))
+        + F.when(
+            F.coalesce(F.col("c2"), F.lit(0)) > 0,
+            F.log(F.col("c2") / F.col("n").cast("double")),
+        ).otherwise(F.log(F.lit(1) / F.col("n").cast("double")))
+    )
+    lp_micro = F.round(lp * F.lit(1000000.0), 0).cast("long")
+    backoff = F.when(F.coalesce(F.col("c12"), F.lit(0)) > 0, 0).otherwise(1)
+    scored = (
+        bi.filter(~is_train)
+        .join(F.broadcast(tb), ["w1", "w2"], "left")
+        .join(F.broadcast(tu), "w1", "left")
+        .join(F.broadcast(tw), bi["w2"] == tw["w"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select("doc_id", backoff.alias("backoff"), lp_micro.alias("lp_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("backoff").cast("long").alias("n_backoff"),
+            F.sum("lp_micro").cast("long").alias("score_micro_nats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_backoff",
+            "score_micro_nats",
+            # positive-magnitude floor div == DuckDB // on positives
+            F.expr("-(((-score_micro_nats) * 1000) div n_bigrams)")
+            .cast("long")
+            .alias("avg_nano_nats"),
+        )
+    )
