@@ -101,6 +101,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "vocab_growth_curve",
     "winsorize_stream_values",
     "stupid_backoff_eval_scores",
+    "source_overlap_matrix",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",
@@ -113,10 +114,10 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_audio_features",
     "ann_ivf_topk",
     # (ann_pq_topk, freq_items_users, stratified_sample_events,
-    # approx_distinct_users_per_stream, hll_sketch_rollup dropped from the head
+    # approx_distinct_users_per_stream, hll_sketch_rollup,
+    # approx_percentiles_per_stream dropped from the head
     # in round 4: their rows-only records are current through r3 and the
     # slots are better spent on new green-capable rows)
-    "approx_percentiles_per_stream",
 )
 
 

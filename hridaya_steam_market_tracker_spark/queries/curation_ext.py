@@ -1765,3 +1765,69 @@ def stupid_backoff_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_nano_nats"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_LOWER} AS w FROM documents),
+    g AS (
+      SELECT DISTINCT source,
+             array_to_string(w[i.i:i.i+4], ' ') AS gram
+      FROM d, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) i
+      WHERE len(w) >= 5
+    ),
+    tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM g a JOIN g b USING (gram)
+      GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_shared,
+           ta.n_grams AS n_grams_a,
+           round(i.n_shared / CAST(ta.n_grams AS DOUBLE), 6) AS containment
+    FROM inter i JOIN tot ta ON ta.source = i.src_a
+    """,
+    doc=(
+        "Cross-source contamination matrix: directional 5-gram "
+        "containment |grams(a) ∩ grams(b)| / |grams(a)| for every "
+        "source pair — the provenance diagnostic that shows which "
+        "domains duplicate which (mirror sites, syndication, scraped "
+        "re-posts) before dedup budgets are set per domain. One "
+        "gram-keyed self-join whose fan-out is bounded by the SOURCE "
+        "count per gram (<= 20 here), not document count — the "
+        "aggregation to distinct (source, gram) happens first, so no "
+        "posting-list blowup."
+    ),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    grams5 = F.expr(
+        "transform(sequence(1, size(w) - 4), "
+        "i -> concat_ws(' ', slice(w, i, 5)))"
+    )
+    g = (
+        docs.select("source", toks.alias("w"))
+        .filter(F.size("w") >= 5)
+        .select("source", F.explode(grams5).alias("gram"))
+        .distinct()
+    )
+    tot = g.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = g.select(F.col("source").alias("src_a"), "gram")
+    b = g.select(F.col("source").alias("src_b"), "gram")
+    inter = a.join(b, "gram").groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    return inter.join(
+        F.broadcast(tot.select(F.col("source").alias("src_a"), "n_grams")), "src_a"
+    ).select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        F.col("n_grams").alias("n_grams_a"),
+        F.round(F.col("n_shared") / F.col("n_grams").cast("double"), 6).alias(
+            "containment"
+        ),
+    )
