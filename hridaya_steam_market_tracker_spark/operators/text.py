@@ -313,3 +313,27 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__toks", "__toksl", "__n_stops", "__tok_len_sum", "__n_punct")
     )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digit-string column, as native expressions:
+    from the rightmost digit, double every second digit and fold >9
+    back by subtracting 9; valid iff the sum is divisible by 10. The
+    validation step that separates real card numbers from arbitrary
+    digit runs a bare regex would flag — integer-exact, so PII
+    detection stats stay oracle-checkable."""
+    rev = F.reverse(digits)
+    idx = F.sequence(F.lit(1), F.length(rev))
+    per_digit = F.transform(
+        idx,
+        lambda i: F.when(
+            i % 2 == 0,
+            # doubled position: 2d - 9 when 2d > 9, i.e. d >= 5
+            F.when(
+                F.substring(rev, i.cast("int"), 1).cast("int") >= 5,
+                F.substring(rev, i.cast("int"), 1).cast("int") * 2 - 9,
+            ).otherwise(F.substring(rev, i.cast("int"), 1).cast("int") * 2),
+        ).otherwise(F.substring(rev, i.cast("int"), 1).cast("int")),
+    )
+    total = F.aggregate(per_digit, F.lit(0), lambda acc, d: acc + d)
+    return total % 10 == 0

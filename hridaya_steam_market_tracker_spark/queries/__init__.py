@@ -102,6 +102,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "winsorize_stream_values",
     "stupid_backoff_eval_scores",
     "source_overlap_matrix",
+    "cc_luhn_detection_stats",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",
@@ -110,10 +111,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     # rows-only by design (no_oracle) — keep their rows-only checks current
     "multimodal_feature_extract",
     "multimodal_resize",
-    "multimodal_frame_sample",
     "multimodal_audio_features",
     "ann_ivf_topk",
-    # (ann_pq_topk, freq_items_users, stratified_sample_events,
+    # (multimodal_frame_sample, ann_pq_topk, freq_items_users, stratified_sample_events,
     # approx_distinct_users_per_stream, hll_sketch_rollup,
     # approx_percentiles_per_stream dropped from the head
     # in round 4: their rows-only records are current through r3 and the

@@ -1831,3 +1831,97 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     )
+
+
+# Public test card numbers (reserved for testing by the card networks,
+# printed in every payment-API doc): one Luhn-valid, one off-by-one.
+_CC_VALID, _CC_INVALID = "4111111111111111", "4111111111111112"
+
+
+@register(
+    "cc_luhn_detection_stats",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 5 = 1 THEN ' card {_CC_VALID} on file'
+                          WHEN doc_id % 5 = 3 THEN ' ref {_CC_INVALID} code'
+                          ELSE '' END AS text
+      FROM documents
+    ),
+    cands AS (
+      SELECT doc_id, c AS cand
+      FROM (SELECT doc_id,
+                   regexp_extract_all(text, '[0-9]{{13,19}}') AS cs
+            FROM seeded) t,
+      unnest(cs) AS u(c)
+    ),
+    checked AS (
+      SELECT doc_id, cand,
+             (list_sum(list_transform(generate_series(1, length(cand)),
+                i -> CASE WHEN i % 2 = 0 THEN
+                       CASE WHEN CAST(reverse(cand)[i] AS INTEGER) >= 5
+                            THEN CAST(reverse(cand)[i] AS INTEGER) * 2 - 9
+                            ELSE CAST(reverse(cand)[i] AS INTEGER) * 2 END
+                     ELSE CAST(reverse(cand)[i] AS INTEGER) END))
+              % 10 = 0) AS valid
+      FROM cands
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+      FROM checked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_candidates, 0) AS n_candidates,
+           coalesce(a.n_valid, 0) AS n_valid,
+           coalesce(a.n_valid, 0) > 0 AS has_card
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=(
+        "Luhn-validated card-number detection — the PII hard case: a "
+        "13-19-digit regex over-matches (order ids, timestamps, EANs), "
+        "so every candidate is checksum-verified with the Luhn fold as "
+        "native integer expressions before it counts as PII. "
+        "Deterministic injection of the public test numbers (one valid, "
+        "one off-by-one) keeps the fixture non-vacuous and value-checks "
+        "BOTH branches of the validator. Scan-stage candidates + one "
+        "doc-keyed aggregate."
+    ),
+)
+def cc_luhn_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import luhn_valid
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 1, F.lit(f" card {_CC_VALID} on file"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(f" ref {_CC_INVALID} code"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cands = seeded.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[0-9]{13,19}"), 0)
+        ).alias("cand"),
+    )
+    agg = (
+        cands.withColumn("valid", luhn_valid(F.col("cand")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("valid"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0).cast("long")).alias("n_candidates"),
+            F.coalesce("n_valid", F.lit(0).cast("long")).alias("n_valid"),
+            (F.coalesce("n_valid", F.lit(0).cast("long")) > 0).alias("has_card"),
+        )
+    )
