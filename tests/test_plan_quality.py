@@ -101,6 +101,14 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "hard_negative_mining",
         "mmr_diverse_topk",
         "perceptron_per_source_models",
+        "minhash_estimate_error",
+        "tfidf_cosine_pairs",
+        "vocab_growth_curve",
+        "winsorize_stream_values",
+        "stupid_backoff_eval_scores",
+        "source_overlap_matrix",
+        "cc_luhn_detection_stats",
+        "textrank_keywords",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
