@@ -103,6 +103,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "stupid_backoff_eval_scores",
     "source_overlap_matrix",
     "cc_luhn_detection_stats",
+    "cluster_weighted_sample",
     # implementation touched in round 4 (ADVICE fixes) — re-sample under the
     # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
     "j7_debounce_coalesce",
@@ -110,10 +111,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "ann_lsh_multiprobe_topk",
     # rows-only by design (no_oracle) — keep their rows-only checks current
     "multimodal_feature_extract",
-    "multimodal_resize",
     "multimodal_audio_features",
     "ann_ivf_topk",
-    # (multimodal_frame_sample, ann_pq_topk, freq_items_users, stratified_sample_events,
+    # (multimodal_resize, multimodal_frame_sample, ann_pq_topk, freq_items_users, stratified_sample_events,
     # approx_distinct_users_per_stream, hll_sketch_rollup,
     # approx_percentiles_per_stream dropped from the head
     # in round 4: their rows-only records are current through r3 and the

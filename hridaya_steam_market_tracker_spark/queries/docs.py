@@ -937,3 +937,74 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.9)
         .select("i", "j", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+@register(
+    "cluster_weighted_sample",
+    oracle=f"""
+    WITH RECURSIVE d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3),
+    pairs AS (
+      SELECT a.doc_id AS i, b.doc_id AS j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+             FROM reach GROUP BY node),
+    sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT c.doc_id, c.component, s.cluster_size,
+           ('0x' || substr(md5('cws:' || CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT
+             < (CAST(1152921504606846976 AS BIGINT) // s.cluster_size)
+             AS included
+    FROM comp c JOIN sizes s USING (component)
+    """,
+    doc=(
+        "Near-dup-AWARE sampling — the soft alternative to hard dedup "
+        "(keep duplicated content but downweight it so a 40x-mirrored "
+        "page contributes ~one copy in expectation): every document "
+        "keeps independently with probability 1/cluster_size via the "
+        "portable 60-bit hash (include iff h < 2^60 // size — integer "
+        "floor keeps the compare overflow-free and cross-engine "
+        "deterministic, so the SAMPLE ITSELF is value-checked, not "
+        "just its size). Singletons always keep (h < 2^60 is "
+        "universally true); retry-reproducible like the other hash "
+        "samplers."
+    ),
+)
+def cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_duplicates(
+        docs, num_hashes=32, bands=16, threshold=0.5
+    ).select("i", "j")
+    comp = connected_components(docs.select("doc_id"), pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    h60 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cws:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (
+        comp.join(F.broadcast(sizes), "component")
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (h60 < F.expr(f"{1 << 60} div cluster_size")).alias("included"),
+        )
+    )
