@@ -129,6 +129,21 @@ def main() -> None:
         n: min(p for p in (pass1[n], pass2[n], pass3.get(n)) if p is not None)
         for n in pass1
     }
+    # Raw per-pass detail goes to a sidecar file + stderr, NOT the final
+    # stdout line: round 4's driver tail-capture truncated the one giant
+    # JSON line and recorded "parsed": null. The compact headline summary
+    # must be the LAST stdout line and short enough to survive any
+    # reasonable tail window.
+    detail = {"pass1": pass1, "pass2": pass2, "pass3": pass3, "sf": sf}
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
@@ -136,9 +151,6 @@ def main() -> None:
                 "value": round(sum(best.values()), 4),
                 "unit": "sec",
                 "queries": best,
-                "pass1": pass1,
-                "pass2": pass2,
-                "pass3": pass3,
                 "sf": sf,
             }
         )

@@ -216,11 +216,14 @@ def minhash_signatures(
     return signatures_from_sets(sets, num_hashes)
 
 
-def lsh_candidate_pairs(
+def banded_buckets(
     signatures: DataFrame, num_hashes: int = 32, bands: int = 16
 ) -> DataFrame:
-    """Band the signature; docs sharing any band bucket become a
-    candidate pair. rows_per_band = num_hashes // bands."""
+    """Explode a signature frame into (doc_id, band, bucket) rows —
+    the LSH index representation. rows_per_band = num_hashes // bands.
+    This frame IS the persistable signature store for incremental
+    dedup: write it once per corpus, bucket-join each day's delta
+    against it (minhash_delta_near_duplicates)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -228,9 +231,17 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"))
         )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket become a
+    candidate pair. rows_per_band = num_hashes // bands."""
+    banded = banded_buckets(signatures, num_hashes, bands)
     left = banded.select(F.col("doc_id").alias("i"), "band", "bucket")
     right = banded.select(F.col("doc_id").alias("j"), "band", "bucket")
     return (
@@ -259,11 +270,20 @@ def minhash_near_duplicates(
     """
     # One materialization of the shingle sets feeds signatures, the
     # banded self-join AND verification — without it Spark recomputes
-    # the md5-heavy subtree once per consumer (4x the work).
+    # the md5-heavy subtree once per consumer (4x the work). Explicit
+    # MEMORY_AND_DISK: at 100 TB the shingle sets exceed executor
+    # memory and must spill, not evict-and-recompute (cache() happens
+    # to default to the same level for DataFrames, but the choice is
+    # load-bearing here, so it is stated). Lifecycle note: the result
+    # is lazy, so unpersist can't happen inside this function; callers
+    # holding a long-lived session should unpersist via
+    # spark.catalog.clearCache() between corpus-scale runs.
+    from pyspark import StorageLevel
+
     sets = (
         _spread(df, id_col)
         .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = signatures_from_sets(sets, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
@@ -274,6 +294,71 @@ def minhash_near_duplicates(
     # O(candidates x shingles-per-doc).
     a = sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
     b = sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
+    paired = cands.join(a, "i").join(b, "j")
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    jac = inter.cast("double") / union
+    return (
+        paired.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+
+
+def minhash_delta_near_duplicates(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: dedup an incoming batch against
+    the standing corpus AND against itself, without ever re-deduping
+    corpus x corpus. This is the daily-ingest shape at 100 TB: the
+    corpus side's banded signature index (`banded_buckets`) is
+    write-once state — in production you persist it and append each
+    day's delta bands — so per-ingest cost is O(|delta| bands +
+    matching buckets), independent of corpus size beyond the bucket
+    equi-join, and the quadratic corpus pair space is never touched.
+
+    Candidates: (corpus x delta) ∪ (delta x delta, i < j), verified by
+    exact Jaccard on the candidate pairs only (same discipline as
+    minhash_near_duplicates). Output: (i, j, jaccard) with j always a
+    delta doc; i is the corpus doc for cross pairs, the smaller delta
+    id for in-batch pairs. Assumes corpus and delta ids are disjoint.
+    """
+    from pyspark import StorageLevel
+
+    def to_sets(df: DataFrame) -> DataFrame:
+        return (
+            _spread(df, id_col)
+            .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+    c_sets, d_sets = to_sets(corpus), to_sets(delta)
+    c_bands = banded_buckets(signatures_from_sets(c_sets, num_hashes), num_hashes, bands)
+    d_bands = banded_buckets(signatures_from_sets(d_sets, num_hashes), num_hashes, bands)
+
+    cross = (
+        c_bands.select(F.col("doc_id").alias("i"), "band", "bucket")
+        .join(d_bands.select(F.col("doc_id").alias("j"), "band", "bucket"), ["band", "bucket"])
+        .select("i", "j")
+    )
+    within = (
+        d_bands.select(F.col("doc_id").alias("i"), "band", "bucket")
+        .join(d_bands.select(F.col("doc_id").alias("j"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j")
+    )
+    cands = cross.unionByName(within).distinct()
+
+    all_sets = c_sets.unionByName(d_sets)
+    a = all_sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
+    b = d_sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
     paired = cands.join(a, "i").join(b, "j")
     inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
     union = F.size("sh_i") + F.size("sh_j") - inter

@@ -1713,6 +1713,229 @@ def checked_mp4_df(spark, n: int = 16) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+AVC1_NAL_SCHEMA = (
+    "media_id long, frame_idx int, ts_ms long, nal_idx int, nal_type int, "
+    "is_idr boolean, byte_offset long, n_bytes int, parse_ok boolean"
+)
+
+
+def _nal_index_op(media: DataFrame, header_len: int, type_of, is_key) -> DataFrame:
+    """Shared NAL-unit index kernel for avc1/hevc: demux the MP4 to
+    per-sample byte ranges (`_mp4_parser`), walk each sample's access
+    unit as NAL units — 4-byte length-prefixed (ISO 14496-15 sample
+    framing) or Annex-B start-code framing (raw elementary streams),
+    auto-detected per sample — and emit one row per NAL. ``header_len``
+    is the codec's NAL header size (1 for H.264, 2 for HEVC);
+    ``type_of(header_bytes)`` extracts the unit type; ``is_key(type)``
+    marks random-access units (IDR / IRAP).
+
+    Honest-failure discipline matches the codecs: an unparseable
+    container yields ONE parse_ok=false row; a sample whose bytes
+    don't frame as NALs keeps its (frame_idx, ts_ms) row with NULL
+    NAL fields — per-frame failure, the rest of the video survives.
+    This is the real 100 TB shape for compressed video: keyframe-level
+    work items with byte ranges, no codec library required; actual
+    slice decode stays a documented seam.
+
+    Scale: Arrow-batched mapInPandas riding the blob-column scan —
+    identical posture to extract_mp4_frame_index."""
+    parse = _mp4_parser()
+
+    def walk_nals(data: bytes, off: int, sz: int):
+        """Yield (abs_offset, n_bytes, nal_type) per NAL in one sample."""
+        end = off + sz
+        if sz <= 0:
+            raise ValueError("empty sample")
+        if data[off : off + 4] == b"\x00\x00\x00\x01" or data[off : off + 3] == b"\x00\x00\x01":
+            # Annex-B: NALs delimited by start codes.
+            pos = off
+            starts = []
+            while pos < end - 2:
+                if data[pos] == 0 and data[pos + 1] == 0:
+                    if data[pos + 2] == 1:
+                        starts.append((pos, 3))
+                        pos += 3
+                        continue
+                    if pos < end - 3 and data[pos + 2] == 0 and data[pos + 3] == 1:
+                        starts.append((pos, 4))
+                        pos += 4
+                        continue
+                pos += 1
+            for k, (s, sc_len) in enumerate(starts):
+                nal_start = s + sc_len
+                nal_end = starts[k + 1][0] if k + 1 < len(starts) else end
+                if nal_end - nal_start < header_len:
+                    raise ValueError("Annex-B NAL shorter than its header")
+                yield nal_start, nal_end - nal_start, type_of(data[nal_start : nal_start + header_len])
+        else:
+            pos = off
+            while pos < end:
+                if pos + 4 > end:
+                    raise ValueError("truncated NAL length prefix")
+                ln = int.from_bytes(data[pos : pos + 4], "big")
+                if ln < header_len or pos + 4 + ln > end:
+                    raise ValueError("bad NAL length")
+                yield pos + 4, ln, type_of(data[pos + 4 : pos + 4 + header_len])
+                pos += 4 + ln
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                try:
+                    samples = parse(data)
+                except (ValueError, struct.error):
+                    recs.append((mid, None, None, None, None, None, None, None, False))
+                    continue
+                for j, ts, off, sz, _key in samples:
+                    try:
+                        units = list(walk_nals(data, off, sz))
+                    except (ValueError, IndexError):
+                        recs.append((mid, j, ts, None, None, None, None, None, False))
+                        continue
+                    for u, (noff, nlen, ntype) in enumerate(units):
+                        recs.append(
+                            (mid, j, ts, u, ntype, is_key(ntype), noff, nlen, True)
+                        )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "nal_idx", "nal_type",
+                    "is_idr", "byte_offset", "n_bytes", "parse_ok",
+                ],
+            )
+
+    videos = media.filter(
+        (F.col("media_type") == "video") & (F.col("format") == "mp4")
+    ).select("media_id", "payload")
+    return videos.mapInPandas(op, schema=AVC1_NAL_SCHEMA)
+
+
+def extract_avc1_nal_index(media: DataFrame) -> DataFrame:
+    """avc1/H.264 NAL-unit index, container level (no entropy decode):
+    1-byte NAL header, unit type = low 5 bits, keyframe = IDR slice
+    (type 5). See `_nal_index_op` for the walk/framing/honest-failure
+    contract; `is_idr` in the output carries the H.264 keyframe flag."""
+    return _nal_index_op(
+        media, header_len=1, type_of=lambda h: h[0] & 0x1F, is_key=lambda t: t == 5
+    )
+
+
+def extract_hevc_nal_index(media: DataFrame) -> DataFrame:
+    """hevc/H.265 NAL-unit index, container level (no entropy decode):
+    2-byte NAL header (ITU-T H.265 §7.3.1.2), unit type = bits 1-6 of
+    the first byte, keyframe = any IRAP unit (types 16-23: BLA/IDR/CRA).
+    Same walk/framing/honest-failure contract as `_nal_index_op`; the
+    `is_idr` output column carries the IRAP flag (schema shared with
+    the avc1 indexer so downstream video stages are codec-agnostic)."""
+    return _nal_index_op(
+        media,
+        header_len=2,
+        type_of=lambda h: (h[0] >> 1) & 0x3F,
+        is_key=lambda t: 16 <= t <= 23,
+    )
+
+
+def synth_avc1_sample(i: int, j: int, annexb: bool) -> bytes:
+    """One closed-form H.264 access unit for media i, frame j:
+    n_nals = 1 + (i + j) % 3 units; unit u has body size
+    5 + (i + 2*j + 3*u) % 9, header byte = nal_type (type 5 IDR when
+    u == 0 and j % 4 == 0, type 1 non-IDR slice when u == 0 otherwise,
+    type 6 SEI for u > 0), body bytes = (i + j + u) % 256 repeated.
+    Framing is a 4-byte length prefix (avc1) or a 4-byte Annex-B start
+    code — SAME 4-byte overhead, so offsets/sizes are one oracle
+    formula for both paths."""
+    out = bytearray()
+    n_nals = 1 + (i + j) % 3
+    for u in range(n_nals):
+        bsz = 5 + (i + 2 * j + 3 * u) % 9
+        ntype = (5 if j % 4 == 0 else 1) if u == 0 else 6
+        nal = bytes([ntype]) + bytes([(i + j + u) % 256]) * bsz
+        if annexb:
+            out += b"\x00\x00\x00\x01" + nal
+        else:
+            out += len(nal).to_bytes(4, "big") + nal
+    return bytes(out)
+
+
+def checked_avc1_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable avc1 table: real MP4 containers whose video
+    samples are closed-form H.264 access units (`synth_avc1_sample`) —
+    even media ids use ISO 14496-15 length-prefixed framing, odd ids
+    Annex-B start codes (both 4-byte, one offset formula). Frame count
+    6 + i % 5, timescale 500 + 100 * (i % 3). On i % 8 == 5 the whole
+    payload is an invalid digest (container parse_ok=false row); on
+    i % 5 == 2, frame j == 1 carries 16 garbage bytes that frame as
+    neither length-prefixed nor Annex-B NALs (per-frame parse_ok=false
+    row)."""
+    rows = []
+    for i in range(n):
+        if i % 8 == 5:
+            payload = hashlib.md5(f"avc1bad{i}".encode()).digest() * 4
+        else:
+            nf = 6 + i % 5
+            frames = []
+            for j in range(nf):
+                if i % 5 == 2 and j == 1:
+                    frames.append(hashlib.md5(f"badnal{i}".encode()).digest())
+                else:
+                    frames.append(synth_avc1_sample(i, j, annexb=(i % 2 == 1)))
+            payload = synth_mp4(
+                i, nf, 500 + 100 * (i % 3), with_stss=False,
+                frame_payloads=frames, codec=b"avc1",
+            )
+        rows.append((i, "video", "mp4", bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_hevc_sample(i: int, j: int, annexb: bool) -> bytes:
+    """One closed-form H.265 access unit for media i, frame j — same
+    unit-count/body-size formulas as `synth_avc1_sample` but with the
+    2-byte HEVC NAL header (type<<1, layer/tid byte = 1): unit u has
+    body size 5 + (i + 2*j + 3*u) % 9, so n_bytes = 2 + body. Types:
+    u == 0 -> 19 (IDR_W_RADL, an IRAP) when j % 4 == 0 else 1
+    (TRAIL_R); u > 0 -> 39 (SEI_PREFIX)."""
+    out = bytearray()
+    n_nals = 1 + (i + j) % 3
+    for u in range(n_nals):
+        bsz = 5 + (i + 2 * j + 3 * u) % 9
+        ntype = (19 if j % 4 == 0 else 1) if u == 0 else 39
+        nal = bytes([ntype << 1, 1]) + bytes([(i + j + u) % 256]) * bsz
+        if annexb:
+            out += b"\x00\x00\x00\x01" + nal
+        else:
+            out += len(nal).to_bytes(4, "big") + nal
+    return bytes(out)
+
+
+def checked_hevc_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable hevc table, structured exactly like
+    `checked_avc1_df` (even ids length-prefixed, odd ids Annex-B,
+    i % 8 == 5 invalid containers, i % 5 == 2 frame 1 garbage) but
+    carrying H.265 access units from `synth_hevc_sample`."""
+    rows = []
+    for i in range(n):
+        if i % 8 == 5:
+            payload = hashlib.md5(f"hevcbad{i}".encode()).digest() * 4
+        else:
+            nf = 6 + i % 5
+            frames = []
+            for j in range(nf):
+                if i % 5 == 2 and j == 1:
+                    frames.append(hashlib.md5(f"badnal{i}".encode()).digest())
+                else:
+                    frames.append(synth_hevc_sample(i, j, annexb=(i % 2 == 1)))
+            payload = synth_mp4(
+                i, nf, 500 + 100 * (i % 3), with_stss=False,
+                frame_payloads=frames, codec=b"hvc1",
+            )
+        rows.append((i, "video", "mp4", bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def synth_wav_ramp(seed: int, rate: int = 8000, n: int = 400) -> bytes:
     """Deterministic 16-bit mono PCM WAV whose samples are the pure
     integer sawtooth ``((t * (2*seed+3)) % 4001) - 2000`` — transcendental-

@@ -35,6 +35,27 @@ def _norm2(a: Column) -> Column:
     return _dot(a, a)
 
 
+def _widen_small_scan(df: DataFrame) -> DataFrame:
+    """Adaptive parallelism for compute-heavy per-row stages: when the
+    input scan has far fewer partitions than the session has slots (the
+    bench fixture's embeddings table is ONE ~800 KB parquet file = one
+    row group = one task), repartition to defaultParallelism so the
+    per-row bucket computation (tables x planes fused dot products)
+    uses every core instead of serializing onto a single task.
+
+    At real scale the scan already has >= slots partitions, the
+    condition is false, and NO shuffle is inserted — the 100 TB plan is
+    unchanged. Only the tiny-input case pays one ~MB round-robin
+    exchange, which is exactly the trade a production engine makes
+    (AQE coalesces the opposite direction for the same reason). The
+    partition-count probe is driver-side plan analysis, no job runs."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
 
@@ -238,7 +259,8 @@ def lsh_topk(
         return F.array(*per_table)
 
     emb_b = (
-        embeddings.crossJoin(F.broadcast(planes_df))
+        _widen_small_scan(embeddings)
+        .crossJoin(F.broadcast(planes_df))
         .select(
             F.col(id_col), F.col(vec_col), F.explode(buckets(F.col(vec_col))).alias("bb")
         )
@@ -250,16 +272,23 @@ def lsh_topk(
         .select("query_id", "q_vec", F.explode(buckets(F.col("q_vec"))).alias("bb"))
         .select("query_id", "q_vec", "bb.tbl", "bb.bucket")
     )
-    cands = (
+    # Score BEFORE deduplicating: cosine is deterministic, so a candidate
+    # pair seen in several (table[, probe]) buckets scores identically
+    # everywhere and any surviving duplicate row is interchangeable.
+    # Scoring first means the dedup exchange moves (query_id, id, double)
+    # — three narrow columns — instead of rows still carrying BOTH
+    # dim-double vectors (2*dim*8 bytes/row). The re-scored duplicates
+    # cost one extra fused dot product each (scan-stage, no shuffle) —
+    # far cheaper than the wide exchange they replace.
+    scored = (
         emb_b.join(F.broadcast(q_b), ["tbl", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "q_vec", id_col, vec_col)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
         .dropDuplicates(["query_id", id_col])
-    )
-    scored = cands.select(
-        "query_id",
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -325,7 +354,8 @@ def lsh_multiprobe_topk(
         return F.array(*out)
 
     emb_b = (
-        embeddings.crossJoin(F.broadcast(planes_df))
+        _widen_small_scan(embeddings)
+        .crossJoin(F.broadcast(planes_df))
         .select(
             F.col(id_col),
             F.col(vec_col),
@@ -343,16 +373,23 @@ def lsh_multiprobe_topk(
         )
         .select("query_id", "q_vec", "bb.tbl", "bb.bucket")
     )
-    cands = (
+    # Score BEFORE deduplicating: cosine is deterministic, so a candidate
+    # pair seen in several (table[, probe]) buckets scores identically
+    # everywhere and any surviving duplicate row is interchangeable.
+    # Scoring first means the dedup exchange moves (query_id, id, double)
+    # — three narrow columns — instead of rows still carrying BOTH
+    # dim-double vectors (2*dim*8 bytes/row). The re-scored duplicates
+    # cost one extra fused dot product each (scan-stage, no shuffle) —
+    # far cheaper than the wide exchange they replace.
+    scored = (
         emb_b.join(F.broadcast(q_b), ["tbl", "bucket"])
         .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", "q_vec", id_col, vec_col)
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
         .dropDuplicates(["query_id", id_col])
-    )
-    scored = cands.select(
-        "query_id",
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()

@@ -50,74 +50,72 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 # The driver's correctness gate samples the registry front-to-back (~50
 # queries per round). Names listed here are moved to the head of the registry
-# in this exact order, regardless of module import order, so queries that need
-# a (fresh) driver CORRECTNESS row get sampled first. Pruned against
-# CORRECTNESS_r03: rounds 1-3 greened 130/143 registered queries; the list
-# below is exactly the rows that still need one — the two round-3 hash-FAILs
-# (oracle HUGEINT typing, fixed in round 4), the round-4 additions, the
-# implementation-changed queries, and the 11 rows-only-by-design entries so
-# their rows stay current. Names not (yet) registered are skipped harmlessly.
+# in this exact order, regardless of module import order, so the sample spends
+# every slot on the rows where a fresh check buys the most information.
+# Round-5 refresh (pruned the 47 r04 greens): (1) round-5 additions, (2) the
+# two LSH queries whose implementation changed this round (score-before-dedup
+# + adaptive scan widen), (3) the 47 queries whose most recent driver
+# CORRECTNESS row dates from round 1 — all green, but three code rounds stale,
+# so re-greening them under the current code is what a slot is worth now.
+# (Derived from CORRECTNESS_r01-r04 key sets; names not (yet) registered are
+# skipped harmlessly.)
 _SAMPLE_FIRST: tuple[str, ...] = (
-    # round-3 hash-FAILs, oracle BIGINT casts fixed in round 4 — re-green
-    "sequence_pack_assignment",
-    "chunk_dedup_reassemble",
-    # round-4 additions: value-checkable multimodal + ANN recall rows
-    "multimodal_feature_extract_checked",
-    "multimodal_resize_checked",
-    "multimodal_frame_sample_checked",
-    "multimodal_audio_features_checked",
-    "multimodal_mp4_frame_index_checked",
-    "multimodal_mp4_frame_sample_checked",
-    "multimodal_mjpeg_decode_checked",
-    "blob_decompress_stats_checked",
-    "warc_record_index_checked",
-    "bpe_train_merges",
-    "bpe_doc_token_stats",
-    "bigram_lm_doc_scores",
-    "domain_mix_weights",
-    "html_text_extract_checked",
-    "ann_ivf_recall_vs_brute",
-    "ann_pq_recall_vs_brute",
-    "semantic_dedup_keep_list",
-    "dsir_importance_weights",
-    "url_blocklist_filter",
-    "perceptron_quality_scores",
-    "dedup_keep_best_quality",
-    "ccnet_perplexity_buckets",
-    "knn_label_accuracy",
-    "hard_negative_mining",
-    "incremental_daily_rollup",
-    "pretrain_pipeline_e2e",
-    "bloom_filter_probe",
-    "dedup_recall_audit",
-    "mmr_diverse_topk",
-    "doc_embeddings_hashed",
-    "semantic_dedup_text_e2e",
-    "source_kl_divergence",
-    "perceptron_per_source_models",
-    "textrank_keywords",
-    "minhash_estimate_error",
-    "tfidf_cosine_pairs",
-    "vocab_growth_curve",
-    "winsorize_stream_values",
-    "stupid_backoff_eval_scores",
-    "source_overlap_matrix",
-    "cc_luhn_detection_stats",
-    "cluster_weighted_sample",
-    # implementation touched in round 4 (ADVICE fixes) — re-sample under the
-    # new code path: j7 tie-break, count-min left-join, multiprobe NaN guard
-    "j7_debounce_coalesce",
-    "cms_heavy_hitter_freq",
+    # round-5 additions
+    "multimodal_avc1_nal_index_checked",
+    "multimodal_hevc_nal_index_checked",
+    "dedup_incremental_delta",
+    # implementation changed in round 5 — re-sample under the new code path
     "ann_lsh_multiprobe_topk",
-    # rows-only by design (no_oracle) — keep their rows-only checks current
-    "multimodal_feature_extract",
-    "multimodal_audio_features",
-    "ann_ivf_topk",
-    # (multimodal_resize, multimodal_frame_sample, ann_pq_topk, freq_items_users, stratified_sample_events,
-    # approx_distinct_users_per_stream, hll_sketch_rollup,
-    # approx_percentiles_per_stream dropped from the head
-    # in round 4: their rows-only records are current through r3 and the
-    # slots are better spent on new green-capable rows)
+    "ann_lsh_topk",
+    # last driver-sampled in round 1 (stalest greens; includes the
+    # multimodal_resize / multimodal_frame_sample rows-only pair)
+    "text_quality_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "simhash_near_pairs",
+    "dedup_clusters",
+    "corpus_curation_rollup",
+    "curation_pipeline_kept_docs",
+    "x1_rollup_region_nation",
+    "x2_cube_flag_status",
+    "x3_pivot_status_by_segment",
+    "x4_above_customer_avg_orders",
+    "x5_grouping_sets_events",
+    "sessionize_events",
+    "value_percentiles_per_stream",
+    "value_histogram",
+    "c1_broadcast_enrich",
+    "c2_manifest_resolve_join",
+    "c5_anti_unresolved",
+    "c6_exists_semi",
+    "c3_spike_above_global_avg",
+    "c4_reconcile_diff",
+    "c7_hwm_delta_ingest",
+    "c8_set_equality_verify",
+    "range_join_views_before_purchase",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "g1_parse_steam_price",
+    "g2_minor_units_conversion",
+    "g3_parse_volume",
+    "g4_extract_currency",
+    "h1_parse_steam_datetime",
+    "g5_activity_price_currency",
+    "d2_count_enabled",
+    "d3_windowed_union_count",
+    "d4_last_ingest_union_max",
+    "f1_union_all_per_stream_meta",
+    "f3_payload_dup_check",
+    "d9_feasibility_gate",
+    "d11_distinct_collect_per_stream",
+    "b5_sanity_invariants",
+    "i1_json_extract",
+    "i3_json_payload_build",
+    "i5_spread_per_key_day",
+    "e6_urgency_overdue",
+    # "g10_sha256_fingerprint" deferred to r06 (head capped at 50)
+    # "h3_hour_label_histogram" deferred to r06 (head capped at 50)
 )
 
 

@@ -511,3 +511,161 @@ def multimodal_mjpeg_decode_checked(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     return decode_mp4_frames(checked_mjpeg_df(spark, n=12))
+
+
+@register(
+    "multimodal_avc1_nal_index_checked",
+    oracle="""
+    WITH m AS (
+      SELECT i, 500 + 100 * (i % 3) AS tsc, 6 + i % 5 AS nf
+      FROM generate_series(0, 15) g(i) WHERE i % 8 <> 5
+    ),
+    f AS (  -- per frame: NAL count, framed size, stts delta, bad flag
+      SELECT m.i, m.tsc, m.nf, j.j AS frame_idx,
+             1 + (m.i + j.j) % 3 AS n_nals,
+             CASE WHEN j.j < m.nf // 2 THEN 30 + m.i % 5
+                  ELSE 40 + m.i % 3 END AS delta,
+             (m.i % 5 = 2 AND j.j = 1) AS bad,
+             CASE WHEN m.i % 5 = 2 AND j.j = 1 THEN 16
+                  ELSE 10 * (1 + (m.i + j.j) % 3)
+                       + CASE 1 + (m.i + j.j) % 3
+                           WHEN 1 THEN (m.i + 2*j.j) % 9
+                           WHEN 2 THEN (m.i + 2*j.j) % 9 + (m.i + 2*j.j + 3) % 9
+                           ELSE (m.i + 2*j.j) % 9 + (m.i + 2*j.j + 3) % 9
+                                + (m.i + 2*j.j + 6) % 9 END
+             END AS fsize
+      FROM m, LATERAL (SELECT unnest(range(0, m.nf)) AS j) j
+    ),
+    c AS (  -- cumulative frame offset (mdat data starts at 32) and time
+      SELECT *,
+             coalesce(sum(delta) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t,
+             32 + coalesce(sum(fsize) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foff
+      FROM f
+    ),
+    n AS (  -- per NAL: body size and within-frame cumulative offset
+      SELECT c.i, c.tsc, c.frame_idx, c.t, c.foff, u.u AS nal_idx,
+             5 + (c.i + 2*c.frame_idx + 3*u.u) % 9 AS bsz,
+             coalesce(sum(10 + (c.i + 2*c.frame_idx + 3*u.u) % 9) OVER (
+               PARTITION BY c.i, c.frame_idx ORDER BY u.u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM c, LATERAL (SELECT unnest(range(0, c.n_nals)) AS u) u
+      WHERE NOT c.bad
+    )
+    SELECT i AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((t * 1000) // tsc AS BIGINT) AS ts_ms,
+           CAST(nal_idx AS INTEGER) AS nal_idx,
+           CAST(CASE WHEN nal_idx = 0 THEN
+                  CASE WHEN frame_idx % 4 = 0 THEN 5 ELSE 1 END
+                ELSE 6 END AS INTEGER) AS nal_type,
+           (nal_idx = 0 AND frame_idx % 4 = 0) AS is_idr,
+           CAST(foff + prev + 4 AS BIGINT) AS byte_offset,
+           CAST(1 + bsz AS INTEGER) AS n_bytes,
+           TRUE AS parse_ok
+    FROM n
+    UNION ALL
+    SELECT i, CAST(frame_idx AS INTEGER), CAST((t * 1000) // tsc AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM c WHERE bad
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM generate_series(0, 15) g(i) WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED avc1/H.264 NAL-unit index, container level (no "
+        "entropy decode, the honest scope): real MP4s whose samples are "
+        "closed-form access units — even media ids length-prefixed (ISO "
+        "14496-15), odd ids Annex-B start codes, both walked by the "
+        "auto-detecting NAL scanner — against an oracle that restates "
+        "every unit's type/IDR flag/absolute byte offset/size via integer "
+        "window cumsums. Keyframe-level work items with byte ranges are "
+        "the 100 TB fan-out shape for compressed video; per-frame and "
+        "per-container parse_ok=false rows are value-checked too."
+    ),
+)
+def multimodal_avc1_nal_index_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_avc1_df,
+        extract_avc1_nal_index,
+    )
+
+    return extract_avc1_nal_index(checked_avc1_df(spark, n=16))
+
+
+@register(
+    "multimodal_hevc_nal_index_checked",
+    oracle="""
+    WITH m AS (
+      SELECT i, 500 + 100 * (i % 3) AS tsc, 6 + i % 5 AS nf
+      FROM generate_series(0, 15) g(i) WHERE i % 8 <> 5
+    ),
+    f AS (  -- per frame: NAL count, framed size (2-byte HEVC headers), delta
+      SELECT m.i, m.tsc, m.nf, j.j AS frame_idx,
+             1 + (m.i + j.j) % 3 AS n_nals,
+             CASE WHEN j.j < m.nf // 2 THEN 30 + m.i % 5
+                  ELSE 40 + m.i % 3 END AS delta,
+             (m.i % 5 = 2 AND j.j = 1) AS bad,
+             CASE WHEN m.i % 5 = 2 AND j.j = 1 THEN 16
+                  ELSE 11 * (1 + (m.i + j.j) % 3)
+                       + CASE 1 + (m.i + j.j) % 3
+                           WHEN 1 THEN (m.i + 2*j.j) % 9
+                           WHEN 2 THEN (m.i + 2*j.j) % 9 + (m.i + 2*j.j + 3) % 9
+                           ELSE (m.i + 2*j.j) % 9 + (m.i + 2*j.j + 3) % 9
+                                + (m.i + 2*j.j + 6) % 9 END
+             END AS fsize
+      FROM m, LATERAL (SELECT unnest(range(0, m.nf)) AS j) j
+    ),
+    c AS (
+      SELECT *,
+             coalesce(sum(delta) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t,
+             32 + coalesce(sum(fsize) OVER (PARTITION BY i ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foff
+      FROM f
+    ),
+    n AS (
+      SELECT c.i, c.tsc, c.frame_idx, c.t, c.foff, u.u AS nal_idx,
+             5 + (c.i + 2*c.frame_idx + 3*u.u) % 9 AS bsz,
+             coalesce(sum(11 + (c.i + 2*c.frame_idx + 3*u.u) % 9) OVER (
+               PARTITION BY c.i, c.frame_idx ORDER BY u.u
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM c, LATERAL (SELECT unnest(range(0, c.n_nals)) AS u) u
+      WHERE NOT c.bad
+    )
+    SELECT i AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((t * 1000) // tsc AS BIGINT) AS ts_ms,
+           CAST(nal_idx AS INTEGER) AS nal_idx,
+           CAST(CASE WHEN nal_idx = 0 THEN
+                  CASE WHEN frame_idx % 4 = 0 THEN 19 ELSE 1 END
+                ELSE 39 END AS INTEGER) AS nal_type,
+           (nal_idx = 0 AND frame_idx % 4 = 0) AS is_idr,
+           CAST(foff + prev + 4 AS BIGINT) AS byte_offset,
+           CAST(2 + bsz AS INTEGER) AS n_bytes,
+           TRUE AS parse_ok
+    FROM n
+    UNION ALL
+    SELECT i, CAST(frame_idx AS INTEGER), CAST((t * 1000) // tsc AS BIGINT),
+           NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM c WHERE bad
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM generate_series(0, 15) g(i) WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED hevc/H.265 NAL-unit index (container level, no "
+        "entropy decode): the same auto-detecting NAL walker as avc1 "
+        "parameterized for the 2-byte HEVC header — unit type = bits "
+        "1-6, keyframe = IRAP (16-23; the fixture uses IDR_W_RADL=19, "
+        "TRAIL_R=1, SEI_PREFIX=39) — against an integer-cumsum oracle. "
+        "Length-prefixed and Annex-B framings both value-checked; "
+        "per-frame and per-container parse_ok=false rows too."
+    ),
+)
+def multimodal_hevc_nal_index_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_hevc_df,
+        extract_hevc_nal_index,
+    )
+
+    return extract_hevc_nal_index(checked_hevc_df(spark, n=16))

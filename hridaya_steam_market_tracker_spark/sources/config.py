@@ -138,3 +138,89 @@ def write_config(path: str, text: str, guard: EchoGuard | None = None) -> None:
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(text)
     os.replace(tmp, path)
+
+
+class ConfigWatcher:
+    """J12 watch-and-dispatch loop (reference src/configWatcher.py:30-102,
+    re-expressed as an mtime poller — watchdog isn't a dependency here and
+    a poll is the portable driver-side equivalent; the reference's
+    watchdog handler dedupes fire bursts and skips echoes exactly as
+    below).
+
+    Per poll: stat the file (missing file = mid atomic-save, skip; the
+    next poll catches the replacement) -> if mtime_ns advanced, read the
+    text -> EchoGuard skip for our own writeback (the loop breaker) ->
+    duplicate-burst skip when the content hash matches the last content
+    we acted on -> parse + validate -> `diff_control_sets` against the
+    current control set -> hand the diff to ``dispatch``. One emit point,
+    one reaction path, mirroring the reference's trigger->NOTIFY flow:
+    the watcher never touches the scheduler directly.
+
+    A bad edit (YAML error, invalid item) must not kill the loop — the
+    reference logs and keeps watching — so poll_once records it in
+    ``last_error`` and returns None.
+    """
+
+    def __init__(self, path: str, guard: EchoGuard | None = None) -> None:
+        self.path = path
+        self.guard = guard or EchoGuard()
+        self.last_error: str | None = None
+        self._last_mtime_ns: int | None = None
+        self._last_seen_hash: str | None = None
+
+    def poll_once(self, spark: SparkSession, current: DataFrame, dispatch=None):
+        """One watcher tick. Returns the dispatched diff DataFrame when a
+        real change fired, else None (no change / echo / dup / error)."""
+        try:
+            mtime_ns = os.stat(self.path).st_mtime_ns
+        except FileNotFoundError:
+            return None  # mid atomic-save; the replacement triggers next tick
+        if self._last_mtime_ns is not None and mtime_ns == self._last_mtime_ns:
+            return None
+        self._last_mtime_ns = mtime_ns
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                text = f.read()
+        except FileNotFoundError:
+            return None
+        if self.guard.is_echo(text):
+            return None  # our own writeback echo — loop guard
+        h = content_hash(text)
+        if h == self._last_seen_hash:
+            return None  # editor fire burst for content already acted on
+        self._last_seen_hash = h
+        try:
+            cfg = yaml.safe_load(text) or {}
+            cfg.setdefault("rate_limit", dict(DEFAULT_LIMITS))
+            cfg.setdefault("items", [])
+            desired = config_to_control_df(spark, cfg)
+            from hridaya_steam_market_tracker_spark.streaming.reconcile import (
+                diff_control_sets,
+            )
+
+            diff = diff_control_sets(current, desired)
+            if dispatch is not None:
+                dispatch(diff)
+            self.last_error = None
+            return diff
+        except (yaml.YAMLError, ValueError) as exc:
+            self.last_error = str(exc)
+            return None
+
+    def run(self, spark: SparkSession, get_current, dispatch, interval_sec: float = 0.5, max_ticks: int | None = None) -> int:
+        """Blocking poll loop (driver-side, like the reference's observer
+        thread). ``get_current`` supplies the control table per tick so a
+        dispatched change is visible to the next diff. ``max_ticks``
+        bounds the loop for tests; None = run until interrupted. Returns
+        the number of dispatched changes."""
+        import time as _time
+
+        fired = 0
+        tick = 0
+        while max_ticks is None or tick < max_ticks:
+            if self.poll_once(spark, get_current(), dispatch) is not None:
+                fired += 1
+            tick += 1
+            if max_ticks is None or tick < max_ticks:
+                _time.sleep(interval_sec)
+        return fired

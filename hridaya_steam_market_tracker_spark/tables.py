@@ -67,7 +67,18 @@ def _timestamp_cols(path: str) -> tuple[tuple[str, str], ...]:
     """(name, unit) for every timestamp column; unit 'ns' needs the
     long-read conversion, anything else may arrive as TIMESTAMP_NTZ.
     Cache keys include (mtime, size) so a file regenerated at the same
-    path within one process lifetime doesn't serve a stale schema."""
+    path within one process lifetime doesn't serve a stale schema.
+    A table may be a single parquet FILE (the driver fixtures) or a
+    Spark-written DIRECTORY of part files (any real deployment) — for a
+    directory, the first part file carries the schema."""
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     st = os.stat(path)
     return _timestamp_cols_cached(path, st.st_mtime_ns, st.st_size)
 

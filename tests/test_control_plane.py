@@ -123,3 +123,59 @@ def test_csv_export_flattens_nested(spark, tmp_path):
     back = spark.read.option("header", True).csv(out).collect()[0]
     assert back["name"] == "a"
     assert json.loads(back["book"]) == [{"price": "0,03€", "quantity": "2"}]
+
+def test_config_watcher_loop_e2e(spark, tmp_path):
+    """J12 watch-and-dispatch e2e (reference src/configWatcher.py:30-102):
+    file edit -> control-table diff dispatch; our own writeback is
+    suppressed by the echo guard (no reconcile storm); editor fire
+    bursts with identical content dedupe; a bad edit logs and keeps the
+    loop alive."""
+    from hridaya_steam_market_tracker_spark import schemas
+    from hridaya_steam_market_tracker_spark.sources.config import ConfigWatcher
+
+    p = tmp_path / "config.yaml"
+    p.write_text(CFG_YAML)
+    watcher = ConfigWatcher(str(p))
+    empty = spark.createDataFrame([], schemas.TRACKED_ITEMS)
+    dispatched = []
+
+    # 1) initial content vs empty control set -> two 'added' rows dispatched
+    diff = watcher.poll_once(spark, empty, dispatched.append)
+    assert diff is not None and len(dispatched) == 1
+    rows = {(r["market_hash_name"], r["status"]) for r in diff.collect()}
+    assert all(s == "added" for _, s in rows) and len(rows) == 2
+
+    # 2) no edit -> no fire (mtime unchanged)
+    assert watcher.poll_once(spark, empty, dispatched.append) is None
+
+    # 3) table -> file writeback through OUR guard -> watcher skips the echo
+    control = config_to_control_df(spark, load_config(str(p)))
+    write_config(str(p), control_df_to_config(control), watcher.guard)
+    assert watcher.poll_once(spark, control, dispatched.append) is None
+    assert len(dispatched) == 1  # no reconcile storm
+
+    # 4) a real edit fires exactly the changed row
+    edited = p.read_text().replace("poll_interval_sec: 10", "poll_interval_sec: 20")
+    p.write_text(edited)
+    diff = watcher.poll_once(spark, control, dispatched.append)
+    changed = [(r["market_hash_name"], r["status"], r["poll_interval_sec"]) for r in diff.collect()]
+    assert changed == [("AK-47 | Redline (Field-Tested)", "changed", 20)]
+
+    # 5) editor fire burst: same content rewritten (new mtime) -> deduped
+    p.write_text(edited)
+    assert watcher.poll_once(spark, control, dispatched.append) is None
+
+    # 6) bad YAML edit: loop survives, error recorded; next good edit fires
+    p.write_text("items: [{market_hash_name: '', stream: bogus}]")
+    assert watcher.poll_once(spark, control, dispatched.append) is None
+    assert watcher.last_error is not None
+    p.write_text(edited.replace("poll_interval_sec: 20", "poll_interval_sec: 30"))
+    assert watcher.poll_once(spark, control, dispatched.append) is not None
+    assert watcher.last_error is None
+
+    # 7) run(): bounded poll loop counts dispatches
+    p.write_text(edited)  # one pending change vs `control`
+    fired = ConfigWatcher(str(p)).run(
+        spark, lambda: control, dispatched.append, interval_sec=0.01, max_ticks=3
+    )
+    assert fired == 1  # first tick fires, later ticks see no change

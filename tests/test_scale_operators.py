@@ -1384,3 +1384,48 @@ def test_synth_mp4_stco_points_at_first_frame():
     payload = synth_mp4(3, 3, 600, with_stss=False, frame_payloads=frames)
     for (j, _ts, off, sz, _k), want in zip(_mp4_parser()(payload), frames):
         assert payload[off : off + sz] == want
+
+
+def test_avc1_nal_walk_framings_agree_and_fail_honestly(spark):
+    """The avc1 NAL indexer must produce IDENTICAL rows for the same
+    access units framed as 4-byte length prefixes (ISO 14496-15) vs
+    4-byte Annex-B start codes (same overhead, one offset formula),
+    flag IDR units only at type 5, and mark unframeable samples /
+    unparseable containers with per-frame / per-container
+    parse_ok=false rows."""
+    import hashlib
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_avc1_nal_index,
+        synth_avc1_sample,
+        synth_mp4,
+    )
+
+    nf = 6
+    frames_lp = [synth_avc1_sample(4, j, annexb=False) for j in range(nf)]
+    frames_ab = [synth_avc1_sample(4, j, annexb=True) for j in range(nf)]
+    media = spark.createDataFrame(
+        [
+            (0, "video", "mp4", bytearray(synth_mp4(4, nf, 600, False, frames_lp, b"avc1")), None, None, None),
+            (1, "video", "mp4", bytearray(synth_mp4(4, nf, 600, False, frames_ab, b"avc1")), None, None, None),
+            (2, "video", "mp4", bytearray(hashlib.md5(b"junk").digest() * 4), None, None, None),
+            (3, "video", "mp4", bytearray(synth_mp4(4, 1, 600, False, [hashlib.md5(b"badnal").digest()], b"avc1")), None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_avc1_nal_index(media).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(tuple(r)[1:])
+    # identical index regardless of framing
+    assert sorted(by_media[0]) == sorted(by_media[1])
+    ok = [r for r in by_media[0] if r[-1]]
+    assert len(ok) > nf  # multi-NAL frames exist
+    # IDR exactly on frame_idx % 4 == 0 first units
+    for fi, ts, ni, ntype, idr, off, nb, pok in ok:
+        assert idr == (ntype == 5) == (ni == 0 and fi % 4 == 0)
+        assert nb >= 6 and off > 32
+    # honest failures
+    assert by_media[2] == [(None, None, None, None, None, None, None, False)]
+    assert by_media[3] == [(0, 0, None, None, None, None, None, False)]
