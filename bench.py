@@ -72,6 +72,12 @@ HEADLINE = [
     # plan-build time, outside the timer)
     "dsir_importance_weights",
     "ccnet_perplexity_buckets",
+    # round-5: incremental (delta-vs-corpus) dedup — the daily-ingest path.
+    # NOT benched: tfidf_cosine_pairs — its cost probe executes two small
+    # jobs at plan-build time (outside the noop timer), so a headline
+    # number would under-report it the same way bpe_train_merges would;
+    # honest timings live in PLANS.md SCALE and tests.
+    "dedup_incremental_delta",
     # NOT benched: bpe_train_merges — its per-round localCheckpoints run
     # eagerly at plan-build time, so the noop-save timer would record only
     # the final 8-row union read (~40 ms), not the training work. Honest
