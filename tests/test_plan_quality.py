@@ -109,6 +109,9 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "source_overlap_matrix",
         "cc_luhn_detection_stats",
         "textrank_keywords",
+        "dedup_incremental_delta",
+        "multimodal_avc1_nal_index_checked",
+        "multimodal_hevc_nal_index_checked",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):

@@ -1429,3 +1429,51 @@ def test_avc1_nal_walk_framings_agree_and_fail_honestly(spark):
     # honest failures
     assert by_media[2] == [(None, None, None, None, None, None, None, False)]
     assert by_media[3] == [(0, 0, None, None, None, None, None, False)]
+
+
+def test_incremental_delta_dedup_equals_restricted_full(spark):
+    """The incremental (delta-vs-corpus) dedup must return EXACTLY the
+    full-corpus near-dup pair set restricted to pairs touching the
+    delta — same jaccards — with i relabeled to the corpus side for
+    cross pairs. The cheap incremental path may not lose or invent
+    pairs relative to re-deduping everything."""
+    from hridaya_steam_market_tracker_spark.operators import dedup as D
+
+    docs = table(spark, SF, "documents")
+    is_delta = F.col("doc_id") % 10 == 7
+    full = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in D.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    expected = {}
+    for (i, j), jac in full.items():
+        di, dj = i % 10 == 7, j % 10 == 7
+        if dj and not di:
+            expected[(i, j)] = jac      # corpus x delta, corpus id first
+        elif di and not dj:
+            expected[(j, i)] = jac      # relabel: corpus id is i
+        elif di and dj:
+            expected[(i, j)] = jac      # within-batch keeps i < j
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in D.minhash_delta_near_duplicates(
+            docs.filter(~is_delta), docs.filter(is_delta), threshold=0.5
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_widen_small_scan_is_noop_on_wide_input(spark):
+    """_widen_small_scan exists to parallelize tiny single-file scans;
+    on an input that already has >= slots/4 partitions it must insert
+    NO repartition — the 100 TB plan is unchanged. Gate both sides so
+    neither the widen nor the no-op regresses silently."""
+    from hridaya_steam_market_tracker_spark.operators.similarity import (
+        _widen_small_scan,
+    )
+
+    narrow = spark.range(1000).coalesce(1)
+    wide = spark.range(1000).repartition(64)
+    target = spark.sparkContext.defaultParallelism
+    assert _widen_small_scan(narrow).rdd.getNumPartitions() == target
+    assert _widen_small_scan(wide).rdd.getNumPartitions() == 64
