@@ -1477,3 +1477,66 @@ def test_widen_small_scan_is_noop_on_wide_input(spark):
     target = spark.sparkContext.defaultParallelism
     assert _widen_small_scan(narrow).rdd.getNumPartitions() == target
     assert _widen_small_scan(wide).rdd.getNumPartitions() == 64
+
+
+def test_avc1_nal_walk_property_random_structures(spark):
+    """Property test (seeded random, one Spark job): for ~60 random
+    access-unit layouts — random NAL counts, body sizes, types, and
+    per-video framing (length-prefixed vs Annex-B, including 3-byte
+    start codes) — the indexer must reproduce the generator's exact
+    (frame, nal, type, offset, size) layout. Catches off-by-ones in
+    the walker that a fixed fixture can't."""
+    import random
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_avc1_nal_index,
+        synth_mp4,
+    )
+
+    rng = random.Random(1234)
+    rows, expected = [], {}
+    for vid in range(60):
+        annexb = rng.random() < 0.5
+        sc3 = annexb and rng.random() < 0.3  # 3-byte start codes
+        nf = rng.randint(1, 6)
+        frames, exp = [], []
+        for j in range(nf):
+            payload = bytearray()
+            units = []
+            pos = 0
+            for u in range(rng.randint(1, 4)):
+                ntype = rng.choice([1, 5, 6, 7, 8])
+                body = bytes([rng.randrange(2, 255)]) * rng.randint(1, 30)
+                nal = bytes([ntype]) + body
+                if annexb:
+                    sc = b"\x00\x00\x01" if (sc3 and u > 0) else b"\x00\x00\x00\x01"
+                    payload += sc + nal
+                    pos += len(sc)
+                else:
+                    payload += len(nal).to_bytes(4, "big") + nal
+                    pos += 4
+                units.append((u, ntype, pos, len(nal)))
+                pos += len(nal)
+            frames.append(bytes(payload))
+            exp.append(units)
+        mp4 = synth_mp4(vid, nf, 600, False, frames, b"avc1")
+        rows.append((vid, "video", "mp4", bytearray(mp4), None, None, None))
+        # absolute offsets: mdat data at 32, frames back to back
+        base = 32
+        flat = []
+        for j, units in enumerate(exp):
+            for u, ntype, off, ln in units:
+                flat.append((j, u, ntype, ntype == 5, base + off, ln))
+            base += len(frames[j])
+        expected[vid] = sorted(flat)
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {}
+    for r in extract_avc1_nal_index(media).collect():
+        assert r["parse_ok"], r
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["nal_idx"], r["nal_type"], r["is_idr"],
+             r["byte_offset"], r["n_bytes"])
+        )
+    assert {k: sorted(v) for k, v in got.items()} == expected

@@ -5,6 +5,7 @@ subscription-routed push.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import functions as F
@@ -461,3 +462,66 @@ def test_streaming_curation_front_door(spark, tmp_path):
     dup_group = {0, 100, 101, 102}
     assert len(got & dup_group) == 1
     assert set(range(1, 8)) <= got
+
+
+def test_streaming_near_dup_gated_corpus_ingest(spark, tmp_path):
+    """The continuous twin of dedup_incremental_delta: a file stream of
+    documents flows through foreachBatch near-dup admission — each
+    micro-batch dedups against the accumulated signature STORE (bands
+    parquet, the write-once state) and within itself (leader-keeps),
+    and only admitted docs extend the store. Batch replay is a no-op."""
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        ingest_batch,
+        start_dedup_ingest,
+    )
+
+    # 12-token docs; a near-dup differs in the last token ->
+    # 3-gram Jaccard 9/11 ~= 0.818 >= 0.5. Distinct docs share no vocab.
+    def doc(seed, tweak=None):
+        words = [f"w{seed}x{k}" for k in range(12)]
+        if tweak is not None:
+            words[-1] = f"tw{tweak}"
+        return " ".join(words)
+
+    src_dir = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    # wave 1: docs 0-4 distinct, doc 10 near-dups doc 0 (leader keeps 0)
+    wave1 = [(i, doc(i)) for i in range(5)] + [(10, doc(0, tweak=1))]
+    spark.createDataFrame(wave1, "doc_id long, text string").write.parquet(
+        src_dir, mode="append"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q = start_dedup_ingest(stream, store, ckpt)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == {0, 1, 2, 3, 4}
+
+    # wave 2: doc 20 near-dups STORED doc 3 (rejected against the bands
+    # store); doc 21 is fresh (admitted)
+    wave2 = [(20, doc(3, tweak=9)), (21, doc(21))]
+    spark.createDataFrame(wave2, "doc_id long, text string").write.parquet(
+        src_dir, mode="append"
+    )
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q2 = start_dedup_ingest(stream2, store, ckpt)
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == {0, 1, 2, 3, 4, 21}
+
+    # replay: re-running an already-applied batch changes nothing, and
+    # the bands store stays consistent with the docs store
+    batch = spark.createDataFrame(wave2, "doc_id long, text string")
+    ingest_batch(batch, store)
+    stored_after = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored_after == stored
+    band_ids = {r["doc_id"] for r in spark.read.parquet(store + "/bands").collect()}
+    assert band_ids == stored
