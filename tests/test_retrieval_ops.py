@@ -133,3 +133,27 @@ def test_per_source_perceptron_models_independent(spark):
         assert r["n_correct"] == r["n_docs"], f"{r['source']} not separated"
     # weights are per-source, not one global vector
     assert len({(r["w_bias"], r["w_stop_permille"], r["w_punct_permille"], r["w_len"]) for r in rows}) > 1
+
+
+def test_apss_strategies_produce_identical_output(spark):
+    """The cost-adaptive APSS claim is that the posting prefix-filter
+    path and the tiled exact block join return the SAME pair set with
+    the same similarities — the probe only picks the cheaper physical
+    shape. Force both strategies on the same corpus and require exact
+    equality (and that auto matches too)."""
+    from hridaya_steam_market_tracker_spark.operators.retrieval import (
+        apss_cosine_pairs,
+    )
+    from hridaya_steam_market_tracker_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+
+    def rows(strategy):
+        return sorted(
+            (r["i"], r["j"], r["cos_sim"])
+            for r in apss_cosine_pairs(docs, threshold=0.9, strategy=strategy).collect()
+        )
+
+    posting, tiled, auto = rows("posting"), rows("tiled"), rows("auto")
+    assert posting == tiled == auto
+    assert len(posting) > 0
