@@ -909,7 +909,7 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scales. Both paths share the map_zip_with dot kernel (hash "
         "merge of the two weight maps) — replacing the per-entry "
         "element_at scan that made verification O(k^2) per pair. "
-        "Fixture effect: 52-68 s -> ~12 s at sf0.1, identical output."
+        "Fixture effect: 52-68 s -> ~8-10 s at sf0.1 (dense-array tiled kernel under a 512-term vocab cap), identical output."
     ),
 )
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
