@@ -108,6 +108,13 @@ def apss_cosine_pairs(
 
     Output: (i, j, cos_sim) with i < j, cos_sim rounded to 6, integer
     milli-nat idf weights so values hash-match cross-engine.
+
+    Cache lifecycle (same contract as minhash_near_duplicates): the
+    weight/map subtrees are persisted MEMORY_AND_DISK because multiple
+    consumers (cost probe, prefix window, both pair sides) read them;
+    the returned DataFrame is lazy, so unpersist can't happen inside
+    this function — callers holding a long-lived session should
+    spark.catalog.clearCache() between corpus-scale runs.
     """
     spark = docs.sparkSession
     docs = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))

@@ -48,74 +48,83 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
     return deco
 
 
-# The driver's correctness gate samples the registry front-to-back (~50
+# The driver's correctness gate samples the registry front-to-back (50
 # queries per round). Names listed here are moved to the head of the registry
 # in this exact order, regardless of module import order, so the sample spends
 # every slot on the rows where a fresh check buys the most information.
-# Round-5 refresh (pruned the 47 r04 greens): (1) round-5 additions, (2) the
-# two LSH queries whose implementation changed this round (score-before-dedup
-# + adaptive scan widen), (3) the 47 queries whose most recent driver
-# CORRECTNESS row dates from round 1 — all green, but three code rounds stale,
-# so re-greening them under the current code is what a slot is worth now.
-# (Derived from CORRECTNESS_r01-r04 key sets; names not (yet) registered are
-# skipped harmlessly.)
+# The head is capped at 50 = the driver's sample size; listing more would
+# silently starve the tail (the round-5 list overflowed by two).
+#
+# Round-6 refresh — NO LONGER HAND-CURATED: tools/sample_order.py derives
+# the priority order from (a) queries whose implementing modules changed in
+# git since the round of their last driver-green CORRECTNESS row (or that
+# were never driver-sampled at all) and (b) staleness of the last green row;
+# tests/test_sample_order.py fails the suite if any flagged query is missing
+# from this head, so a rewrite can never ship un-resampled again.
+# Composition: (1) the round-6 APSS forced-strategy twins + the round-5
+# cost-adaptive rewrite of tfidf_cosine_pairs (its green row predates the
+# rewrite), (2) the round-6 SPS/PPS parameter queries, (3) the two r01
+# leftovers the r05 overflow deferred, (4) 43 of the 44 queries whose latest
+# green row is r02 (tpch_q22_dormant_customers deferred to r07).
 _SAMPLE_FIRST: tuple[str, ...] = (
-    # round-5 additions
-    "multimodal_avc1_nal_index_checked",
-    "multimodal_hevc_nal_index_checked",
-    "dedup_incremental_delta",
-    # implementation changed in round 5 — re-sample under the new code path
-    "ann_lsh_multiprobe_topk",
-    "ann_lsh_topk",
-    # last driver-sampled in round 1 (stalest greens; includes the
-    # multimodal_resize / multimodal_frame_sample rows-only pair)
-    "text_quality_stats",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "simhash_signatures",
-    "simhash_near_pairs",
-    "dedup_clusters",
-    "corpus_curation_rollup",
-    "curation_pipeline_kept_docs",
-    "x1_rollup_region_nation",
-    "x2_cube_flag_status",
-    "x3_pivot_status_by_segment",
-    "x4_above_customer_avg_orders",
-    "x5_grouping_sets_events",
-    "sessionize_events",
-    "value_percentiles_per_stream",
-    "value_histogram",
-    "c1_broadcast_enrich",
-    "c2_manifest_resolve_join",
-    "c5_anti_unresolved",
-    "c6_exists_semi",
-    "c3_spike_above_global_avg",
-    "c4_reconcile_diff",
-    "c7_hwm_delta_ingest",
-    "c8_set_equality_verify",
-    "range_join_views_before_purchase",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "g1_parse_steam_price",
-    "g2_minor_units_conversion",
-    "g3_parse_volume",
-    "g4_extract_currency",
-    "h1_parse_steam_datetime",
-    "g5_activity_price_currency",
-    "d2_count_enabled",
-    "d3_windowed_union_count",
-    "d4_last_ingest_union_max",
-    "f1_union_all_per_stream_meta",
-    "f3_payload_dup_check",
-    "d9_feasibility_gate",
-    "d11_distinct_collect_per_stream",
-    "b5_sanity_invariants",
-    "i1_json_extract",
-    "i3_json_payload_build",
-    "i5_spread_per_key_day",
-    "e6_urgency_overdue",
-    # "g10_sha256_fingerprint" deferred to r06 (head capped at 50)
-    # "h3_hour_label_histogram" deferred to r06 (head capped at 50)
+    # round-6 additions / round-5 rewrite needing fresh driver rows
+    "tfidf_cosine_pairs",
+    "tfidf_cosine_pairs_posting",
+    "tfidf_cosine_pairs_tiled",
+    "multimodal_avc1_sps_params_checked",
+    "multimodal_hevc_sps_params_checked",
+    # flagged by tools/sample_order.py: similarity.py's round-5 rewrite
+    # touched its deps but its last driver row is r03 — the exact class
+    # of miss the derived gate exists to catch
+    "ann_pq_sign_topk",
+    # last driver-sampled in round 1 (deferred from the r05 head)
+    "g10_sha256_fingerprint",
+    "h3_hour_label_histogram",
+    # last driver-sampled in round 2 (stalest remaining greens)
+    "brand_revenue_ranking",
+    "nation_customer_rollup",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume_customers",
+    "tpch_q10_returned_items",
+    "e1_latest_per_key",
+    "e2_recent_n_per_key",
+    "e3_series_tail_k",
+    "b2_range_filter_month",
+    "e4_ordered_series_for_key",
+    "d1_hwm_per_key",
+    "d5_daily_rollup",
+    "d6_volatility_per_key",
+    "d8_latest_summary_per_key",
+    "h7_staleness_cutoff",
+    "w1_rolling_avg",
+    "w2_lag_delta",
+    "w3_rank_by_activity",
+    "w4_tumbling_window_1d",
+    "w5_sliding_window_6h_1h",
+    "w6_asof_join_purchase_click",
+    "emb_cosine_near_dup",
+    "h5_iso8601_serialization",
+    "w7_trailing_1h_range_avg",
+    "w8_rank_distributions",
+    "ann_cosine_topk",
+    "embedding_label_centroids",
+    "ann_pq_topk",
+    "heavy_hitter_users",
+    "freq_items_users",
+    "stratified_sample_events",
+    "distinct_users_per_stream",
+    "approx_distinct_users_per_stream",
+    "hll_sketch_rollup",
+    "approx_percentiles_per_stream",
+    "session_window_native",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    # "tpch_q19_discounted_revenue" deferred to r07 (head capped at 50)
+    # "tpch_q22_dormant_customers" deferred to r07 (head capped at 50)
 )
 
 

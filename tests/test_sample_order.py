@@ -1,0 +1,70 @@
+"""Gate: the driver-sample head must be DERIVED, not hand-trusted.
+
+Round 5's one process miss — the cost-adaptive APSS rewrite shipping
+without a fresh sf0.01 driver CORRECTNESS row — happened because
+`_SAMPLE_FIRST` was hand-curated. tools/sample_order.py now computes
+which queries are stale-verified (never driver-sampled, or their
+function-level implementation fingerprint changed in git since the
+round of their last driver row); this test fails the suite whenever
+such a query is missing from the head, or the head overflows the
+driver's 50-slot sample (the r05 list silently overflowed by two).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_available() -> bool:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, cwd=REPO,
+            ).returncode
+            == 0
+        )
+    except OSError:
+        return False
+
+
+HEAD_CAP = 50  # the driver samples the first 50 registry entries
+
+
+def test_sample_head_is_capped_and_registered():
+    from hridaya_steam_market_tracker_spark.queries import _SAMPLE_FIRST, load_all
+
+    registry = load_all()
+    assert len(_SAMPLE_FIRST) <= HEAD_CAP, (
+        f"_SAMPLE_FIRST has {len(_SAMPLE_FIRST)} entries; the driver only "
+        f"samples {HEAD_CAP}, so the overflow would silently never run"
+    )
+    assert len(set(_SAMPLE_FIRST)) == len(_SAMPLE_FIRST), "duplicate entries"
+    unknown = [n for n in _SAMPLE_FIRST if n not in registry]
+    assert not unknown, f"unregistered names in _SAMPLE_FIRST: {unknown}"
+    # the head must actually lead the registry order load_all() returns
+    assert tuple(registry)[: len(_SAMPLE_FIRST)] == _SAMPLE_FIRST
+
+
+def test_every_stale_verified_query_is_fronted():
+    """Any query whose implementation changed since its last driver row
+    (or that never had one) must sit in the sample head — otherwise the
+    next CORRECTNESS_r*.json would re-certify code that no longer runs."""
+    if not _git_available():
+        pytest.skip("no git history available")
+    from hridaya_steam_market_tracker_spark.queries import _SAMPLE_FIRST
+
+    from tools.sample_order import flagged_queries
+
+    flagged = flagged_queries()
+    head = set(_SAMPLE_FIRST[:HEAD_CAP])
+    missing = {n: why for n, why in flagged.items() if n not in head}
+    assert not missing, (
+        "stale-verified queries not in the _SAMPLE_FIRST head "
+        f"(hridaya_steam_market_tracker_spark/queries/__init__.py): {missing}"
+    )

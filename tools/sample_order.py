@@ -1,0 +1,273 @@
+"""Derive the driver-sample priority order — the round-5 process miss
+(a rewritten query shipping without a fresh driver CORRECTNESS row)
+happened because queries/__init__.py `_SAMPLE_FIRST` was hand-curated.
+This module computes, from git history + the recorded CORRECTNESS_r*.json
+files, which registered queries are STALE-VERIFIED:
+
+* never driver-sampled at all, or
+* their implementation changed since the round of their last green row.
+
+"Implementation" is fingerprinted at FUNCTION granularity so a 2,000-line
+query module can change without flagging every query it hosts:
+
+* the query fn's own decorated source (``@register(...)`` block included,
+  so oracle/doc edits inline in the decorator count),
+* the source of every function/constant the fn's source references that
+  is importable one level away inside the package (the repo convention:
+  ``from hridaya_steam_market_tracker_spark.operators.X import name``
+  at module top or inside the fn body), and
+* simple module-level assignments the fn source references (shared
+  oracle constants like ``_APSS_ORACLE`` / ``_TOKS_LOWER``).
+
+The old text comes from ``git show <boundary>:<path>`` where
+``<boundary>`` is the PARENT of the driver's "round N: ..." commit —
+the exact tree the round-N correctness gate ran against. A name that
+cannot be found in the old tree counts as changed. One-level deps only:
+a change buried two imports deep is the (documented) blind spot; the
+sf0.001 oracle-parity suite still covers it every run.
+
+`tests/test_sample_order.py` fails the suite whenever a flagged query is
+missing from the `_SAMPLE_FIRST` head, so the list can drift from
+reality at most one commit before CI goes red. Run this file directly to
+print the flagged set and a suggested head ordering:
+
+    python tools/sample_order.py
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+from functools import lru_cache
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "hridaya_steam_market_tracker_spark"
+
+sys.path.insert(0, REPO)
+
+
+def latest_green_round() -> dict[str, int]:
+    """query name -> most recent round with any driver CORRECTNESS row."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+@lru_cache(maxsize=None)
+def round_boundary_commit(rnd: int) -> str | None:
+    """The tree round `rnd`'s correctness gate ran against: the parent of
+    the driver's "round N: ..." results commit."""
+    out = subprocess.run(
+        ["git", "log", "--format=%H %s", "--all"],
+        capture_output=True, text=True, cwd=REPO,
+    ).stdout
+    for line in out.splitlines():
+        sha, _, subject = line.partition(" ")
+        if re.match(rf"^round 0*{rnd}\b", subject):
+            return subprocess.run(
+                ["git", "rev-parse", f"{sha}^"],
+                capture_output=True, text=True, cwd=REPO,
+            ).stdout.strip() or None
+    return None
+
+
+@lru_cache(maxsize=None)
+def _old_file(commit: str, relpath: str) -> str | None:
+    p = subprocess.run(
+        ["git", "show", f"{commit}:{relpath}"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    return p.stdout if p.returncode == 0 else None
+
+
+@lru_cache(maxsize=None)
+def _current_file(relpath: str) -> str | None:
+    path = os.path.join(REPO, relpath)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read()
+
+
+@lru_cache(maxsize=None)
+def _defs(source: str) -> dict[str, str]:
+    """name -> source segment for every top-level def / simple assign."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return {}
+    out: dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            out[node.name] = ast.get_source_segment(source, node) or ""
+        elif isinstance(node, ast.Assign):
+            for tgt in node.targets:
+                if isinstance(tgt, ast.Name):
+                    out[tgt.id] = ast.get_source_segment(source, node) or ""
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            out[node.target.id] = ast.get_source_segment(source, node) or ""
+    return out
+
+
+def _decorated_segment(source: str, fn_name: str) -> str | None:
+    """Function source INCLUDING its decorator block (the @register call
+    carries the oracle SQL and doc, which must count as implementation)."""
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return None
+    lines = source.splitlines()
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == fn_name:
+            start = min(
+                [d.lineno for d in node.decorator_list] + [node.lineno]
+            )
+            return "\n".join(lines[start - 1 : node.end_lineno])
+    return None
+
+
+_IMPORT_RE = re.compile(
+    rf"from\s+({PKG}(?:\.\w+)*)\s+import\s+\(?([\w,\s]+?)\)?\s*(?:#.*)?$",
+    re.MULTILINE,
+)
+
+
+def _package_imports(source: str) -> list[tuple[str, str]]:
+    """All (module, name) pairs imported from inside the package."""
+    pairs = []
+    for mod, names in _IMPORT_RE.findall(source):
+        for name in names.split(","):
+            name = name.strip()
+            if name and name != "*":
+                pairs.append((mod, name.split(" as ")[0].strip()))
+    return pairs
+
+
+def _mod_relpath(module: str) -> str:
+    return module.replace(".", "/") + ".py"
+
+
+_WORD_RE = re.compile(r"\w+")
+
+
+def query_fingerprint_parts(name: str) -> list[tuple[str, str]]:
+    """[(relpath, symbol)] making up the query's one-level implementation."""
+    from hridaya_steam_market_tracker_spark.queries import load_all
+
+    q = load_all()[name]
+    mod = q.fn.__module__
+    relpath = _mod_relpath(mod)
+    src = _current_file(relpath) or ""
+    fn_src = _decorated_segment(src, q.fn.__name__) or ""
+    words = set(_WORD_RE.findall(fn_src))
+    parts = [(relpath, q.fn.__name__)]
+    # function-local package imports (convention for operator deps)
+    for dep_mod, dep_name in _package_imports(fn_src):
+        parts.append((_mod_relpath(dep_mod), dep_name))
+    # module-top package imports actually referenced by this fn
+    for dep_mod, dep_name in _package_imports(src):
+        if dep_name in words:
+            parts.append((_mod_relpath(dep_mod), dep_name))
+    # same-module constants/helpers the fn references
+    for sym in _defs(src):
+        if sym != q.fn.__name__ and sym in words:
+            parts.append((relpath, sym))
+    return sorted(set(parts))
+
+
+def _symbol_source(file_text: str | None, symbol: str) -> str | None:
+    if file_text is None:
+        return None
+    seg = _decorated_segment(file_text, symbol)
+    if seg is not None:
+        return seg
+    return _defs(file_text).get(symbol)
+
+
+@lru_cache(maxsize=None)
+def _normalize(src: str | None) -> str | None:
+    """Comment- and docstring-insensitive comparison form: AST-unparse
+    the segment with docstrings dropped, so cosmetic edits don't flag a
+    query for re-sampling (the driver slot budget is 50/round — spend
+    it on semantic changes). Unparseable segments compare raw."""
+    if src is None:
+        return None
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return src
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(body, list)
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    try:
+        return ast.unparse(tree)
+    except Exception:
+        return src
+
+
+def changed_since(name: str, rnd: int) -> bool:
+    """True iff any fingerprint part differs SEMANTICALLY (comments and
+    docstrings normalized away) between the round-`rnd` boundary tree
+    and the current worktree (missing-then counts as changed)."""
+    commit = round_boundary_commit(rnd)
+    if commit is None:
+        return True
+    for relpath, symbol in query_fingerprint_parts(name):
+        now = _symbol_source(_current_file(relpath), symbol)
+        then = _symbol_source(_old_file(commit, relpath), symbol)
+        if _normalize(now) != _normalize(then):
+            return True
+    return False
+
+
+def flagged_queries() -> dict[str, str]:
+    """name -> reason, for every query needing a fresh driver row."""
+    from hridaya_steam_market_tracker_spark.queries import load_all
+
+    latest = latest_green_round()
+    out: dict[str, str] = {}
+    for name in load_all():
+        rnd = latest.get(name)
+        if rnd is None:
+            out[name] = "never driver-sampled"
+        elif changed_since(name, rnd):
+            out[name] = f"implementation changed since round {rnd} row"
+    return out
+
+
+def suggested_head(cap: int = 50) -> list[str]:
+    """Flagged queries first, then stalest greens, truncated to cap."""
+    from hridaya_steam_market_tracker_spark.queries import load_all
+
+    latest = latest_green_round()
+    flagged = flagged_queries()
+    rest = sorted(
+        (n for n in load_all() if n not in flagged),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    return (sorted(flagged) + rest)[:cap]
+
+
+if __name__ == "__main__":
+    flags = flagged_queries()
+    print(json.dumps({"flagged": flags, "suggested_head": suggested_head()},
+                     indent=1))
