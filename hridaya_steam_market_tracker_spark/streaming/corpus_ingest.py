@@ -5,18 +5,29 @@ batch `dedup_incremental_delta` query (operators/dedup.py
 Reference analog: the ingest plane's replay-safe delta insert
 (src/SQLinserts.py:515-584 upsert discipline, re-expressed for a
 document corpus); the dedup tier itself is brief-added scale surface
-with no reference analog.
+with no reference analog. The store-maintenance pass below mirrors the
+reference's retention/compression policies (src/SQLinserts.py:270-297)
+that keep the hot set small.
 
 State layout under ``store_path`` (plain parquet, single-writer — the
 same assumption streaming/ingest.py documents):
 
 * ``docs/``  — accepted documents.
 * ``bands/`` — their banded MinHash signature index
-  (doc_id, band, bucket): the WRITE-ONCE state the incremental dedup
-  design documents. Each micro-batch equi-joins its own bands against
-  this store, so per-batch cost is O(batch bands + matching buckets) —
-  the corpus TEXT is only re-read for the (small) candidate set that
-  actually collides, via a semi-join pushdown on doc_id.
+  (doc_id, band, bucket), HIVE-PARTITIONED BY ``band`` (16 static
+  values): the WRITE-ONCE state the incremental dedup design
+  documents. Each micro-batch equi-joins its own bands against this
+  store on (band, bucket); partitioning by band keeps each band's
+  postings physically clustered, so the join's scan never interleaves
+  bands and a compaction pass can rewrite one band directory at a
+  time. The corpus TEXT is only re-read for the (small) candidate set
+  that actually collides, via a semi-join pushdown on doc_id.
+
+Store existence is checked with ``os.path.isdir`` — NOT a broad
+except around the read — so a corrupted footer / permission error /
+transient FS failure fails the micro-batch loudly instead of being
+misread as "first batch: empty store" and silently admitting
+duplicates into the persistent state.
 
 Admission policy per micro-batch: a document is REJECTED when it has
 an exact-Jaccard-verified near-dup among stored docs, or among
@@ -24,13 +35,21 @@ lower-id docs of the same batch (leader-keeps: the smallest id of a
 within-batch dup group is admitted; its satellites are not). Replay of
 a micro-batch is a no-op: already-stored doc_ids are anti-joined away
 before any work, mirroring idempotent_append.
+
+Maintenance: every micro-batch appends part files; after thousands of
+batches the equi-join pays an ever-growing file-listing + tiny-file
+scan cost. ``compact_store`` rewrites both stores down to a bounded
+file count (tmp-dir-swap, the storage/layout.py compact_partition
+pattern) without changing a single admission decision — call it every
+N micro-batches or from a maintenance cron.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hridaya_steam_market_tracker_spark.operators.dedup import (
@@ -39,6 +58,8 @@ from hridaya_steam_market_tracker_spark.operators.dedup import (
     shingles,
     signatures_from_sets,
 )
+
+_BAND_COLS = ("doc_id", "band", "bucket")
 
 
 def ingest_batch(
@@ -59,15 +80,15 @@ def ingest_batch(
     bands_path = os.path.join(store_path, "bands")
 
     batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
-    try:
-        stored_docs = spark.read.parquet(docs_path)
-    except Exception:  # first batch: empty store
-        stored_docs = None
+    # isdir, not try/except around the read: a real read failure on an
+    # existing store must fail the batch, never alias to "empty store".
+    stored_docs = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
     if stored_docs is not None:
         batch = batch.join(stored_docs.select("doc_id"), "doc_id", "left_anti")
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    sets = None
     try:
-        if batch.rdd.isEmpty():
+        if batch.isEmpty():
             return
 
         sets = (
@@ -84,12 +105,11 @@ def ingest_batch(
             .filter(F.col("i") < F.col("j"))
             .select("i", "j")
         )
-        # ... plus store-vs-batch candidates from the persisted index.
-        try:
-            s_bands = spark.read.parquet(bands_path)
-        except Exception:
-            s_bands = None
-        if s_bands is not None:
+        # ... plus store-vs-batch candidates from the persisted index
+        # (band is the hive partition column of the store; selecting by
+        # name restores the logical (doc_id, band, bucket) shape).
+        if os.path.isdir(bands_path):
+            s_bands = spark.read.parquet(bands_path).select(*_BAND_COLS)
             cross = (
                 s_bands.select(F.col("doc_id").alias("i"), "band", "bucket")
                 .join(b_bands.select(F.col("doc_id").alias("j"), "band", "bucket"), ["band", "bucket"])
@@ -132,19 +152,84 @@ def ingest_batch(
             eager=True
         )
         accepted.write.mode("append").parquet(docs_path)
-        banded_buckets(
-            signatures_from_sets(
-                _spread(accepted, "doc_id").select(
-                    "doc_id", shingles(F.col("text"), n).alias("sh")
+        (
+            banded_buckets(
+                signatures_from_sets(
+                    _spread(accepted, "doc_id").select(
+                        "doc_id", shingles(F.col("text"), n).alias("sh")
+                    ),
+                    num_hashes,
                 ),
                 num_hashes,
-            ),
-            num_hashes,
-            bands,
-        ).write.mode("append").parquet(bands_path)
-        sets.unpersist()
+                bands,
+            )
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(bands_path)
+        )
     finally:
+        # In finally (not the try body): a failed parquet append must
+        # not leak the persisted shingle frame into the long-lived
+        # streaming session. `sets` is None on the early empty-return.
+        if sets is not None:
+            sets.unpersist()
         batch.unpersist()
+
+
+def compact_store(
+    spark: SparkSession, store_path: str, target_files: int = 1
+) -> dict[str, int]:
+    """Rewrite the append-only ``docs/`` and ``bands/`` stores down to a
+    bounded part-file count. Admission decisions are a pure function of
+    store CONTENT, so compaction is semantically invisible — it only
+    removes the O(#micro-batches) file-listing and tiny-file scan cost
+    from every subsequent batch's equi-join.
+
+    * ``docs/``: at most ``target_files`` files.
+    * ``bands/``: at most ``target_files`` files per band partition —
+      rows shuffle on (band, pmod(hash(bucket), target_files)), so each
+      band's rows land in at most ``target_files`` tasks and the
+      partitionBy writer emits at most that many files per band dir.
+
+    Same tmp-dir-swap pattern as storage/layout.py compact_partition:
+    the rewrite goes to ``<store>.compact.tmp`` first and replaces the
+    live directory with a rename, so a crash mid-compaction leaves the
+    original store intact. Single-writer discipline applies: do not run
+    concurrently with an active ingest query.
+
+    Returns rows rewritten per store.
+    """
+    rewritten: dict[str, int] = {}
+
+    docs_path = os.path.join(store_path, "docs")
+    if os.path.isdir(docs_path):
+        docs = spark.read.parquet(docs_path)
+        n = docs.count()
+        tmp = docs_path + ".compact.tmp"
+        docs.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(docs_path)
+        os.rename(tmp, docs_path)
+        spark.catalog.refreshByPath(docs_path)
+        rewritten["docs"] = n
+
+    bands_path = os.path.join(store_path, "bands")
+    if os.path.isdir(bands_path):
+        b = spark.read.parquet(bands_path).select(*_BAND_COLS)
+        n = b.count()
+        tmp = bands_path + ".compact.tmp"
+        (
+            b.repartition(
+                F.col("band"), F.pmod(F.hash("bucket"), F.lit(target_files))
+            )
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(tmp)
+        )
+        shutil.rmtree(bands_path)
+        os.rename(tmp, bands_path)
+        spark.catalog.refreshByPath(bands_path)
+        rewritten["bands"] = n
+    return rewritten
 
 
 def start_dedup_ingest(

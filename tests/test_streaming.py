@@ -525,3 +525,73 @@ def test_streaming_near_dup_gated_corpus_ingest(spark, tmp_path):
     assert stored_after == stored
     band_ids = {r["doc_id"] for r in spark.read.parquet(store + "/bands").collect()}
     assert band_ids == stored
+
+
+def test_corpus_store_compaction_preserves_admissions(spark, tmp_path):
+    """Store maintenance for the near-dup-gated ingest: 20 micro-batches
+    fragment docs/ and bands/ into O(batches) part files; compact_store
+    rewrites both to a bounded file count (<= target per band, hive
+    band partitioning preserved) WITHOUT changing a single admission
+    decision — a 21st batch rejects a near-dup of a doc stored in batch
+    2 and admits a fresh doc, and replaying it is still a no-op."""
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch,
+    )
+
+    def doc(seed, tweak=None):
+        words = [f"c{seed}q{k}" for k in range(12)]
+        if tweak is not None:
+            words[-1] = f"tw{tweak}"
+        return " ".join(words)
+
+    store = str(tmp_path / "store")
+    for b in range(20):
+        rows = [(b * 10, doc(b * 10)), (b * 10 + 1, doc(b * 10 + 1))]
+        ingest_batch(
+            spark.createDataFrame(rows, "doc_id long, text string"), store
+        )
+    expected = {b * 10 + k for b in range(20) for k in (0, 1)}
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == expected
+
+    # 20 appended batches -> >= 20 files in docs/ and per-band fragmentation
+    def files_under(d):
+        return [
+            os.path.join(r, f)
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(files_under(store + "/docs")) >= 20
+    rewritten = compact_store(spark, store, target_files=2)
+    assert rewritten == {"docs": 40, "bands": 40 * 16}
+    assert len(files_under(store + "/docs")) <= 2
+    band_dirs = [
+        e for e in os.listdir(store + "/bands") if e.startswith("band=")
+    ]
+    assert len(band_dirs) == 16
+    for bd in band_dirs:
+        assert len(files_under(os.path.join(store + "/bands", bd))) <= 2
+    # content identical after the rewrite
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == expected
+    bands_df = spark.read.parquet(store + "/bands")
+    assert {r["doc_id"] for r in bands_df.collect()} == expected
+    assert bands_df.count() == 40 * 16
+
+    # 21st batch against the compacted store: near-dup of stored doc 10
+    # (batch 2's leader) rejected, fresh doc admitted, replay a no-op.
+    wave = [(900, doc(10, tweak=7)), (901, doc(901))]
+    batch = spark.createDataFrame(wave, "doc_id long, text string")
+    ingest_batch(batch, store)
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == expected | {901}
+    ingest_batch(batch, store)  # replay
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    } == expected | {901}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/bands").collect()
+    } == expected | {901}
