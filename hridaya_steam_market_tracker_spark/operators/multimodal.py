@@ -1719,30 +1719,16 @@ AVC1_NAL_SCHEMA = (
 )
 
 
-def _nal_index_op(media: DataFrame, header_len: int, type_of, is_key) -> DataFrame:
-    """Shared NAL-unit index kernel for avc1/hevc: demux the MP4 to
-    per-sample byte ranges (`_mp4_parser`), walk each sample's access
-    unit as NAL units — 4-byte length-prefixed (ISO 14496-15 sample
-    framing) or Annex-B start-code framing (raw elementary streams),
-    auto-detected per sample — and emit one row per NAL. ``header_len``
-    is the codec's NAL header size (1 for H.264, 2 for HEVC);
-    ``type_of(header_bytes)`` extracts the unit type; ``is_key(type)``
-    marks random-access units (IDR / IRAP).
-
-    Honest-failure discipline matches the codecs: an unparseable
-    container yields ONE parse_ok=false row; a sample whose bytes
-    don't frame as NALs keeps its (frame_idx, ts_ms) row with NULL
-    NAL fields — per-frame failure, the rest of the video survives.
-    This is the real 100 TB shape for compressed video: keyframe-level
-    work items with byte ranges, no codec library required; actual
-    slice decode stays a documented seam.
-
-    Scale: Arrow-batched mapInPandas riding the blob-column scan —
-    identical posture to extract_mp4_frame_index."""
-    parse = _mp4_parser()
+def _nal_walker(header_len: int, type_of):
+    """Build the self-contained per-sample NAL walker shared by the NAL
+    index and SPS-parameter ops (same capture-by-value discipline as
+    `_pixel_codec`: the returned closure ships to executors whole, no
+    module import needed there). ``walk(data, off, sz)`` yields
+    (abs_offset, n_bytes, nal_type) per NAL unit in one access unit —
+    4-byte length-prefixed (ISO 14496-15 sample framing) or Annex-B
+    start-code framing, auto-detected per sample."""
 
     def walk_nals(data: bytes, off: int, sz: int):
-        """Yield (abs_offset, n_bytes, nal_type) per NAL in one sample."""
         end = off + sz
         if sz <= 0:
             raise ValueError("empty sample")
@@ -1777,6 +1763,32 @@ def _nal_index_op(media: DataFrame, header_len: int, type_of, is_key) -> DataFra
                     raise ValueError("bad NAL length")
                 yield pos + 4, ln, type_of(data[pos + 4 : pos + 4 + header_len])
                 pos += 4 + ln
+
+    return walk_nals
+
+
+def _nal_index_op(media: DataFrame, header_len: int, type_of, is_key) -> DataFrame:
+    """Shared NAL-unit index kernel for avc1/hevc: demux the MP4 to
+    per-sample byte ranges (`_mp4_parser`), walk each sample's access
+    unit as NAL units — 4-byte length-prefixed (ISO 14496-15 sample
+    framing) or Annex-B start-code framing (raw elementary streams),
+    auto-detected per sample — and emit one row per NAL. ``header_len``
+    is the codec's NAL header size (1 for H.264, 2 for HEVC);
+    ``type_of(header_bytes)`` extracts the unit type; ``is_key(type)``
+    marks random-access units (IDR / IRAP).
+
+    Honest-failure discipline matches the codecs: an unparseable
+    container yields ONE parse_ok=false row; a sample whose bytes
+    don't frame as NALs keeps its (frame_idx, ts_ms) row with NULL
+    NAL fields — per-frame failure, the rest of the video survives.
+    This is the real 100 TB shape for compressed video: keyframe-level
+    work items with byte ranges, no codec library required; actual
+    slice decode stays a documented seam.
+
+    Scale: Arrow-batched mapInPandas riding the blob-column scan —
+    identical posture to extract_mp4_frame_index."""
+    parse = _mp4_parser()
+    walk_nals = _nal_walker(header_len, type_of)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1837,6 +1849,454 @@ def extract_hevc_nal_index(media: DataFrame) -> DataFrame:
         type_of=lambda h: (h[0] >> 1) & 0x3F,
         is_key=lambda t: 16 <= t <= 23,
     )
+
+
+AVC1_SPS_SCHEMA = (
+    "media_id long, frame_idx int, nal_idx int, profile_idc int, "
+    "level_idc int, width int, height int, chroma_format_idc int, "
+    "bit_depth_luma int, parse_ok boolean"
+)
+
+
+def _sps_parser(codec: str):
+    """Build the self-contained SPS RBSP parser for ``codec`` ('avc1' or
+    'hevc'). Returns ``parse(nal_body) -> (profile_idc, level_idc,
+    width, height, chroma_format_idc, bit_depth_luma)`` where width and
+    height are the DISPLAY dimensions (after the cropping / conformance
+    window), raising ValueError on malformed bits.
+
+    This is a real bitstream parse, not entropy decode: emulation-
+    prevention bytes (00 00 03 -> 00 00) are stripped per ITU-T H.264
+    §7.4.1 / H.265 §7.4.2, then the SPS syntax is read with u(n) /
+    Exp-Golomb ue(v)/se(v) readers exactly in spec order (H.264
+    §7.3.2.1.1 including the High-profile chroma/bit-depth block;
+    H.265 §7.3.2.2.1 including profile_tier_level §7.3.3). H.264
+    seq_scaling_matrix_present=1 raises — scaling-list parsing is a
+    documented seam, matching the codec tier's honest-failure
+    discipline (the row becomes parse_ok=false, the video survives)."""
+
+    def unescape(b: bytes) -> bytes:
+        out = bytearray()
+        zeros = 0
+        i = 0
+        while i < len(b):
+            x = b[i]
+            if zeros >= 2 and x == 3:
+                zeros = 0
+                i += 1
+                continue
+            out.append(x)
+            zeros = zeros + 1 if x == 0 else 0
+            i += 1
+        return bytes(out)
+
+    def make_reader(data: bytes):
+        nbits = len(data) * 8
+        state = [0]
+
+        def u(n: int) -> int:
+            p = state[0]
+            if p + n > nbits:
+                raise ValueError("SPS bit overrun")
+            v = 0
+            for k in range(p, p + n):
+                v = (v << 1) | ((data[k >> 3] >> (7 - (k & 7))) & 1)
+            state[0] = p + n
+            return v
+
+        def ue() -> int:
+            zeros = 0
+            while u(1) == 0:
+                zeros += 1
+                if zeros > 32:
+                    raise ValueError("bad Exp-Golomb code")
+            return (1 << zeros) - 1 + (u(zeros) if zeros else 0)
+
+        def se() -> int:
+            k = ue()
+            return (k + 1) // 2 if k % 2 else -(k // 2)
+
+        return u, ue, se
+
+    HIGH_PROFILES = frozenset(
+        {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+    )
+
+    def parse_avc1(body: bytes):
+        u, ue, se = make_reader(unescape(body))
+        profile = u(8)
+        u(8)  # constraint_set flags + reserved
+        level = u(8)
+        ue()  # seq_parameter_set_id
+        chroma, bd_luma_m8 = 1, 0
+        if profile in HIGH_PROFILES:
+            chroma = ue()
+            if chroma == 3:
+                u(1)  # separate_colour_plane_flag
+            bd_luma_m8 = ue()
+            ue()  # bit_depth_chroma_minus8
+            u(1)  # qpprime_y_zero_transform_bypass_flag
+            if u(1):
+                raise ValueError("seq_scaling_matrix unsupported (seam)")
+        ue()  # log2_max_frame_num_minus4
+        poc_type = ue()
+        if poc_type == 0:
+            ue()  # log2_max_pic_order_cnt_lsb_minus4
+        elif poc_type == 1:
+            u(1)
+            se()
+            se()
+            for _ in range(ue()):
+                se()
+        ue()  # max_num_ref_frames
+        u(1)  # gaps_in_frame_num_value_allowed_flag
+        w_mbs = ue() + 1
+        h_map_units = ue() + 1
+        frame_mbs_only = u(1)
+        if not frame_mbs_only:
+            u(1)  # mb_adaptive_frame_field_flag
+        u(1)  # direct_8x8_inference_flag
+        crop_l = crop_r = crop_t = crop_b = 0
+        if u(1):  # frame_cropping_flag
+            crop_l, crop_r, crop_t, crop_b = ue(), ue(), ue(), ue()
+        # CropUnit per §7.4.2.1.1: SubWidthC/SubHeightC by chroma format
+        # (4:2:0 -> 2,2; 4:2:2 -> 2,1; 4:4:4 / mono -> 1,1), Y additionally
+        # doubled for field coding.
+        sub_w = 2 if chroma in (1, 2) else 1
+        sub_h = 2 if chroma == 1 else 1
+        crop_x = sub_w
+        crop_y = sub_h * (2 - frame_mbs_only)
+        width = 16 * w_mbs - crop_x * (crop_l + crop_r)
+        height = 16 * (2 - frame_mbs_only) * h_map_units - crop_y * (crop_t + crop_b)
+        return profile, level, width, height, chroma, 8 + bd_luma_m8
+
+    def parse_hevc(body: bytes):
+        u, ue, se = make_reader(unescape(body))
+        u(4)  # sps_video_parameter_set_id
+        max_sub = u(3)  # sps_max_sub_layers_minus1
+        u(1)  # sps_temporal_id_nesting_flag
+        # profile_tier_level(1, max_sub) — §7.3.3
+        u(2)  # general_profile_space
+        u(1)  # general_tier_flag
+        profile = u(5)
+        u(32)  # general_profile_compatibility_flags
+        u(4)  # progressive / interlaced / non_packed / frame_only
+        u(43)  # general_reserved_zero_43bits (+ constraint flags)
+        u(1)  # general_inbld_flag / reserved
+        level = u(8)  # general_level_idc
+        sub_profile = [u(1) for _ in range(max_sub)]
+        sub_level = [u(1) for _ in range(max_sub)]
+        if max_sub > 0:
+            for _ in range(8 - max_sub):
+                u(2)  # reserved_zero_2bits alignment
+        for sp, sl in zip(sub_profile, sub_level):
+            if sp:
+                u(88)
+            if sl:
+                u(8)
+        ue()  # sps_seq_parameter_set_id
+        chroma = ue()
+        if chroma == 3:
+            u(1)  # separate_colour_plane_flag
+        w_luma = ue()
+        h_luma = ue()
+        off_l = off_r = off_t = off_b = 0
+        if u(1):  # conformance_window_flag
+            off_l, off_r, off_t, off_b = ue(), ue(), ue(), ue()
+        bd_luma = ue() + 8
+        ue()  # bit_depth_chroma_minus8
+        sub_w = 2 if chroma in (1, 2) else 1
+        sub_h = 2 if chroma == 1 else 1
+        width = w_luma - sub_w * (off_l + off_r)
+        height = h_luma - sub_h * (off_t + off_b)
+        return profile, level, width, height, chroma, bd_luma
+
+    return parse_avc1 if codec == "avc1" else parse_hevc
+
+
+def _sps_params_op(
+    media: DataFrame, header_len: int, type_of, sps_types: frozenset, parse_sps
+) -> DataFrame:
+    """Shared SPS-parameter kernel for avc1/hevc: demux the MP4, walk
+    each sample's NAL units, and for every SPS unit emit one row of
+    decoded stream parameters — profile/level/display-size/chroma/
+    bit-depth, the standard resolution-filter gate for multimodal
+    curation, extracted WITHOUT any slice decode.
+
+    Honest-failure discipline matches `_nal_index_op`: an unparseable
+    container yields ONE parse_ok=false row with NULL positions; an SPS
+    whose bits don't parse keeps its (frame_idx, nal_idx) row with NULL
+    parameter fields. Samples that don't frame as NALs are skipped —
+    reporting those is the NAL index op's artifact, not this one's.
+    Videos whose samples carry no SPS produce no rows (avcC-boxed
+    parameter sets are a different container location — a documented
+    seam; this op covers in-band parameter sets).
+
+    Scale: Arrow-batched mapInPandas riding the blob-column scan,
+    identical posture to the other codec ops."""
+    parse = _mp4_parser()
+    walk_nals = _nal_walker(header_len, type_of)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                try:
+                    samples = parse(data)
+                except (ValueError, struct.error):
+                    recs.append(
+                        (mid, None, None, None, None, None, None, None, None, False)
+                    )
+                    continue
+                for j, _ts, off, sz, _key in samples:
+                    try:
+                        units = list(walk_nals(data, off, sz))
+                    except (ValueError, IndexError):
+                        continue
+                    for uidx, (noff, nlen, ntype) in enumerate(units):
+                        if ntype not in sps_types:
+                            continue
+                        body = data[noff + header_len : noff + nlen]
+                        try:
+                            profile, level, w, h, chroma, bd = parse_sps(body)
+                        except (ValueError, IndexError):
+                            recs.append(
+                                (mid, j, uidx, None, None, None, None, None, None, False)
+                            )
+                            continue
+                        recs.append(
+                            (mid, j, uidx, profile, level, w, h, chroma, bd, True)
+                        )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "nal_idx", "profile_idc",
+                    "level_idc", "width", "height", "chroma_format_idc",
+                    "bit_depth_luma", "parse_ok",
+                ],
+            )
+
+    videos = media.filter(
+        (F.col("media_type") == "video") & (F.col("format") == "mp4")
+    ).select("media_id", "payload")
+    return videos.mapInPandas(op, schema=AVC1_SPS_SCHEMA)
+
+
+def extract_avc1_sps_params(media: DataFrame) -> DataFrame:
+    """avc1/H.264 SPS stream parameters (ITU-T H.264 §7.3.2.1.1): one
+    row per in-band SPS NAL (type 7) with profile_idc, level_idc,
+    cropped display width/height, chroma format and luma bit depth.
+    See `_sps_params_op` for the walk / honest-failure contract."""
+    return _sps_params_op(
+        media,
+        header_len=1,
+        type_of=lambda h: h[0] & 0x1F,
+        sps_types=frozenset({7}),
+        parse_sps=_sps_parser("avc1"),
+    )
+
+
+def extract_hevc_sps_params(media: DataFrame) -> DataFrame:
+    """hevc/H.265 SPS stream parameters (ITU-T H.265 §7.3.2.2.1 with
+    the §7.3.3 profile_tier_level block): one row per in-band SPS NAL
+    (type 33) with general_profile_idc, general_level_idc, conformance-
+    window display width/height, chroma format and luma bit depth.
+    Schema shared with the avc1 extractor so downstream resolution
+    gates are codec-agnostic."""
+    return _sps_params_op(
+        media,
+        header_len=2,
+        type_of=lambda h: (h[0] >> 1) & 0x3F,
+        sps_types=frozenset({33}),
+        parse_sps=_sps_parser("hevc"),
+    )
+
+
+class _SpsBits:
+    """Driver-side bit/Exp-Golomb WRITER for the synthetic SPS fixtures
+    — the encode half of what `_sps_parser` decodes, so the checked
+    queries round-trip real coded bits instead of trusting the parser
+    against itself."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((v >> k) & 1)
+
+    def ue(self, v: int) -> None:
+        k = v + 1
+        nb = k.bit_length()
+        self.u(0, nb - 1)
+        self.u(k, nb)
+
+    def rbsp(self) -> bytes:
+        """Close with the rbsp_stop_one_bit + byte alignment."""
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for p in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[p : p + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+        return bytes(out)
+
+
+def _ebsp(rbsp: bytes) -> bytes:
+    """RBSP -> EBSP: insert the 0x03 emulation-prevention byte before
+    any byte <= 3 that follows two zero bytes (H.264/H.265 §7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for x in rbsp:
+        if zeros >= 2 and x <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(x)
+        zeros = zeros + 1 if x == 0 else 0
+    return bytes(out)
+
+
+def synth_avc1_sps_rbsp(i: int) -> bytes:
+    """Closed-form H.264 SPS for media i: profile (66,77,100)[i%3],
+    level 10 + (i%5)*10, pic width (2 + i%8) MBs with a right-crop of
+    i%2 crop units, height (2 + i%6) map units with a bottom-crop of
+    (i//2)%2 — so display width = 16*(2+i%8) - 2*(i%2), height =
+    16*(2+i%6) - 2*((i//2)%2); High profile (i%3==2) carries
+    bit_depth_luma_minus8 = i%2."""
+    profile = (66, 77, 100)[i % 3]
+    w = _SpsBits()
+    w.u(profile, 8)
+    w.u(0, 8)
+    w.u(10 + (i % 5) * 10, 8)
+    w.ue(0)  # seq_parameter_set_id
+    if profile == 100:
+        w.ue(1)  # chroma_format_idc (4:2:0)
+        w.ue(i % 2)  # bit_depth_luma_minus8
+        w.ue(i % 2)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass
+        w.u(0, 1)  # seq_scaling_matrix_present
+    w.ue(i % 3)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(i % 3)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1 + i % 4)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed
+    w.ue(1 + i % 8)  # pic_width_in_mbs_minus1
+    w.ue(1 + i % 6)  # pic_height_in_map_units_minus1
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop_r, crop_b = i % 2, (i >> 1) % 2
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present
+    return w.rbsp()
+
+
+def synth_hevc_sps_rbsp(i: int) -> bytes:
+    """Closed-form H.265 SPS for media i: general_profile_idc 1 + i%2
+    (Main/Main10), general_level_idc 30*(1 + i%4), luma size
+    (64 + 16*(i%8)) x (64 + 16*(i%6)) with a conformance right-offset
+    of i%2 chroma units -> display width = luma width - 2*(i%2);
+    bit_depth_luma_minus8 = i%2 (matching Main10 when set)."""
+    w = _SpsBits()
+    w.u(0, 4)  # sps_video_parameter_set_id
+    w.u(0, 3)  # sps_max_sub_layers_minus1
+    w.u(1, 1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, 0)
+    w.u(0, 2)
+    w.u(0, 1)
+    w.u(1 + i % 2, 5)  # general_profile_idc
+    w.u(0, 32)  # compatibility flags
+    w.u(0b1000, 4)  # progressive_source=1, others 0
+    w.u(0, 43)
+    w.u(0, 1)
+    w.u(30 * (1 + i % 4), 8)  # general_level_idc
+    w.ue(0)  # sps_seq_parameter_set_id
+    w.ue(1)  # chroma_format_idc (4:2:0)
+    w.ue(64 + 16 * (i % 8))  # pic_width_in_luma_samples
+    w.ue(64 + 16 * (i % 6))  # pic_height_in_luma_samples
+    if i % 2:
+        w.u(1, 1)  # conformance_window_flag
+        w.ue(0)
+        w.ue(i % 2)  # right offset (chroma units)
+        w.ue(0)
+        w.ue(0)
+    else:
+        w.u(0, 1)
+    w.ue(i % 2)  # bit_depth_luma_minus8
+    w.ue(i % 2)  # bit_depth_chroma_minus8
+    return w.rbsp()
+
+
+def _sps_fixture_df(spark, n: int, codec: str) -> DataFrame:
+    """Shared builder for the SPS-checked tables: real MP4s whose frame
+    0 access unit is [SPS, PPS, IDR] and frames 1-2 are plain slices —
+    even ids length-prefixed, odd Annex-B (both walker paths). On
+    i % 8 == 5 the container is an invalid digest (container-level
+    parse_ok=false row); on i % 5 == 2 the SPS body is a 1-byte
+    truncation that overruns the bit reader (per-SPS parse_ok=false
+    row with its real frame/NAL position)."""
+    rows = []
+    for i in range(n):
+        if i % 8 == 5:
+            payload = hashlib.md5(f"sps{codec}{i}".encode()).digest() * 4
+        else:
+            if codec == "avc1":
+                hdr = lambda t: bytes([(3 << 5) | t])  # noqa: E731
+                sps_t, pps_t, idr_t, sl_t = 7, 8, 5, 1
+                rbsp = synth_avc1_sps_rbsp(i)
+            else:
+                hdr = lambda t: bytes([t << 1, 1])  # noqa: E731
+                sps_t, pps_t, idr_t, sl_t = 33, 34, 19, 1
+                rbsp = synth_hevc_sps_rbsp(i)
+            if i % 5 == 2:
+                sps_nal = hdr(sps_t) + b"\x80"  # truncated: bit overrun
+            else:
+                sps_nal = hdr(sps_t) + _ebsp(rbsp)
+            pps_nal = hdr(pps_t) + b"\xce\x38\x80"
+            idr_nal = hdr(idr_t) + bytes([i % 256]) * 8
+            annexb = i % 2 == 1
+
+            def frame(nals: list[bytes]) -> bytes:
+                return b"".join(
+                    (b"\x00\x00\x00\x01" + nl)
+                    if annexb
+                    else (len(nl).to_bytes(4, "big") + nl)
+                    for nl in nals
+                )
+
+            frames = [
+                frame([sps_nal, pps_nal, idr_nal]),
+                frame([hdr(sl_t) + bytes([(i + 1) % 256]) * 6]),
+                frame([hdr(sl_t) + bytes([(i + 2) % 256]) * 6]),
+            ]
+            payload = synth_mp4(
+                i, 3, 500 + 100 * (i % 3), with_stss=False,
+                frame_payloads=frames, codec=b"avc1" if codec == "avc1" else b"hvc1",
+            )
+        rows.append((i, "video", "mp4", bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def checked_avc1_sps_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable avc1 SPS table (see `_sps_fixture_df`)."""
+    return _sps_fixture_df(spark, n, "avc1")
+
+
+def checked_hevc_sps_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable hevc SPS table (see `_sps_fixture_df`)."""
+    return _sps_fixture_df(spark, n, "hevc")
 
 
 def synth_avc1_sample(i: int, j: int, annexb: bool) -> bytes:

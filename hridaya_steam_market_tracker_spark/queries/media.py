@@ -669,3 +669,93 @@ def multimodal_hevc_nal_index_checked(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     return extract_hevc_nal_index(checked_hevc_df(spark, n=16))
+
+
+@register(
+    "multimodal_avc1_sps_params_checked",
+    oracle="""
+    WITH m AS (SELECT i FROM generate_series(0, 15) g(i))
+    SELECT i AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+           CAST(0 AS INTEGER) AS nal_idx,
+           CAST(CASE i % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+                AS INTEGER) AS profile_idc,
+           CAST(10 + (i % 5) * 10 AS INTEGER) AS level_idc,
+           CAST(16 * (2 + i % 8) - 2 * (i % 2) AS INTEGER) AS width,
+           CAST(16 * (2 + i % 6) - 2 * ((i // 2) % 2) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS chroma_format_idc,
+           CAST(8 + CASE WHEN i % 3 = 2 THEN i % 2 ELSE 0 END
+                AS INTEGER) AS bit_depth_luma,
+           TRUE AS parse_ok
+    FROM m WHERE i % 8 <> 5 AND i % 5 <> 2
+    UNION ALL  -- truncated SPS body: per-SPS failure row at its position
+    SELECT i, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+           NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 5 = 2 AND i % 8 <> 5
+    UNION ALL  -- invalid container: one all-NULL failure row
+    SELECT i, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED avc1/H.264 SPS stream-parameter extraction "
+        "(ITU-T H.264 §7.3.2.1.1) — the resolution-filter gate for "
+        "multimodal curation, still with NO entropy decode: the fixture "
+        "ENCODES closed-form SPS RBSPs with a real Exp-Golomb bit "
+        "writer (profile/level/MB-grid/cropping all formulas of the "
+        "media id, High-profile ids carrying the chroma/bit-depth "
+        "block), frames them as in-band NAL units (even ids "
+        "length-prefixed, odd Annex-B) inside real MP4s, and the "
+        "operator's emulation-prevention-stripping bit reader must "
+        "decode profile_idc/level_idc/cropped display size/chroma "
+        "format/bit depth back to the closed forms. Truncated-SPS and "
+        "invalid-container failure rows are value-checked too."
+    ),
+)
+def multimodal_avc1_sps_params_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_avc1_sps_df,
+        extract_avc1_sps_params,
+    )
+
+    return extract_avc1_sps_params(checked_avc1_sps_df(spark, n=16))
+
+
+@register(
+    "multimodal_hevc_sps_params_checked",
+    oracle="""
+    WITH m AS (SELECT i FROM generate_series(0, 15) g(i))
+    SELECT i AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+           CAST(0 AS INTEGER) AS nal_idx,
+           CAST(1 + i % 2 AS INTEGER) AS profile_idc,
+           CAST(30 * (1 + i % 4) AS INTEGER) AS level_idc,
+           CAST(64 + 16 * (i % 8) - 2 * (i % 2) AS INTEGER) AS width,
+           CAST(64 + 16 * (i % 6) AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS chroma_format_idc,
+           CAST(8 + i % 2 AS INTEGER) AS bit_depth_luma,
+           TRUE AS parse_ok
+    FROM m WHERE i % 8 <> 5 AND i % 5 <> 2
+    UNION ALL
+    SELECT i, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+           NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 5 = 2 AND i % 8 <> 5
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED hevc/H.265 SPS stream-parameter extraction "
+        "(ITU-T H.265 §7.3.2.2.1 with the full §7.3.3 "
+        "profile_tier_level block): closed-form encoded SPS NALs "
+        "(Main/Main10 profile, level, luma dimensions, conformance "
+        "window, bit depth all formulas of the media id) round-trip "
+        "through the operator's bit reader back to the formulas. "
+        "Schema shared with the avc1 twin so downstream resolution "
+        "gates are codec-agnostic; failure rows value-checked."
+    ),
+)
+def multimodal_hevc_sps_params_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_hevc_sps_df,
+        extract_hevc_sps_params,
+    )
+
+    return extract_hevc_sps_params(checked_hevc_sps_df(spark, n=16))

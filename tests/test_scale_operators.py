@@ -1540,3 +1540,81 @@ def test_avc1_nal_walk_property_random_structures(spark):
              r["byte_offset"], r["n_bytes"])
         )
     assert {k: sorted(v) for k, v in got.items()} == expected
+
+
+def test_sps_parser_emulation_prevention_and_seams():
+    """Bit-level contract of the SPS parser that the closed-form fixture
+    can't reach: (a) the EBSP escape/unescape pair round-trips RBSPs
+    containing 00 00 0x runs (the fixture's values never produce one);
+    (b) an escaped SPS decodes identically to its unescaped RBSP;
+    (c) H.264 seq_scaling_matrix_present=1 raises — the documented
+    parsing seam — instead of misreading the frame geometry."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _SpsBits,
+        _ebsp,
+        _sps_parser,
+        synth_avc1_sps_rbsp,
+        synth_hevc_sps_rbsp,
+    )
+
+    # (a) escape round-trip on adversarial byte runs
+    parse_avc1 = _sps_parser("avc1")
+    raw = bytes([0, 0, 0, 0, 1, 2, 3, 0, 0, 2, 0, 0, 0, 3, 255, 0, 0])
+    escaped = _ebsp(raw)
+    assert b"\x00\x00\x00" not in escaped[:-1] or escaped.count(b"\x00\x00\x03")
+    # unescape is private to the parser closure; verify via decode parity:
+    # an SPS whose RBSP happens to contain 00 00 must still decode right.
+    # Craft one: profile 66, level 0 -> bytes 0x42 0x00 0x00 ... forces
+    # a 00 00 pair straddling constraint_flags+level_idc.
+    w = _SpsBits()
+    w.u(66, 8)
+    w.u(0, 8)
+    w.u(0, 8)  # level_idc 0: syntactically legal, makes 00 00 in EBSP
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.ue(1)
+    w.u(0, 1)
+    w.ue(3)   # width 4 MBs
+    w.ue(2)   # height 3 map units
+    w.u(1, 1)
+    w.u(1, 1)
+    w.u(0, 1)
+    w.u(0, 1)
+    rbsp = w.rbsp()
+    assert b"\x00\x00" in rbsp  # the escape path is actually exercised
+    got = parse_avc1(_ebsp(rbsp))
+    assert got == (66, 0, 64, 48, 1, 8)
+
+    # (b) fixture RBSPs decode to their closed forms through the escape
+    for i in range(16):
+        prof, lev, wd, ht, chroma, bd = parse_avc1(_ebsp(synth_avc1_sps_rbsp(i)))
+        assert prof == (66, 77, 100)[i % 3]
+        assert lev == 10 + (i % 5) * 10
+        assert wd == 16 * (2 + i % 8) - 2 * (i % 2)
+        assert ht == 16 * (2 + i % 6) - 2 * ((i >> 1) % 2)
+        assert (chroma, bd) == (1, 8 + (i % 2 if i % 3 == 2 else 0))
+    parse_hevc = _sps_parser("hevc")
+    for i in range(16):
+        prof, lev, wd, ht, chroma, bd = parse_hevc(_ebsp(synth_hevc_sps_rbsp(i)))
+        assert (prof, lev) == (1 + i % 2, 30 * (1 + i % 4))
+        assert wd == 64 + 16 * (i % 8) - 2 * (i % 2)
+        assert ht == 64 + 16 * (i % 6)
+        assert (chroma, bd) == (1, 8 + i % 2)
+
+    # (c) the scaling-matrix seam raises rather than misparsing
+    w = _SpsBits()
+    w.u(100, 8)
+    w.u(0, 8)
+    w.u(40, 8)
+    w.ue(0)
+    w.ue(1)
+    w.ue(0)
+    w.ue(0)
+    w.u(0, 1)
+    w.u(1, 1)  # seq_scaling_matrix_present = 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_avc1(w.rbsp())
