@@ -101,46 +101,37 @@ def main() -> None:
         table(spark, sf_dir, t).limit(1).count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Two passes per query; report the per-query MINIMUM. Rationale:
-    # (a) the first pass pays one-time whole-stage-codegen compilation
-    # (constant, irrelevant at scale); (b) this host shows hypervisor
-    # CPU-steal spikes (vmstat st up to ~11%), so any single run can be
-    # inflated several-fold — best-of-2 is the standard noisy-host
-    # methodology. Both raw passes are reported for transparency.
-    pass1: dict[str, float] = {}
-    pass2: dict[str, float] = {}
+    # CONVERGE mode (round 6 — the round-5 verdict's ask #2): best-of-2
+    # (+conditional 3rd) sampled the JIT warm-up curve, which cost two
+    # consecutive rounds of drift triage (w5 in r4; e1/e2/simhash in
+    # r5) — a query's 2nd pass can still sit 1.2-1.3x above its codegen
+    # floor, so round-over-round comparisons mixed warm-up position
+    # with real regressions. Now each query keeps running passes until
+    # the MINIMUM stops improving by >5% (>= 2 passes, cap 8), and the
+    # headline records that converged floor; the full pass curve goes
+    # to bench_detail.json. Host steal spikes only ever slow a pass
+    # down, so they can delay convergence but never contaminate the
+    # floor itself.
+    MAX_PASSES, IMPROVE = 8, 0.95
+    curves: dict[str, list[float]] = {}
+    best: dict[str, float] = {}
     for name in names:
-        df = registry[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        pass1[name] = round(time.perf_counter() - t0, 4)
-        df2 = registry[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df2.write.format("noop").mode("overwrite").save()
-        pass2[name] = round(time.perf_counter() - t0, 4)
-
-    # Adaptive third pass: if the two timings disagree by >2x, a steal
-    # spike hit one of them — take one more sample so a single spike
-    # can't define the recorded minimum.
-    pass3: dict[str, float] = {}
-    for name in names:
-        lo, hi = sorted((pass1[name], pass2[name]))
-        if hi > 2 * lo:
-            df3 = registry[name].fn(spark, sf_dir)
+        samples: list[float] = []
+        while len(samples) < MAX_PASSES:
+            df = registry[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df3.write.format("noop").mode("overwrite").save()
-            pass3[name] = round(time.perf_counter() - t0, 4)
-
-    best = {
-        n: min(p for p in (pass1[n], pass2[n], pass3.get(n)) if p is not None)
-        for n in pass1
-    }
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 4))
+            if len(samples) >= 2 and samples[-1] >= min(samples[:-1]) * IMPROVE:
+                break
+        curves[name] = samples
+        best[name] = min(samples)
     # Raw per-pass detail goes to a sidecar file + stderr, NOT the final
     # stdout line: round 4's driver tail-capture truncated the one giant
     # JSON line and recorded "parsed": null. The compact headline summary
     # must be the LAST stdout line and short enough to survive any
     # reasonable tail window.
-    detail = {"pass1": pass1, "pass2": pass2, "pass3": pass3, "sf": sf}
+    detail = {"passes": curves, "sf": sf}
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )

@@ -51,7 +51,11 @@ def _widen_small_scan(df: DataFrame) -> DataFrame:
     partition-count probe is driver-side plan analysis, no job runs."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 4 <= target:
+    # One .rdd conversion, read once at plan-build time (no job runs);
+    # the micro-batch hot paths carry no .rdd at all (DataFrame.isEmpty
+    # in streaming/corpus_ingest.py).
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts * 4 <= target:
         return df.repartition(target)
     return df
 

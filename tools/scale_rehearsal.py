@@ -90,6 +90,168 @@ def generate(spark, src: str, dst: str, rep: int) -> None:
     )
 
 
+class _PeakRss:
+    """Background sampler for the Arrow/pandas worker tier: every 200 ms
+    sum VmRSS over all `pyspark.daemon` python workers (the processes
+    whose memory profile the codec tier's mapInPandas actually stresses)
+    and keep the peak total + peak single worker. Linux /proc only —
+    degrades to zeros elsewhere."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self.peak_total_mb = 0.0
+        self.peak_worker_mb = 0.0
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _sample(self) -> None:
+        total = 0.0
+        worst = 0.0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    if b"pyspark.daemon" not in f.read():
+                        continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            mb = int(line.split()[1]) / 1024.0
+                            total += mb
+                            worst = max(worst, mb)
+                            break
+            except OSError:
+                continue
+        self.peak_total_mb = max(self.peak_total_mb, total)
+        self.peak_worker_mb = max(self.peak_worker_mb, worst)
+
+    def _run(self) -> None:
+        while not self._stop.wait(0.2):
+            self._sample()
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+        return False
+
+
+def media_rehearsal(spark, rep: int, passes: int) -> None:
+    """Scale the codec tier: N-times-replicated synthetic media corpora
+    (each replica re-seeded, so payload bytes differ) through the
+    mapInPandas decode/index operators, recording wall time, rows/s,
+    rows/s/core and the Python-worker peak RSS — the one tier whose
+    memory profile the sf1 text rehearsal did not cover."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_avc1_df,
+        checked_hevc_df,
+        checked_mjpeg_df,
+        decode_mp4_frames,
+        extract_avc1_nal_index,
+        extract_features,
+        extract_hevc_nal_index,
+        fake_media_df,
+    )
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    jobs = [
+        ("decode_media_features", lambda: extract_features(
+            fake_media_df(spark, n=64 * rep).repartition(cores))),
+        ("decode_mp4_frames", lambda: decode_mp4_frames(
+            checked_mjpeg_df(spark, n=12 * rep).repartition(cores))),
+        ("avc1_nal_index", lambda: extract_avc1_nal_index(
+            checked_avc1_df(spark, n=16 * rep).repartition(cores))),
+        ("hevc_nal_index", lambda: extract_hevc_nal_index(
+            checked_hevc_df(spark, n=16 * rep).repartition(cores))),
+    ]
+    results = {}
+    for name, build in jobs:
+        best = None
+        rows = 0
+        sampler = _PeakRss()
+        with sampler:
+            for _ in range(passes):
+                df = build()
+                t0 = time.perf_counter()
+                rows = df.count()  # count() forces full decode of every blob row
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        rec = {
+            "tier": "media", "op": name, "rep": rep,
+            "best_sec": round(best, 2), "out_rows": rows,
+            "rows_per_sec": round(rows / best, 1),
+            "rows_per_sec_core": round(rows / best / cores, 2),
+            "peak_worker_rss_mb": round(sampler.peak_worker_mb, 1),
+            "peak_workers_total_mb": round(sampler.peak_total_mb, 1),
+        }
+        results[name] = rec
+        print(json.dumps(rec))
+    print(json.dumps({"metric": "media_rehearsal_total", "rep": rep,
+                      "value": round(sum(r["best_sec"] for r in results.values()), 2),
+                      "unit": "sec"}))
+
+
+def streaming_rehearsal(spark, out_dir: str, n_batches: int = 20) -> None:
+    """Scale the streaming corpus-ingest path: feed the scaled document
+    corpus through `ingest_batch` in n_batches hash-sliced micro-batches
+    against one growing store, recording each batch's wall time (the
+    per-batch cost curve — its growth rate is the store-maintenance
+    signal), then compact_store and time one replayed batch to measure
+    the compaction payoff."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch,
+    )
+
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    store = os.path.join(out_dir, "ingest_store")
+    if os.path.isdir(store):
+        shutil.rmtree(store)
+
+    def count_files(sub: str) -> int:
+        n = 0
+        for _r, _d, fs in os.walk(os.path.join(store, sub)):
+            n += sum(f.endswith(".parquet") for f in fs)
+        return n
+
+    times = []
+    for b in range(n_batches):
+        batch = docs.filter(F.pmod(F.hash("doc_id"), F.lit(n_batches)) == b)
+        t0 = time.perf_counter()
+        ingest_batch(batch, store)
+        times.append(round(time.perf_counter() - t0, 2))
+        print(json.dumps({"tier": "streaming", "batch": b, "sec": times[-1]}))
+    files_before = {"docs": count_files("docs"), "bands": count_files("bands")}
+    t0 = time.perf_counter()
+    compact_store(spark, store, target_files=4)
+    compact_sec = round(time.perf_counter() - t0, 2)
+    files_after = {"docs": count_files("docs"), "bands": count_files("bands")}
+    # replay the last batch (a no-op admission-wise) against the
+    # compacted store: isolates the file-count effect on batch cost.
+    batch = docs.filter(F.pmod(F.hash("doc_id"), F.lit(n_batches)) == n_batches - 1)
+    t0 = time.perf_counter()
+    ingest_batch(batch, store)
+    replay_sec = round(time.perf_counter() - t0, 2)
+    print(json.dumps({
+        "metric": "streaming_rehearsal", "batches": n_batches,
+        "batch_sec": times, "first5_avg": round(sum(times[:5]) / 5, 2),
+        "last5_avg": round(sum(times[-5:]) / 5, 2),
+        "files_before": files_before, "files_after": files_after,
+        "compact_sec": compact_sec, "replayed_batch_sec": replay_sec,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=10)
@@ -97,10 +259,22 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_sf1")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--tier", default="text", choices=["text", "media", "streaming"],
+        help="text = scaled-fixture catalog queries (the original sf1 "
+        "rehearsal); media = codec-tier mapInPandas ops with worker RSS "
+        "sampling; streaming = corpus_ingest micro-batch cost curve",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale-rehearsal")
+    if args.tier == "media":
+        media_rehearsal(spark, args.rep, args.passes)
+        return
     generate(spark, args.sf_dir, args.out, args.rep)
+    if args.tier == "streaming":
+        streaming_rehearsal(spark, args.out)
+        return
     registry = load_all()
     results = {}
     for name in args.queries.split(","):
