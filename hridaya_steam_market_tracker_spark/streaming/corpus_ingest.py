@@ -237,13 +237,30 @@ def start_dedup_ingest(
     store_path: str,
     checkpoint_path: str,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_target_files: int = 8,
     **dedup_kwargs,
 ):
     """Wire a streaming document source into the near-dup-gated store
-    via foreachBatch(ingest_batch). Returns the StreamingQuery."""
-    writer = stream_docs.writeStream.foreachBatch(
-        lambda df, _epoch: ingest_batch(df, store_path, **dedup_kwargs)
-    ).option("checkpointLocation", checkpoint_path)
+    via foreachBatch(ingest_batch). Returns the StreamingQuery.
+
+    ``compact_every=N`` runs `compact_store` after every Nth epoch —
+    safe because foreachBatch callbacks execute serially on the one
+    writer, so maintenance can never race an ingest append. The round-6
+    rehearsal measured the policy's economics: 16 new band part files
+    per micro-batch grow per-batch cost ~50% over 20 batches, and one
+    compaction (~half a batch of wall time) resets the curve
+    (PLANS.md, SCALE round 6). Epoch numbers restart from the stream
+    checkpoint, so the cadence survives query restarts."""
+
+    def process(df: DataFrame, epoch: int) -> None:
+        ingest_batch(df, store_path, **dedup_kwargs)
+        if compact_every and (epoch + 1) % compact_every == 0:
+            compact_store(df.sparkSession, store_path, compact_target_files)
+
+    writer = stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

@@ -595,3 +595,54 @@ def test_corpus_store_compaction_preserves_admissions(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(store + "/bands").collect()
     } == expected | {901}
+
+
+def test_dedup_ingest_inline_compaction_cadence(spark, tmp_path):
+    """start_dedup_ingest(compact_every=1) runs store maintenance from
+    inside the serial foreachBatch loop: after the stream drains, the
+    band partitions hold <= compact_target_files files, and a second
+    wave still dedups correctly against the compacted store."""
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        start_dedup_ingest,
+    )
+
+    def doc(seed, tweak=None):
+        words = [f"ic{seed}z{k}" for k in range(12)]
+        if tweak is not None:
+            words[-1] = f"tw{tweak}"
+        return " ".join(words)
+
+    src_dir = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [(i, doc(i)) for i in range(4)], "doc_id long, text string"
+    ).write.parquet(src_dir, mode="append")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q = start_dedup_ingest(stream, store, ckpt, compact_every=1,
+                           compact_target_files=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    for bd in os.listdir(store + "/bands"):
+        if bd.startswith("band="):
+            fs = [f for f in os.listdir(os.path.join(store, "bands", bd))
+                  if f.endswith(".parquet")]
+            assert len(fs) <= 1, (bd, fs)
+
+    # wave 2 against the compacted store: near-dup of stored doc 1
+    # rejected, fresh doc admitted
+    spark.createDataFrame(
+        [(50, doc(1, tweak=3)), (51, doc(51))], "doc_id long, text string"
+    ).write.parquet(src_dir, mode="append")
+    stream2 = spark.readStream.schema("doc_id long, text string").parquet(src_dir)
+    q2 = start_dedup_ingest(stream2, store, ckpt, compact_every=1,
+                            compact_target_files=1)
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == {0, 1, 2, 3, 51}
