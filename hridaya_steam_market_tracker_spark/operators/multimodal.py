@@ -1190,6 +1190,172 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+DHASH_SCHEMA = (
+    "media_id long, width int, height int, hash_hi long, hash_lo long, "
+    "decode_ok boolean"
+)
+
+
+def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL decoded pixels —
+    the image-side analog of the text near-dup tier: two images whose
+    content differs only by small edits land within a few Hamming bits
+    of each other, so the 64-bit hash is the bucketable signature for
+    image near-dup dedup at corpus scale.
+
+    Exact integer pipeline (no float resampling, so the value is
+    replicable cross-engine): decode the blob through the pure-stdlib
+    codecs, partition the top-left (grid_w*(W//grid_w)) x
+    (grid_h*(H//grid_h)) region into a grid_w x grid_h grid of equal
+    cells (floor truncation — well-defined for any dims), take each
+    cell's integer r+g+b sum, and emit bit (cy, cx) = 1 iff
+    cell(cx) > cell(cx+1) in row cy: grid_h * (grid_w - 1) = 64 bits
+    for the default 9x8, packed big-endian into two 32-bit halves
+    (hash_hi = bits 0-31, hash_lo = bits 32-63, both non-negative
+    longs). Undecodable blobs keep their row with NULL hash fields.
+
+    Scale: Arrow-batched mapInPandas on the blob scan; downstream
+    near-dup joins bucket on 16-bit hash bands (pigeonhole: <= 3
+    flipped bits cannot touch all 4 bands), never all-pairs."""
+    pixel_decode, _ = _pixel_codec()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def dhash(payload: bytes, fmt: str | None):
+            w, h, rgb = pixel_decode(payload, fmt)
+            cw, ch = w // grid_w, h // grid_h
+            if cw == 0 or ch == 0:
+                raise ValueError("image smaller than the dhash grid")
+            sums = [[0] * grid_w for _ in range(grid_h)]
+            for cy in range(grid_h):
+                for yy in range(cy * ch, (cy + 1) * ch):
+                    base = yy * w * 3
+                    for cx in range(grid_w):
+                        s = 0
+                        for xx in range(cx * cw, (cx + 1) * cw):
+                            p = base + xx * 3
+                            s += rgb[p] + rgb[p + 1] + rgb[p + 2]
+                        sums[cy][cx] += s
+            hi = lo = 0
+            k = 0
+            for cy in range(grid_h):
+                for cx in range(grid_w - 1):
+                    bit = 1 if sums[cy][cx] > sums[cy][cx + 1] else 0
+                    if k < 32:
+                        hi = (hi << 1) | bit
+                    else:
+                        lo = (lo << 1) | bit
+                    k += 1
+            # left-align the halves to fixed 32-bit widths
+            hi <<= max(0, 32 - min(k, 32))
+            lo <<= max(0, 32 - max(k - 32, 0))
+            return w, h, hi, lo
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    w, h, hi, lo = dhash(bytes(payload or b""), fmt)
+                    recs.append((mid, w, h, hi, lo, True))
+                except (NotImplementedError, ValueError, IndexError):
+                    recs.append((mid, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "width", "height", "hash_hi", "hash_lo",
+                    "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=DHASH_SCHEMA)
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup candidate join over dHash signatures, banded:
+    split each 64-bit hash into four 16-bit bands; by pigeonhole any
+    pair within `max_hamming` <= 3 bits shares at least one intact
+    band, so the equi-join on (band_idx, band_value) is a LOSSLESS
+    candidate generator (same blocking algebra as the SimHash chunk
+    join), and only candidates pay the exact popcount verify:
+    hamming = bit_count(hi_a XOR hi_b) + bit_count(lo_a XOR lo_b).
+    Output (i, j, hamming), i < j. At corpus scale the shuffle moves
+    (id, band) pairs — 4 rows of two ints per image — never the
+    all-pairs square."""
+    h = hashes.filter(F.col("decode_ok")).select(
+        "media_id", "hash_hi", "hash_lo"
+    )
+    b16 = F.lit(65536).cast("long")
+    banded = h.select(
+        "media_id", "hash_hi", "hash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), F.shiftright("hash_hi", 16).alias("bv")),
+                F.struct(F.lit(1).alias("bi"), F.pmod("hash_hi", b16).cast("long").alias("bv")),
+                F.struct(F.lit(2).alias("bi"), F.shiftright("hash_lo", 16).alias("bv")),
+                F.struct(F.lit(3).alias("bi"), F.pmod("hash_lo", b16).cast("long").alias("bv")),
+            )
+        ).alias("band"),
+    ).select("media_id", "hash_hi", "hash_lo", "band.bi", "band.bv")
+    a = banded.select(
+        F.col("media_id").alias("i"), F.col("hash_hi").alias("hi_i"),
+        F.col("hash_lo").alias("lo_i"), "bi", "bv",
+    )
+    b = banded.select(
+        F.col("media_id").alias("j"), F.col("hash_hi").alias("hi_j"),
+        F.col("hash_lo").alias("lo_j"), "bi", "bv",
+    )
+    ham = (
+        F.bit_count(F.col("hi_i").bitwiseXOR(F.col("hi_j")))
+        + F.bit_count(F.col("lo_i").bitwiseXOR(F.col("lo_j")))
+    ).cast("int")
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def checked_dhash_df(spark, n: int = 17) -> DataFrame:
+    """Oracle-checkable dHash table: REAL 36x32 gray BMPs (every cell
+    exactly 4x4 pixels) whose gray value is the closed form
+    g(b, x, y) = (x*(2 + b%5) + y*(3 + b%7) + 11*b) % 200 with
+    b = i % 8 — so ids i and i+8 share a base image, and i >= 8
+    additionally bumps cell (cx=2, cy=3) by +50/pixel (no 8-bit
+    overflow: 199 + 50 < 256), flipping at most the two comparisons
+    that touch that cell. The (i, i+8) pairs are therefore guaranteed
+    near-dups within Hamming 2, value-checkable end to end. Last id
+    (i = 16) is an undecodable digest blob for the failure row."""
+    _, encode = _pixel_codec()
+    rows = []
+    for i in range(n):
+        if i == 16:
+            rows.append(
+                (i, "image", "bmp",
+                 bytearray(hashlib.md5(f"dhash{i}".encode()).digest() * 4),
+                 None, None, None)
+            )
+            continue
+        b = i % 8
+        w, h = 36, 32
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                g = (x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200
+                if i >= 8 and x // 4 == 2 and y // 4 == 3:
+                    g += 50
+                rgb += bytes([g, g, g])
+        rows.append(
+            (i, "image", "bmp", bytearray(encode(w, h, bytes(rgb), "bmp")),
+             w, h, None)
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per
     sampled timestamp (the decode itself is the stub above). Native
@@ -1352,6 +1518,7 @@ def synth_mp4(
     with_stss: bool,
     frame_payloads: list[bytes] | None = None,
     codec: bytes = b"fake",
+    codec_config: bytes = b"",
 ) -> bytes:
     """Minimal valid ISO BMFF (MP4) file, pure stdlib: ftyp + mdat +
     moov/trak/mdia/minf/stbl with real stts (two delta runs), stsz,
@@ -1388,7 +1555,10 @@ def synth_mp4(
         b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom" + b"iso2"
     )  # 24 bytes
     mdat = box(b"mdat", b"".join(frames))
-    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(codec, b""))
+    # codec_config carries the sample-entry payload (e.g. a 78-byte
+    # VisualSampleEntry body followed by an avcC/hvcC child box); empty
+    # by default, which the demuxer tolerates.
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + box(codec, codec_config))
     stts = box(
         b"stts",
         struct.pack(">II", 0, 2)
@@ -2115,6 +2285,173 @@ def extract_hevc_sps_params(media: DataFrame) -> DataFrame:
     )
 
 
+AVCC_SPS_SCHEMA = (
+    "media_id long, sps_idx int, profile_idc int, level_idc int, width int, "
+    "height int, chroma_format_idc int, bit_depth_luma int, entry_width int, "
+    "entry_height int, cfg_profile_idc int, cfg_level_idc int, "
+    "length_size int, parse_ok boolean"
+)
+
+
+def _cfg_sps_params_op(media: DataFrame, codec: str) -> DataFrame:
+    """Decoder-configuration-box SPS extraction — the OTHER place MP4s
+    carry parameter sets: real-world avc1/hvc1 files put SPS/PPS in the
+    stsd sample entry's avcC / hvcC child box (ISO/IEC 14496-15
+    §5.3.3.1 / §8.3.3.1), not in-band in the samples; this op closes
+    the seam `_sps_params_op` documents. A self-contained ISO-BMFF box
+    walker descends moov/trak/mdia/minf/stbl/stsd, reads the
+    VisualSampleEntry's declared width/height (offsets 24/26), parses
+    the configuration record header (profile/level/NAL length size),
+    and runs every SPS NAL it carries through the same `_sps_parser`
+    bit reader as the in-band op — so the output carries BOTH the
+    box-declared values (entry_*/cfg_*) and the bit-decoded ones,
+    whose disagreement is exactly the malformed-file signal a curation
+    pipeline wants to catch.
+
+    Honest-failure discipline: unparseable container/boxes -> one
+    all-NULL parse_ok=false row; an SPS whose bits don't parse keeps
+    its sps_idx row with the salvaged entry_*/cfg_* fields and NULL
+    decoded fields. Arrow-batched mapInPandas, same posture as the
+    rest of the codec tier."""
+    parse_sps = _sps_parser(codec)
+    is_avc = codec == "avc1"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def boxes(data: bytes, start: int, end: int):
+            pos = start
+            while pos + 8 <= end:
+                sz = int.from_bytes(data[pos : pos + 4], "big")
+                typ = data[pos + 4 : pos + 8]
+                hdr = 8
+                if sz == 1:
+                    if pos + 16 > end:
+                        raise ValueError("truncated largesize box")
+                    sz = int.from_bytes(data[pos + 8 : pos + 16], "big")
+                    hdr = 16
+                elif sz == 0:
+                    sz = end - pos
+                if sz < hdr or pos + sz > end:
+                    raise ValueError("bad box size")
+                yield typ, pos + hdr, pos + sz
+                pos += sz
+
+        def find(data: bytes, start: int, end: int, name: bytes):
+            for typ, s, e in boxes(data, start, end):
+                if typ == name:
+                    return s, e
+            raise ValueError("missing box")
+
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload or b"")
+                try:
+                    s, e = find(data, 0, len(data), b"moov")
+                    s, e = find(data, s, e, b"trak")
+                    s, e = find(data, s, e, b"mdia")
+                    s, e = find(data, s, e, b"minf")
+                    s, e = find(data, s, e, b"stbl")
+                    s, e = find(data, s, e, b"stsd")
+                    # stsd payload: version/flags + entry_count, then entries
+                    _typ, es, ee = next(boxes(data, s + 8, e))
+                    if ee - es < 78:
+                        raise ValueError("sample entry shorter than VisualSampleEntry")
+                    entry_w = int.from_bytes(data[es + 24 : es + 26], "big")
+                    entry_h = int.from_bytes(data[es + 26 : es + 28], "big")
+                    cs, ce = find(
+                        data, es + 78, ee, b"avcC" if is_avc else b"hvcC"
+                    )
+                    sps_list: list[bytes] = []
+                    if is_avc:
+                        # AVCDecoderConfigurationRecord §5.3.3.1.2
+                        if ce - cs < 7 or data[cs] != 1:
+                            raise ValueError("bad avcC record")
+                        cfg_profile = data[cs + 1]
+                        cfg_level = data[cs + 3]
+                        length_size = (data[cs + 4] & 0x03) + 1
+                        n_sps = data[cs + 5] & 0x1F
+                        p = cs + 6
+                        for _ in range(n_sps):
+                            ln = int.from_bytes(data[p : p + 2], "big")
+                            p += 2
+                            if p + ln > ce:
+                                raise ValueError("truncated avcC SPS")
+                            sps_list.append(data[p : p + ln])
+                            p += ln
+                        hdr_len = 1
+                    else:
+                        # HEVCDecoderConfigurationRecord §8.3.3.1.2
+                        if ce - cs < 23 or data[cs] != 1:
+                            raise ValueError("bad hvcC record")
+                        cfg_profile = data[cs + 1] & 0x1F
+                        cfg_level = data[cs + 12]
+                        length_size = (data[cs + 21] & 0x03) + 1
+                        n_arrays = data[cs + 22]
+                        p = cs + 23
+                        for _ in range(n_arrays):
+                            if p + 3 > ce:
+                                raise ValueError("truncated hvcC array")
+                            ntype = data[p] & 0x3F
+                            cnt = int.from_bytes(data[p + 1 : p + 3], "big")
+                            p += 3
+                            for _ in range(cnt):
+                                ln = int.from_bytes(data[p : p + 2], "big")
+                                p += 2
+                                if p + ln > ce:
+                                    raise ValueError("truncated hvcC NALU")
+                                if ntype == 33:
+                                    sps_list.append(data[p : p + ln])
+                                p += ln
+                        hdr_len = 2
+                except (ValueError, IndexError, StopIteration):
+                    recs.append(
+                        (mid,) + (None,) * 12 + (False,)
+                    )
+                    continue
+                for k, nal in enumerate(sps_list):
+                    try:
+                        if len(nal) <= hdr_len:
+                            raise ValueError("SPS NAL shorter than header")
+                        profile, level, w, h, chroma, bd = parse_sps(nal[hdr_len:])
+                        recs.append(
+                            (mid, k, profile, level, w, h, chroma, bd,
+                             entry_w, entry_h, cfg_profile, cfg_level,
+                             length_size, True)
+                        )
+                    except (ValueError, IndexError):
+                        recs.append(
+                            (mid, k, None, None, None, None, None, None,
+                             entry_w, entry_h, cfg_profile, cfg_level,
+                             length_size, False)
+                        )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "sps_idx", "profile_idc", "level_idc",
+                    "width", "height", "chroma_format_idc", "bit_depth_luma",
+                    "entry_width", "entry_height", "cfg_profile_idc",
+                    "cfg_level_idc", "length_size", "parse_ok",
+                ],
+            )
+
+    videos = media.filter(
+        (F.col("media_type") == "video") & (F.col("format") == "mp4")
+    ).select("media_id", "payload")
+    return videos.mapInPandas(op, schema=AVCC_SPS_SCHEMA)
+
+
+def extract_avcc_sps_params(media: DataFrame) -> DataFrame:
+    """SPS stream parameters from the avcC decoder-configuration box
+    (ISO/IEC 14496-15 §5.3.3.1) — see `_cfg_sps_params_op`."""
+    return _cfg_sps_params_op(media, "avc1")
+
+
+def extract_hvcc_sps_params(media: DataFrame) -> DataFrame:
+    """SPS stream parameters from the hvcC decoder-configuration box
+    (ISO/IEC 14496-15 §8.3.3.1) — see `_cfg_sps_params_op`."""
+    return _cfg_sps_params_op(media, "hevc")
+
+
 class _SpsBits:
     """Driver-side bit/Exp-Golomb WRITER for the synthetic SPS fixtures
     — the encode half of what `_sps_parser` decodes, so the checked
@@ -2297,6 +2634,112 @@ def checked_avc1_sps_df(spark, n: int = 16) -> DataFrame:
 def checked_hevc_sps_df(spark, n: int = 16) -> DataFrame:
     """Oracle-checkable hevc SPS table (see `_sps_fixture_df`)."""
     return _sps_fixture_df(spark, n, "hevc")
+
+
+def _visual_sample_entry(width: int, height: int) -> bytes:
+    """78-byte VisualSampleEntry body (ISO/IEC 14496-12 §12.1.3.2):
+    data_reference_index=1, declared width/height at offsets 24/26,
+    0x48.0000 dpi, frame_count=1, depth=24, pre_defined=-1."""
+    b = bytearray(78)
+    b[6:8] = (1).to_bytes(2, "big")
+    b[24:26] = width.to_bytes(2, "big")
+    b[26:28] = height.to_bytes(2, "big")
+    b[28:32] = (0x00480000).to_bytes(4, "big")
+    b[32:36] = (0x00480000).to_bytes(4, "big")
+    b[40:42] = (1).to_bytes(2, "big")
+    b[74:76] = (0x0018).to_bytes(2, "big")
+    b[76:78] = (0xFFFF).to_bytes(2, "big")
+    return bytes(b)
+
+
+def synth_avcc_box(sps_nal: bytes, pps_nal: bytes, profile: int, level: int) -> bytes:
+    """avcC box: AVCDecoderConfigurationRecord carrying one SPS + one
+    PPS, lengthSizeMinusOne=3 (ISO/IEC 14496-15 §5.3.3.1.2)."""
+    rec = (
+        bytes([1, profile, 0, level, 0xFC | 3, 0xE0 | 1])
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([1])
+        + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    return (8 + len(rec)).to_bytes(4, "big") + b"avcC" + rec
+
+
+def synth_hvcc_box(sps_nal: bytes, pps_nal: bytes, profile: int, level: int) -> bytes:
+    """hvcC box: HEVCDecoderConfigurationRecord with SPS and PPS NAL
+    arrays, lengthSizeMinusOne=3 (ISO/IEC 14496-15 §8.3.3.1.2)."""
+    rec = (
+        bytes([1, profile])  # version; profile_space/tier 0 + profile_idc
+        + (0).to_bytes(4, "big")  # general_profile_compatibility_flags
+        + (0).to_bytes(6, "big")  # general_constraint_indicator_flags
+        + bytes([level])
+        + (0xF000).to_bytes(2, "big")  # reserved + min_spatial_segmentation
+        + bytes([0xFC, 0xFD, 0xF8, 0xF8])  # parallelism=0, chroma=1, bd 0/0
+        + (0).to_bytes(2, "big")  # avgFrameRate
+        + bytes([0x03])  # numTemporalLayers=0, nested=1, lengthSize-1=3
+        + bytes([2])  # numOfArrays
+        + bytes([0x80 | 33]) + (1).to_bytes(2, "big")
+        + len(sps_nal).to_bytes(2, "big") + sps_nal
+        + bytes([0x80 | 34]) + (1).to_bytes(2, "big")
+        + len(pps_nal).to_bytes(2, "big") + pps_nal
+    )
+    return (8 + len(rec)).to_bytes(4, "big") + b"hvcC" + rec
+
+
+def _cfg_fixture_df(spark, n: int, codec: str) -> DataFrame:
+    """Shared builder for the config-box SPS tables: real MP4s whose
+    samples are plain access units (NO in-band parameter sets — the
+    realistic avc1/hvc1 layout) while the SPS/PPS ride the stsd sample
+    entry's avcC/hvcC box over a spec-shaped 78-byte VisualSampleEntry
+    declaring the display size. Same failure grid as `_sps_fixture_df`:
+    i % 8 == 5 invalid container, i % 5 == 2 truncated SPS body inside
+    an otherwise-valid record (decoded fields NULL, box-declared fields
+    salvaged)."""
+    rows = []
+    for i in range(n):
+        if i % 8 == 5:
+            payload = hashlib.md5(f"cfg{codec}{i}".encode()).digest() * 4
+        else:
+            if codec == "avc1":
+                profile = (66, 77, 100)[i % 3]
+                level = 10 + (i % 5) * 10
+                disp_w = 16 * (2 + i % 8) - 2 * (i % 2)
+                disp_h = 16 * (2 + i % 6) - 2 * ((i >> 1) % 2)
+                sps_nal = bytes([(3 << 5) | 7]) + (
+                    b"\x80" if i % 5 == 2 else _ebsp(synth_avc1_sps_rbsp(i))
+                )
+                pps_nal = bytes([(3 << 5) | 8, 0xCE, 0x38, 0x80])
+                cfg = synth_avcc_box(sps_nal, pps_nal, profile, level)
+                frames = [synth_avc1_sample(i, j, annexb=False) for j in range(3)]
+                fourcc = b"avc1"
+            else:
+                profile = 1 + i % 2
+                level = 30 * (1 + i % 4)
+                disp_w = 64 + 16 * (i % 8) - 2 * (i % 2)
+                disp_h = 64 + 16 * (i % 6)
+                sps_nal = bytes([33 << 1, 1]) + (
+                    b"\x80" if i % 5 == 2 else _ebsp(synth_hevc_sps_rbsp(i))
+                )
+                pps_nal = bytes([34 << 1, 1, 0xC0])
+                cfg = synth_hvcc_box(sps_nal, pps_nal, profile, level)
+                frames = [synth_hevc_sample(i, j, annexb=False) for j in range(3)]
+                fourcc = b"hvc1"
+            payload = synth_mp4(
+                i, 3, 500 + 100 * (i % 3), with_stss=False,
+                frame_payloads=frames, codec=fourcc,
+                codec_config=_visual_sample_entry(disp_w, disp_h) + cfg,
+            )
+        rows.append((i, "video", "mp4", bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def checked_avcc_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable avcC config-box table (see `_cfg_fixture_df`)."""
+    return _cfg_fixture_df(spark, n, "avc1")
+
+
+def checked_hvcc_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable hvcC config-box table (see `_cfg_fixture_df`)."""
+    return _cfg_fixture_df(spark, n, "hevc")
 
 
 def synth_avc1_sample(i: int, j: int, annexb: bool) -> bytes:

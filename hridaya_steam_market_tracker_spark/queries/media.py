@@ -759,3 +759,208 @@ def multimodal_hevc_sps_params_checked(spark: SparkSession, sf_dir: str) -> Data
     )
 
     return extract_hevc_sps_params(checked_hevc_sps_df(spark, n=16))
+
+
+@register(
+    "multimodal_avcc_config_sps_checked",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CAST(CASE i % 3 WHEN 0 THEN 66 WHEN 1 THEN 77 ELSE 100 END
+                  AS INTEGER) AS prof,
+             CAST(10 + (i % 5) * 10 AS INTEGER) AS lev,
+             CAST(16 * (2 + i % 8) - 2 * (i % 2) AS INTEGER) AS w,
+             CAST(16 * (2 + i % 6) - 2 * ((i // 2) % 2) AS INTEGER) AS h,
+             CAST(8 + CASE WHEN i % 3 = 2 THEN i % 2 ELSE 0 END
+                  AS INTEGER) AS bd
+      FROM generate_series(0, 15) g(i)
+    )
+    SELECT i AS media_id, CAST(0 AS INTEGER) AS sps_idx, prof AS profile_idc,
+           lev AS level_idc, w AS width, h AS height,
+           CAST(1 AS INTEGER) AS chroma_format_idc, bd AS bit_depth_luma,
+           w AS entry_width, h AS entry_height, prof AS cfg_profile_idc,
+           lev AS cfg_level_idc, CAST(4 AS INTEGER) AS length_size,
+           TRUE AS parse_ok
+    FROM m WHERE i % 8 <> 5 AND i % 5 <> 2
+    UNION ALL  -- truncated SPS: box-declared fields salvaged, decode NULL
+    SELECT i, CAST(0 AS INTEGER), NULL, NULL, NULL, NULL, NULL, NULL,
+           w, h, prof, lev, CAST(4 AS INTEGER), FALSE
+    FROM m WHERE i % 5 = 2 AND i % 8 <> 5
+    UNION ALL  -- invalid container
+    SELECT i, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED avcC decoder-configuration SPS extraction "
+        "(ISO/IEC 14496-15 §5.3.3.1) — the realistic avc1 layout where "
+        "parameter sets ride the stsd sample entry, NOT the samples: a "
+        "self-contained ISO-BMFF box walker descends to the avcC record "
+        "over a spec-shaped 78-byte VisualSampleEntry, and every carried "
+        "SPS goes through the same Exp-Golomb bit reader as the in-band "
+        "op. Output pairs the box-DECLARED values (entry width/height, "
+        "cfg profile/level, NAL length size) with the bit-DECODED ones — "
+        "equal here by construction, and their disagreement in the wild "
+        "is precisely the malformed-file signal a curation gate wants. "
+        "Truncated-SPS rows keep the salvaged box fields with NULL "
+        "decoded fields; invalid containers one all-NULL row."
+    ),
+)
+def multimodal_avcc_config_sps_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_avcc_df,
+        extract_avcc_sps_params,
+    )
+
+    return extract_avcc_sps_params(checked_avcc_df(spark, n=16))
+
+
+@register(
+    "multimodal_hvcc_config_sps_checked",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CAST(1 + i % 2 AS INTEGER) AS prof,
+             CAST(30 * (1 + i % 4) AS INTEGER) AS lev,
+             CAST(64 + 16 * (i % 8) - 2 * (i % 2) AS INTEGER) AS w,
+             CAST(64 + 16 * (i % 6) AS INTEGER) AS h,
+             CAST(8 + i % 2 AS INTEGER) AS bd
+      FROM generate_series(0, 15) g(i)
+    )
+    SELECT i AS media_id, CAST(0 AS INTEGER) AS sps_idx, prof AS profile_idc,
+           lev AS level_idc, w AS width, h AS height,
+           CAST(1 AS INTEGER) AS chroma_format_idc, bd AS bit_depth_luma,
+           w AS entry_width, h AS entry_height, prof AS cfg_profile_idc,
+           lev AS cfg_level_idc, CAST(4 AS INTEGER) AS length_size,
+           TRUE AS parse_ok
+    FROM m WHERE i % 8 <> 5 AND i % 5 <> 2
+    UNION ALL
+    SELECT i, CAST(0 AS INTEGER), NULL, NULL, NULL, NULL, NULL, NULL,
+           w, h, prof, lev, CAST(4 AS INTEGER), FALSE
+    FROM m WHERE i % 5 = 2 AND i % 8 <> 5
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, FALSE
+    FROM m WHERE i % 8 = 5
+    """,
+    doc=(
+        "VALUE-CHECKED hvcC decoder-configuration SPS extraction "
+        "(ISO/IEC 14496-15 §8.3.3.1): the HEVC record's NAL-unit "
+        "arrays are walked for type-33 entries and each SPS decoded "
+        "through the full §7.3.3 profile_tier_level bit parse. Same "
+        "declared-vs-decoded pairing and failure grid as the avcC "
+        "twin; schema shared so downstream gates are codec-agnostic."
+    ),
+)
+def multimodal_hvcc_config_sps_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_hvcc_df,
+        extract_hvcc_sps_params,
+    )
+
+    return extract_hvcc_sps_params(checked_hvcc_df(spark, n=16))
+
+
+# Shared by the two dHash queries: closed-form recompute of the 9x8
+# difference hash over the 36x32 gray fixture rasters (see
+# operators/multimodal.py:checked_dhash_df for the pixel formula).
+_DHASH_HASHES_CTE = """
+    px AS (
+      SELECT i, x, y,
+             3 * (((x * (2 + (i % 8) % 5) + y * (3 + (i % 8) % 7)
+                    + 11 * (i % 8)) % 200)
+                  + CASE WHEN i >= 8 AND x // 4 = 2 AND y // 4 = 3
+                         THEN 50 ELSE 0 END) AS v
+      FROM generate_series(0, 15) g(i),
+           generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
+    ),
+    cells AS (
+      SELECT i, x // 4 AS cx, y // 4 AS cy, CAST(sum(v) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.i, CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit,
+             a.cy * 8 + a.cx AS k
+      FROM cells a
+      JOIN cells b ON a.i = b.i AND a.cy = b.cy AND b.cx = a.cx + 1
+    ),
+    hashes AS (
+      SELECT i,
+             CAST(sum(CASE WHEN k < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY i
+    )
+"""
+
+
+@register(
+    "multimodal_image_dhash_checked",
+    oracle=f"""
+    WITH {_DHASH_HASHES_CTE}
+    SELECT i AS media_id, CAST(36 AS INTEGER) AS width,
+           CAST(32 AS INTEGER) AS height, hash_hi, hash_lo,
+           TRUE AS decode_ok
+    FROM hashes
+    UNION ALL
+    SELECT CAST(16 AS BIGINT), NULL, NULL, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED perceptual difference hash (dHash) over REAL "
+        "decoded pixels: 36x32 gray BMPs with closed-form gray values "
+        "round-trip the real BMP codec, an exact-integer 9x8 cell-sum "
+        "grid, and the 64-bit big-endian bit packing (two 32-bit BIGINT "
+        "halves) against a DuckDB oracle that recomputes every cell sum "
+        "and comparison bit arithmetically. Ids i and i+8 share a base "
+        "image with one bumped cell, so the hash is demonstrably "
+        "edit-tolerant; the undecodable row is value-checked too. No "
+        "float resampling anywhere — the hash is replicable "
+        "cross-engine, which is what makes it a corpus-scale image "
+        "near-dup signature rather than a library artifact."
+    ),
+)
+def multimodal_image_dhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_dhash_df,
+        image_dhash,
+    )
+
+    return image_dhash(checked_dhash_df(spark, n=17))
+
+
+@register(
+    "multimodal_dhash_near_pairs_checked",
+    oracle=f"""
+    WITH {_DHASH_HASHES_CTE}
+    SELECT a.i AS i, b.i AS j,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.i < b.i
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+    """,
+    doc=(
+        "VALUE-CHECKED image near-dup pair join over dHash signatures, "
+        "BANDED: each 64-bit hash splits into four 16-bit bands and "
+        "candidates come from the (band_idx, band_value) equi-join — "
+        "by pigeonhole a <= 3-bit Hamming pair cannot flip all four "
+        "bands, so the blocking is LOSSLESS (same algebra as the "
+        "SimHash chunk join) and the oracle can be the brute-force "
+        "Hamming filter. Only candidates pay the exact "
+        "bit_count(XOR) verify. The fixture's (i, i+8) bumped-cell "
+        "pairs surface here within Hamming 2; at corpus scale the "
+        "shuffle moves 4 two-int rows per image, never the all-pairs "
+        "square."
+    ),
+)
+def multimodal_dhash_near_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_dhash_df,
+        dhash_near_pairs,
+        image_dhash,
+    )
+
+    return dhash_near_pairs(image_dhash(checked_dhash_df(spark, n=17)))

@@ -1618,3 +1618,97 @@ def test_sps_parser_emulation_prevention_and_seams():
 
     with _pytest.raises(ValueError):
         parse_avc1(w.rbsp())
+
+
+def test_cfg_box_walker_largesize_and_missing_record(spark):
+    """ISO-BMFF corners the closed-form fixture can't reach: (a) a
+    64-bit largesize moov header must walk identically (mdat precedes
+    moov, so sample offsets survive the rewrite); (b) a video whose
+    sample entry carries no avcC record yields the all-NULL failure
+    row rather than a crash."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _cfg_fixture_df,
+        extract_avcc_sps_params,
+    )
+
+    base = _cfg_fixture_df(spark, 1, "avc1").collect()[0]
+    payload = bytes(base["payload"])
+    # top-level walk: ftyp, mdat, moov — rewrite moov to largesize form
+    pos, spans = 0, []
+    while pos < len(payload):
+        sz = int.from_bytes(payload[pos : pos + 4], "big")
+        spans.append((payload[pos + 4 : pos + 8], pos, sz))
+        pos += sz
+    typ, moov_off, moov_sz = spans[-1]
+    assert typ == b"moov"
+    rewritten = (
+        payload[:moov_off]
+        + (1).to_bytes(4, "big")
+        + b"moov"
+        + (moov_sz + 8).to_bytes(8, "big")
+        + payload[moov_off + 8 :]
+    )
+    media = spark.createDataFrame(
+        [(0, "video", "mp4", bytearray(rewritten), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_avcc_sps_params(media).collect()
+    assert len(rows) == 1 and rows[0]["parse_ok"]
+    assert rows[0]["width"] == 16 * 2 and rows[0]["profile_idc"] == 66
+
+    # (b) fake codec box with no avcC child -> one all-NULL failure row
+    from hridaya_steam_market_tracker_spark.operators.multimodal import synth_mp4
+
+    bare = synth_mp4(3, 4, 600, False)
+    media2 = spark.createDataFrame(
+        [(7, "video", "mp4", bytearray(bare), None, None, None)], MEDIA_SCHEMA
+    )
+    rows2 = extract_avcc_sps_params(media2).collect()
+    assert len(rows2) == 1
+    assert rows2[0]["parse_ok"] is False and rows2[0]["sps_idx"] is None
+
+
+def test_dhash_banding_is_lossless_vs_bruteforce(spark):
+    """Property check of the pigeonhole blocking: for a deterministic
+    set of 64-bit hashes containing engineered <=3-bit perturbations
+    AND random far pairs, the banded candidate join returns EXACTLY the
+    brute-force Hamming<=3 pair set — no candidate loss at the blocking
+    stage, no threshold leakage at the verify stage."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        dhash_near_pairs,
+    )
+
+    # LCG-derived hashes; ids 100+k are <=3-bit flips of ids k
+    rows = []
+    seed = 12345
+    base = []
+    for k in range(12):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        base.append(seed)
+        rows.append((k, 64, 64, (seed >> 32) & 0xFFFFFFFF, seed & 0xFFFFFFFF, True))
+    for k in range(12):
+        flips = k % 4  # 0..3 bit flips
+        h = base[k]
+        for f in range(flips):
+            h ^= 1 << ((7 * k + 13 * f) % 64)
+        rows.append((100 + k, 64, 64, (h >> 32) & 0xFFFFFFFF, h & 0xFFFFFFFF, True))
+    hashes = spark.createDataFrame(
+        rows,
+        "media_id long, width int, height int, hash_hi long, hash_lo long, "
+        "decode_ok boolean",
+    )
+    got = {
+        (r["i"], r["j"], r["hamming"])
+        for r in dhash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    # brute force over all pairs
+    full = {mid: (hi << 32) | lo for mid, _w, _h, hi, lo, _ok in rows}
+    want = set()
+    ids = sorted(full)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            ham = bin(full[ids[a]] ^ full[ids[b]]).count("1")
+            if ham <= 3:
+                want.add((ids[a], ids[b], ham))
+    assert got == want and len(want) >= 12
