@@ -577,3 +577,122 @@ def winnow_near_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def positional_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(doc_id, pos, gram): NON-distinct positional n-grams — unlike
+    `shingles` this keeps every occurrence with its 0-based token
+    position, which is what span-level (substring) dedup needs.
+    Documents shorter than n tokens produce no rows. Scan-stage array
+    algebra + one explode; no shuffle."""
+    toks = tokens(F.lower(F.col(text_col)))
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
+            ).alias("gram"),
+        ),
+    )
+    guarded = F.when(F.size(toks) >= n, entries).otherwise(
+        F.array().cast("array<struct<pos:bigint,gram:string>>")
+    )
+    return (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), F.explode(guarded).alias("e"))
+        .select("doc_id", "e.pos", "e.gram")
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """Per-document corpus-duplicated token-span mass — the cheap
+    screening stat of substring-level dedup (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better': duplicated spans are
+    memorization fuel even when whole-document similarity is low).
+
+    dup_grams counts this document's positions whose n-gram occurs in
+    at least one OTHER document (document frequency >= 2 — repeats
+    confined to one doc are `doc_repetition_stats`' artifact, not
+    this one's); dup_frac = dup_grams / n_grams. Docs shorter than n
+    tokens emit no row.
+
+    Scale: one groupBy(gram) for the df table, one gram-keyed join
+    back, one groupBy(doc_id) — all hash-partitioned scans, no
+    all-pairs anything."""
+    pos = positional_grams(df, text_col, id_col, n)
+    gdf = pos.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        pos.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            F.round(
+                F.col("dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_tokens: int = 8,
+    max_gram_df: int = 8,
+) -> DataFrame:
+    """MAXIMAL shared token spans between document pairs — exact
+    substring-level dedup at token granularity: a row (i, j, start_i,
+    start_j, span_tokens) says docs i < j share span_tokens
+    consecutive identical tokens starting at those 0-based positions.
+
+    Plan: positional n-gram postings join on the gram (candidates),
+    then the classic gaps-and-islands trick recovers maximal runs
+    WITHOUT iteration — within (i, j, offset = pa - pb), consecutive
+    positions share `pa - row_number()`, so one window + one groupBy
+    turns k matching n-grams into one span of k + n - 1 tokens.
+
+    The posting join only uses grams with 2 <= df <= ``max_gram_df``:
+    df < 2 cannot witness a cross-doc span, and a boilerplate gram
+    shared by thousands of docs is a k^2 shuffle bomb (same guard and
+    same honesty note as jaccard_pairs' max_shingle_df — a span ALL of
+    whose grams exceed the cap is reported split or not at all, which
+    at corpus scale is exactly the boilerplate you'd handle with a
+    dedicated boilerplate pass, not a pair join). Reported spans are
+    exact: within the capped gram set the island algebra is lossless.
+    """
+    from pyspark.sql import Window
+
+    pos = positional_grams(df, text_col, id_col, n)
+    gdf = pos.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    keep = pos.join(
+        gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)).select("gram"),
+        "gram",
+    )
+    a = keep.select(F.col("doc_id").alias("i"), F.col("pos").alias("pa"), "gram")
+    b = keep.select(F.col("doc_id").alias("j"), F.col("pos").alias("pb"), "gram")
+    cand = a.join(b, "gram").filter(F.col("i") < F.col("j"))
+    off = (F.col("pa") - F.col("pb")).alias("d")
+    w = Window.partitionBy("i", "j", F.col("pa") - F.col("pb")).orderBy("pa")
+    isl = cand.withColumn("run", F.col("pa") - F.row_number().over(w))
+    return (
+        isl.groupBy("i", "j", off, "run")
+        .agg(
+            F.min("pa").alias("start_i"),
+            F.min("pb").alias("start_j"),
+            (F.count(F.lit(1)) + (n - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select("i", "j", "start_i", "start_j", "span_tokens")
+    )

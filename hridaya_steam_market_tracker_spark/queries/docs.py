@@ -1042,3 +1042,101 @@ def cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (h60 < F.expr(f"{1 << 60} div cluster_size")).alias("included"),
         )
     )
+
+
+# Shared by the two substring-dedup queries: positional (NON-distinct)
+# 5-gram postings with 0-based token positions, and per-gram document
+# frequency. DuckDB list slices are 1-based inclusive: w[p:p+4] is the
+# 5 tokens starting at p, valid for p in range(1, len(w) - 3).
+_POSGRAMS_CTE = f"""
+    d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    pos AS (
+      SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+             array_to_string(w[p:p+4], ' ') AS gram
+      FROM d, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS p) u(p)
+    ),
+    gdf AS (SELECT gram, count(DISTINCT doc_id) AS df FROM pos GROUP BY gram)
+"""
+
+
+@register(
+    "duplicate_span_stats",
+    oracle=f"""
+    WITH {_POSGRAMS_CTE}
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(sum(CASE WHEN g.df >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+    FROM pos p JOIN gdf g USING (gram)
+    GROUP BY 1
+    """,
+    doc=(
+        "Substring-level dedup, screening stat (Lee et al. 2022, "
+        "'Deduplicating Training Data Makes Language Models Better'): "
+        "per document, the fraction of its positional 5-grams that "
+        "occur in at least one OTHER document — duplicated-span mass "
+        "is memorization fuel even when whole-document similarity "
+        "stays under every near-dup threshold. Positional (non-"
+        "distinct) grams, so repeated boilerplate inside a doc counts "
+        "once per occurrence; df >= 2 is cross-document by "
+        "construction. Plan: scan-stage gram explode, one gram "
+        "groupBy, one join-back, one doc groupBy — no pair space."
+    ),
+)
+def duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        duplicate_span_stats as _op,
+    )
+
+    return _op(table(spark, sf_dir, "documents"), n=5)
+
+
+@register(
+    "duplicate_span_pairs",
+    oracle=f"""
+    WITH {_POSGRAMS_CTE},
+    keep AS (SELECT gram FROM gdf WHERE df BETWEEN 2 AND 8),
+    cand AS (
+      SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pa, b.pos AS pb
+      FROM pos a JOIN pos b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      JOIN keep k ON k.gram = a.gram
+    ),
+    isl AS (
+      SELECT i, j, pa - pb AS d, pa, pb,
+             pa - row_number() OVER (PARTITION BY i, j, pa - pb ORDER BY pa)
+               AS run
+      FROM cand
+    ),
+    spans AS (
+      SELECT i, j, CAST(min(pa) AS BIGINT) AS start_i,
+             CAST(min(pb) AS BIGINT) AS start_j,
+             CAST(count(*) + 4 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY i, j, d, run
+    )
+    SELECT i, j, start_i, start_j, span_tokens
+    FROM spans WHERE span_tokens >= 8
+    """,
+    doc=(
+        "Substring-level dedup, exact MAXIMAL shared spans: document "
+        "pairs sharing >= 8 consecutive identical tokens, with both "
+        "0-based start positions and the span length — the actionable "
+        "output of token-granular dedup (clip or drop the span, keep "
+        "the doc). Gaps-and-islands over the positional 5-gram "
+        "posting join: within (i, j, pa - pb), consecutive positions "
+        "share pa - row_number(), so ONE window + ONE groupBy turns k "
+        "matching grams into a span of k + 4 tokens — no iteration, "
+        "no suffix array, exact within the df-capped gram set (grams "
+        "with df > 8 are excluded from candidates — the same "
+        "boilerplate shuffle-bomb guard as jaccard_pairs, honestly "
+        "documented: a span ALL of whose grams are boilerplate is "
+        "split or dropped, the regime a dedicated boilerplate pass "
+        "owns at corpus scale)."
+    ),
+)
+def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        duplicate_span_pairs as _op,
+    )
+
+    return _op(table(spark, sf_dir, "documents"), n=5, min_tokens=8, max_gram_df=8)
