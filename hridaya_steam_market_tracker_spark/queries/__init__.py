@@ -73,6 +73,12 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "tfidf_cosine_pairs_tiled",
     "multimodal_avc1_sps_params_checked",
     "multimodal_hevc_sps_params_checked",
+    "multimodal_avcc_config_sps_checked",
+    "multimodal_hvcc_config_sps_checked",
+    "multimodal_image_dhash_checked",
+    "multimodal_dhash_near_pairs_checked",
+    "duplicate_span_stats",
+    "duplicate_span_pairs",
     # flagged by tools/sample_order.py: similarity.py's round-5 rewrite
     # touched its deps but its last driver row is r03 — the exact class
     # of miss the derived gate exists to catch
@@ -117,12 +123,12 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "approx_distinct_users_per_stream",
     "hll_sketch_rollup",
     "approx_percentiles_per_stream",
-    "session_window_native",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
+    # "session_window_native" deferred to r07 (head capped at 50)
+    # "tpch_q7_volume_shipping" deferred to r07 (head capped at 50)
+    # "tpch_q8_market_share" deferred to r07 (head capped at 50)
+    # "tpch_q14_promo_effect" deferred to r07 (head capped at 50)
+    # "tpch_q15_top_supplier" deferred to r07 (head capped at 50)
+    # "tpch_q17_small_quantity_revenue" deferred to r07 (head capped at 50)
     # "tpch_q19_discounted_revenue" deferred to r07 (head capped at 50)
     # "tpch_q22_dormant_customers" deferred to r07 (head capped at 50)
 )

@@ -112,6 +112,9 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "dedup_incremental_delta",
         "multimodal_avc1_nal_index_checked",
         "multimodal_hevc_nal_index_checked",
+        "duplicate_span_stats",
+        "duplicate_span_pairs",
+        "tfidf_cosine_pairs_posting",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
