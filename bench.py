@@ -78,6 +78,11 @@ HEADLINE = [
     # number would under-report it the same way bpe_train_merges would;
     # honest timings live in PLANS.md SCALE and tests.
     "dedup_incremental_delta",
+    # round-6: substring-level dedup — the positional-gram shuffle +
+    # gaps-and-islands pair path, tracked at sf so a regression in the
+    # posting join or the window shows up in the round record.
+    "duplicate_span_stats",
+    "duplicate_span_pairs",
     # NOT benched: bpe_train_merges — its per-round localCheckpoints run
     # eagerly at plan-build time, so the noop-save timer would record only
     # the final 8-row union read (~40 ms), not the training work. Honest
