@@ -696,3 +696,61 @@ def duplicate_span_pairs(
         .filter(F.col("span_tokens") >= min_tokens)
         .select("i", "j", "start_i", "start_j", "span_tokens")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 64,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: containment(i in j) =
+    |shingles(i) ∩ shingles(j)| / |shingles(i)| — the quote/subset
+    signal Jaccard structurally misses (a 50-token doc fully quoted
+    inside a 5,000-token doc has Jaccard ~0.01 but containment 1.0),
+    which is exactly the shape of excerpt duplication in a training
+    corpus. Output (i, j, containment) DIRECTED, i != j: i is the
+    (mostly-)contained document, j the container; mutually-near-dup
+    pairs appear in both orders.
+
+    Physical shape mirrors jaccard_pairs' guarded path: candidates
+    from the shingle inverted index restricted to shingles with
+    df <= ``max_shingle_df`` (bounding the posting self-join fan-out),
+    then exact verification against the FULL shingle sets — reported
+    containment values are exact; a qualifying pair is missed only if
+    ALL its shared shingles are boilerplate-hot, the same documented
+    regime as the other guards."""
+    sets = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+        .cache()
+    )
+    idx = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = idx.join(
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle"),
+        "shingle",
+    )
+    cands = (
+        rare.select(F.col("doc_id").alias("i"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("j"), "shingle"), "shingle")
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j")
+        .distinct()
+    )
+    paired = cands.join(
+        sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i")), "i"
+    ).join(sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")), "j")
+    cont = (
+        F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j"))).cast("double")
+        / F.size("sh_i")
+    )
+    return (
+        paired.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("i", "j", "containment")
+    )

@@ -1140,3 +1140,35 @@ def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _op(table(spark, sf_dir, "documents"), n=5, min_tokens=8, max_gram_df=8)
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d WHERE len(w) >= 3)
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+             AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+    """,
+    doc=(
+        "ASYMMETRIC containment near-dup pairs (threshold 0.8): "
+        "|shingles(i) ∩ shingles(j)| / |shingles(i)| — the quote/"
+        "excerpt-inclusion signal symmetric Jaccard structurally "
+        "misses (a short doc fully quoted inside a long one scores "
+        "Jaccard ~0 but containment 1.0), a first-class dedup "
+        "dimension for training corpora where excerpt duplication is "
+        "the common case. DIRECTED output, exact values; candidates "
+        "from the df-capped shingle inverted index, verified against "
+        "full shingle sets (jaccard_pairs' guarded physical shape — "
+        "operators/dedup.py:containment_pairs)."
+    ),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        containment_pairs as _op,
+    )
+
+    return _op(table(spark, sf_dir, "documents"), threshold=0.8, max_shingle_df=64)
