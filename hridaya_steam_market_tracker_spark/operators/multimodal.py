@@ -2983,3 +2983,76 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
     audio_only = media.filter(F.col("media_type") == "audio")
     return audio_only.mapInPandas(op, out_schema)
+
+
+AUDIO_ZCR_SCHEMA = (
+    "media_id long, n_samples int, zero_crossings int, zcr double, "
+    "mean_abs double, decode_ok boolean"
+)
+
+
+def extract_audio_zcr(media: DataFrame) -> DataFrame:
+    """Time-domain audio analysis beyond RMS/peak: zero-crossing count
+    and rate (the classic cheap voiced/unvoiced + noisiness signal —
+    speech curation gates threshold on ZCR long before anything
+    spectral) plus mean absolute amplitude, over REALLY-decoded 16-bit
+    PCM. All statistics are exact-integer until the final division:
+    a crossing is counted iff v(t-1) * v(t) < 0 (strict — a sample
+    sitting exactly on zero bridges, not crosses), so the DuckDB
+    oracle replicates the count from the sample formula with no IEEE
+    ambiguity. Same audio-only pushdown and honest-failure discipline
+    as extract_audio_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def decode(payload: bytes, fmt: str | None):
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                nf = wf.getnframes()
+                ch = wf.getnchannels()
+                raw = wf.readframes(nf)
+            samples = struct.unpack(f"<{nf * ch}h", raw)
+            if not samples:
+                raise ValueError("empty PCM stream")
+            crossings = sum(
+                1
+                for k in range(1, len(samples))
+                if samples[k - 1] * samples[k] < 0
+            )
+            mean_abs = sum(abs(s) for s in samples) / len(samples)
+            zcr = crossings / (len(samples) - 1) if len(samples) > 1 else 0.0
+            return len(samples), crossings, zcr, mean_abs
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    ns, cr, zcr, ma = decode(payload, fmt)
+                    recs.append((mid, ns, cr, round(zcr, 6), round(ma, 6), True))
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
+                    recs.append((mid, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "n_samples", "zero_crossings", "zcr",
+                    "mean_abs", "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        op, schema=AUDIO_ZCR_SCHEMA
+    )

@@ -964,3 +964,50 @@ def multimodal_dhash_near_pairs_checked(spark: SparkSession, sf_dir: str) -> Dat
     )
 
     return dhash_near_pairs(image_dhash(checked_dhash_df(spark, n=17)))
+
+
+@register(
+    "multimodal_audio_zcr_checked",
+    oracle="""
+    WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),
+    s AS (
+      SELECT o.i,
+             sum(CASE WHEN q.v * q.vp < 0 THEN 1 ELSE 0 END) AS crossings,
+             sum(abs(q.v)) AS sabs
+      FROM (SELECT i FROM m WHERE i % 4 <> 0) o,
+           LATERAL (
+             SELECT ((t.t * (2*o.i + 3)) % 4001) - 2000 AS v,
+                    CASE WHEN t.t = 0 THEN 0
+                         ELSE (((t.t - 1) * (2*o.i + 3)) % 4001) - 2000
+                    END AS vp
+             FROM generate_series(0, 399) t(t)
+           ) q
+      GROUP BY o.i
+    )
+    SELECT i AS media_id, CAST(400 AS INTEGER) AS n_samples,
+           CAST(crossings AS INTEGER) AS zero_crossings,
+           round(crossings / 399.0, 6) AS zcr,
+           round(sabs / 400.0, 6) AS mean_abs,
+           TRUE AS decode_ok
+    FROM s
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, FALSE FROM m WHERE i % 4 = 0
+    """,
+    doc=(
+        "VALUE-CHECKED zero-crossing analysis of really-decoded PCM: "
+        "the integer sawtooth WAVs round-trip the stdlib wave codec "
+        "and the strict sign-product crossing count — the cheap "
+        "voiced/unvoiced + noisiness gate speech curation thresholds "
+        "on — plus mean absolute amplitude, all recomputed by the "
+        "oracle from the sample formula (t=0 pairs with a synthetic "
+        "0 predecessor, so the count starts at the second sample on "
+        "both sides). mp3 rows value-check failure marking."
+    ),
+)
+def multimodal_audio_zcr_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_df,
+        extract_audio_zcr,
+    )
+
+    return extract_audio_zcr(checked_audio_df(spark, n=32))
