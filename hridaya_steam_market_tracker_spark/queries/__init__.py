@@ -79,6 +79,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_dhash_near_pairs_checked",
     "duplicate_span_stats",
     "duplicate_span_pairs",
+    "containment_pairs",
+    "multimodal_audio_zcr_checked",
     # flagged by tools/sample_order.py: similarity.py's round-5 rewrite
     # touched its deps but its last driver row is r03 — the exact class
     # of miss the derived gate exists to catch
@@ -121,8 +123,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "stratified_sample_events",
     "distinct_users_per_stream",
     "approx_distinct_users_per_stream",
-    "hll_sketch_rollup",
-    "approx_percentiles_per_stream",
+    # "hll_sketch_rollup" deferred to r07 (head capped at 50)
+    # "approx_percentiles_per_stream" deferred to r07 (head capped at 50)
     # "session_window_native" deferred to r07 (head capped at 50)
     # "tpch_q7_volume_shipping" deferred to r07 (head capped at 50)
     # "tpch_q8_market_share" deferred to r07 (head capped at 50)
