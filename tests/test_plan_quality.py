@@ -341,6 +341,13 @@ def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
         # exchange over the tiny eval side only, inside the broadcast
         # build); the corpus side itself never shuffles for membership
         ("decontaminate_train_test", 2),
+        # spread + gram-df groupBy + join-back/doc rollup
+        ("duplicate_span_stats", 3),
+        # + keep-join, pair join, (i,j,d) window, span groupBy
+        ("duplicate_span_pairs", 6),
+        # jaccard_pairs' guarded shape: df-capped candidates + two
+        # full-set join-backs for the exact verify
+        ("containment_pairs", 9),
     ],
 )
 def test_pipeline_ext_shuffle_budget(spark, registry, name, max_shuffles):
