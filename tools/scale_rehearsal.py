@@ -38,6 +38,10 @@ DEFAULT_QUERIES = [
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
     "dedup_incremental_delta",
+    # round-6 text heavies
+    "duplicate_span_stats",
+    "duplicate_span_pairs",
+    "containment_pairs",
 ]
 
 
