@@ -337,3 +337,104 @@ def luhn_valid(digits: Column) -> Column:
     )
     total = F.aggregate(per_digit, F.lit(0), lambda acc, d: acc + d)
     return total % 10 == 0
+
+
+def token_entropy_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram diversity: type-token ratio and Shannon
+    entropy of the token distribution — the standard cheap gibberish /
+    keyword-stuffing / template detectors (near-zero entropy = one
+    token repeated; entropy ~ log(n) with TTR ~ 1 = every token unique,
+    the signature of random-string spam).
+
+    Entropy via the integer-count identity H = ln(n) - sum(c*ln(c))/n
+    (c = per-token count, n = total tokens), so the only floats are the
+    final ln/divide on exact integers — rounded to 6dp on both engines,
+    like the other log-based oracles (ccnet, bigram LM). Docs with zero
+    tokens emit no row. Plan: explode + (doc, token) count + doc
+    rollup — two key-local shuffles, no pair space."""
+    toks = tokens(F.lower(F.col(text_col)))
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclogc"
+        ),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / n, 6).alias("ttr"),
+        F.round(F.log(n) - F.col("sclogc") / n, 6).alias("entropy"),
+    )
+
+
+def source_prefix_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_len: int = 8,
+    min_support: float = 0.2,
+) -> DataFrame:
+    """Boilerplate HEADER recovery per source: the longest token prefix
+    shared by at least ``min_support`` of a source's documents — the
+    detection half of the header/footer stripping stage every crawl
+    pipeline runs (C4/CCNet strip per-site banners before any quality
+    scoring, else the boilerplate dominates n-gram statistics).
+
+    One row per source that has a qualifying prefix: (source,
+    prefix_len, prefix, support); longest length wins, lexicographic
+    min prefix breaks ties deterministically. Plan: explode each doc's
+    1..max_len leading prefixes (scan-stage array algebra), count per
+    (source, len, prefix), join the tiny per-source doc totals, window
+    top-1 per source — shuffles keyed on source(+prefix), no pair
+    space, boilerplate-proof by construction (the hot prefix IS the
+    signal here, not a shuffle bomb: at most max_len rows per doc)."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.lower(F.col(text_col)))
+    entries = F.transform(
+        F.sequence(F.lit(1), F.least(F.lit(max_len), F.size(toks))),
+        lambda L: F.struct(
+            L.cast("int").alias("L"),
+            F.array_join(F.slice(toks, 1, L), " ").alias("prefix"),
+        ),
+    )
+    pre = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.when(F.size(toks) >= 1, entries).otherwise(
+                F.array().cast("array<struct<L:int,prefix:string>>")
+            )
+        ).alias("e"),
+    ).select("doc_id", "source", "e.L", "e.prefix")
+    counts = pre.groupBy("source", "L", "prefix").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+    sup = (
+        counts.join(F.broadcast(totals), "source")
+        .withColumn(
+            "support",
+            F.round(F.col("cnt").cast("double") / F.col("docs"), 6),
+        )
+        .filter(F.col("cnt").cast("double") / F.col("docs") >= min_support)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("L"), F.asc("prefix"))
+    return (
+        sup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("L").alias("prefix_len"), "prefix", "support")
+    )

@@ -1172,3 +1172,111 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return _op(table(spark, sf_dir, "documents"), threshold=0.8, max_shingle_df=64)
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    tok AS (SELECT doc_id, t FROM d, unnest(w) AS u(t)),
+    c AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+          FROM tok GROUP BY 1, 2),
+    per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   sum(c * ln(CAST(c AS DOUBLE))) AS sclogc
+            FROM c GROUP BY 1)
+    SELECT doc_id, n_tokens, n_types,
+           round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           round(ln(CAST(n_tokens AS DOUBLE)) - sclogc / n_tokens, 6)
+             AS entropy
+    FROM per
+    """,
+    doc=(
+        "Per-document unigram type-token ratio and Shannon entropy — "
+        "the standard cheap gibberish / keyword-stuffing / template "
+        "detectors: near-zero entropy means one token repeated, "
+        "entropy ~ ln(n) with TTR ~ 1 means every token unique "
+        "(random-string spam). Integer-count identity "
+        "H = ln(n) - sum(c*ln(c))/n keeps floats to the final "
+        "ln/divide, rounded 6dp on both engines (the ccnet/bigram-LM "
+        "log-oracle discipline). Two key-local shuffles, no pair "
+        "space (operators/text.py:token_entropy_stats)."
+    ),
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        token_entropy_stats,
+    )
+
+    return token_entropy_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_prefix_boilerplate",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'hdr ' || source || ' official notice ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    d AS (SELECT doc_id, source, {_TOKS_LOWER} AS w FROM corpus),
+    pre AS (
+      SELECT doc_id, source, CAST(L AS INTEGER) AS L,
+             array_to_string(w[1:L], ' ') AS prefix
+      FROM d, LATERAL (SELECT unnest(range(1, 1 + least(8, len(w)))) AS L) u(L)
+    ),
+    counts AS (SELECT source, L, prefix, count(*) AS cnt
+               FROM pre GROUP BY 1, 2, 3),
+    tot AS (SELECT source, count(*) AS docs FROM d GROUP BY 1),
+    sup AS (
+      SELECT c.source, c.L, c.prefix,
+             round(cnt / CAST(docs AS DOUBLE), 6) AS support
+      FROM counts c JOIN tot USING (source)
+      WHERE cnt / CAST(docs AS DOUBLE) >= 0.2
+    )
+    SELECT source, L AS prefix_len, prefix, support
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY L DESC, prefix ASC) AS rn
+          FROM sup)
+    WHERE rn = 1
+    """,
+    doc=(
+        "Boilerplate HEADER detection per source — the recovery half "
+        "of the header/footer stripping stage crawl pipelines (C4, "
+        "CCNet) run before quality scoring, else per-site banners "
+        "dominate every n-gram statistic: the longest token prefix "
+        "shared by >= 20% of a source's documents, ties broken "
+        "deterministically. The fixture has no natural banners, so the "
+        "query plants one on the doc_id % 4 = 0 quarter of each source "
+        "('hdr <source> official notice', constructed identically on "
+        "both engines) and the operator must recover exactly that "
+        "4-token prefix at support ~0.33 for all 20 sources (3 is coprime with the 20-way source assignment, so every source gets a bannered slice). At most "
+        "max_len prefix rows per doc — the hot prefix IS the signal, "
+        "not a shuffle bomb (operators/text.py:source_prefix_boilerplate)."
+    ),
+)
+def source_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        source_prefix_boilerplate as _op,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(
+                " ",
+                F.lit("hdr"),
+                F.col("source"),
+                F.lit("official notice"),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return _op(corpus, max_len=8, min_support=0.2)
