@@ -81,6 +81,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "duplicate_span_pairs",
     "containment_pairs",
     "multimodal_audio_zcr_checked",
+    "doc_token_entropy",
+    "source_prefix_boilerplate",
     # flagged by tools/sample_order.py: similarity.py's round-5 rewrite
     # touched its deps but its last driver row is r03 — the exact class
     # of miss the derived gate exists to catch
@@ -121,8 +123,8 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "heavy_hitter_users",
     "freq_items_users",
     "stratified_sample_events",
-    "distinct_users_per_stream",
-    "approx_distinct_users_per_stream",
+    # "distinct_users_per_stream" deferred to r07 (head capped at 50)
+    # "approx_distinct_users_per_stream" deferred to r07 (head capped at 50)
     # "hll_sketch_rollup" deferred to r07 (head capped at 50)
     # "approx_percentiles_per_stream" deferred to r07 (head capped at 50)
     # "session_window_native" deferred to r07 (head capped at 50)
