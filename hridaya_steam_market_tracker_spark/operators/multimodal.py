@@ -1283,7 +1283,16 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     hamming = bit_count(hi_a XOR hi_b) + bit_count(lo_a XOR lo_b).
     Output (i, j, hamming), i < j. At corpus scale the shuffle moves
     (id, band) pairs — 4 rows of two ints per image — never the
-    all-pairs square."""
+    all-pairs square.
+
+    The pigeonhole guarantee holds ONLY for max_hamming <= 3 (4 bands,
+    so 4+ differing bits can touch every band); larger radii would
+    silently drop qualifying pairs, so they are rejected."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 16-bit banding is lossless only "
+            "for max_hamming <= 3 (pigeonhole over 4 bands)"
+        )
     h = hashes.filter(F.col("decode_ok")).select(
         "media_id", "hash_hi", "hash_lo"
     )
@@ -2154,8 +2163,11 @@ def _sps_parser(codec: str):
         u(43)  # general_reserved_zero_43bits (+ constraint flags)
         u(1)  # general_inbld_flag / reserved
         level = u(8)  # general_level_idc
-        sub_profile = [u(1) for _ in range(max_sub)]
-        sub_level = [u(1) for _ in range(max_sub)]
+        # sub_layer_profile_present_flag[i] and sub_layer_level_present_flag[i]
+        # are INTERLEAVED per sub-layer (§7.3.3), not two separate blocks.
+        flags = [(u(1), u(1)) for _ in range(max_sub)]
+        sub_profile = [p for p, _ in flags]
+        sub_level = [l for _, l in flags]
         if max_sub > 0:
             for _ in range(8 - max_sub):
                 u(2)  # reserved_zero_2bits alignment
@@ -2545,12 +2557,19 @@ def synth_hevc_sps_rbsp(i: int) -> bytes:
     (Main/Main10), general_level_idc 30*(1 + i%4), luma size
     (64 + 16*(i%8)) x (64 + 16*(i%6)) with a conformance right-offset
     of i%2 chroma units -> display width = luma width - 2*(i%2);
-    bit_depth_luma_minus8 = i%2 (matching Main10 when set)."""
+    bit_depth_luma_minus8 = i%2 (matching Main10 when set).
+
+    sps_max_sub_layers_minus1 = i%3, with the per-sub-layer
+    profile/level present flags written INTERLEAVED (§7.3.3) and
+    present sub-layer PTL blocks zero-filled — exercising the
+    alignment path a two-block reader would misparse (none of it
+    changes the emitted parameters, so the closed-form oracle holds)."""
+    max_sub = i % 3
     w = _SpsBits()
     w.u(0, 4)  # sps_video_parameter_set_id
-    w.u(0, 3)  # sps_max_sub_layers_minus1
+    w.u(max_sub, 3)  # sps_max_sub_layers_minus1
     w.u(1, 1)  # sps_temporal_id_nesting_flag
-    # profile_tier_level(1, 0)
+    # profile_tier_level(1, max_sub)
     w.u(0, 2)
     w.u(0, 1)
     w.u(1 + i % 2, 5)  # general_profile_idc
@@ -2559,6 +2578,18 @@ def synth_hevc_sps_rbsp(i: int) -> bytes:
     w.u(0, 43)
     w.u(0, 1)
     w.u(30 * (1 + i % 4), 8)  # general_level_idc
+    sub_flags = [((i + j) % 2, j % 2) for j in range(max_sub)]
+    for pf, lf in sub_flags:  # interleaved present flags per §7.3.3
+        w.u(pf, 1)
+        w.u(lf, 1)
+    if max_sub > 0:
+        for _ in range(8 - max_sub):
+            w.u(0, 2)  # reserved_zero_2bits alignment
+    for pf, lf in sub_flags:
+        if pf:
+            w.u(0, 88)  # sub_layer profile block (zero-filled)
+        if lf:
+            w.u(60, 8)  # sub_layer_level_idc
     w.ue(0)  # sps_seq_parameter_set_id
     w.ue(1)  # chroma_format_idc (4:2:0)
     w.ue(64 + 16 * (i % 8))  # pic_width_in_luma_samples
@@ -3000,7 +3031,12 @@ def extract_audio_zcr(media: DataFrame) -> DataFrame:
     a crossing is counted iff v(t-1) * v(t) < 0 (strict — a sample
     sitting exactly on zero bridges, not crosses), so the DuckDB
     oracle replicates the count from the sample formula with no IEEE
-    ambiguity. Same audio-only pushdown and honest-failure discipline
+    ambiguity. Multi-channel WAVs are DEINTERLEAVED first: crossings
+    are counted within each channel then summed, and zcr divides by
+    the number of same-channel adjacent pairs ch*(nframes-1) — never
+    across the interleaved stream, where adjacent samples belong to
+    different channels. For mono this reduces exactly to the flat
+    formula. Same audio-only pushdown and honest-failure discipline
     as extract_audio_features."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3020,13 +3056,15 @@ def extract_audio_zcr(media: DataFrame) -> DataFrame:
             samples = struct.unpack(f"<{nf * ch}h", raw)
             if not samples:
                 raise ValueError("empty PCM stream")
-            crossings = sum(
-                1
-                for k in range(1, len(samples))
-                if samples[k - 1] * samples[k] < 0
-            )
+            crossings = 0
+            for c in range(ch):  # deinterleave: crossings are per-channel
+                chan = samples[c::ch]
+                crossings += sum(
+                    1 for k in range(1, len(chan)) if chan[k - 1] * chan[k] < 0
+                )
             mean_abs = sum(abs(s) for s in samples) / len(samples)
-            zcr = crossings / (len(samples) - 1) if len(samples) > 1 else 0.0
+            pairs = ch * (nf - 1)
+            zcr = crossings / pairs if pairs > 0 else 0.0
             return len(samples), crossings, zcr, mean_abs
 
         for pdf in batches:

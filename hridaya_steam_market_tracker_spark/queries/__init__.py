@@ -55,86 +55,70 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # The head is capped at 50 = the driver's sample size; listing more would
 # silently starve the tail (the round-5 list overflowed by two).
 #
-# Round-6 refresh — NO LONGER HAND-CURATED: tools/sample_order.py derives
-# the priority order from (a) queries whose implementing modules changed in
-# git since the round of their last driver-green CORRECTNESS row (or that
-# were never driver-sampled at all) and (b) staleness of the last green row;
-# tests/test_sample_order.py fails the suite if any flagged query is missing
-# from this head, so a rewrite can never ship un-resampled again.
-# Composition: (1) the round-6 APSS forced-strategy twins + the round-5
-# cost-adaptive rewrite of tfidf_cosine_pairs (its green row predates the
-# rewrite), (2) the round-6 SPS/PPS parameter queries, (3) the two r01
-# leftovers the r05 overflow deferred, (4) 43 of the 44 queries whose latest
-# green row is r02 (tpch_q22_dormant_customers deferred to r07).
+# NO LONGER HAND-CURATED: tools/sample_order.py derives the priority order
+# from (a) queries whose implementation fingerprint (round 7: the TRANSITIVE
+# in-package dependency closure at function granularity) changed in git since
+# the round of their last driver-green CORRECTNESS row, or that were never
+# driver-sampled at all, and (b) staleness of the last green row;
+# tests/test_sample_order.py asserts this head EQUALS the derived order, so
+# neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
+# `python tools/sample_order.py`.
+# Round-7 composition: the 12 r02-era rows deferred from r06 (approx-sketch
+# family, session_window_native, tpch_q7/q8/q14/q15/q17/q19/q22) lead,
+# followed by the oldest r03 cohort; the transitive fingerprint marks ~100
+# queries stale (shared tables.py helpers changed in r04), so the remainder
+# rotates into r08 in the same derived order.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    # round-6 additions / round-5 rewrite needing fresh driver rows
-    "tfidf_cosine_pairs",
-    "tfidf_cosine_pairs_posting",
-    "tfidf_cosine_pairs_tiled",
-    "multimodal_avc1_sps_params_checked",
-    "multimodal_hevc_sps_params_checked",
-    "multimodal_avcc_config_sps_checked",
-    "multimodal_hvcc_config_sps_checked",
-    "multimodal_image_dhash_checked",
-    "multimodal_dhash_near_pairs_checked",
-    "duplicate_span_stats",
-    "duplicate_span_pairs",
-    "containment_pairs",
-    "multimodal_audio_zcr_checked",
-    "doc_token_entropy",
-    "source_prefix_boilerplate",
-    # flagged by tools/sample_order.py: similarity.py's round-5 rewrite
-    # touched its deps but its last driver row is r03 — the exact class
-    # of miss the derived gate exists to catch
-    "ann_pq_sign_topk",
-    # last driver-sampled in round 1 (deferred from the r05 head)
-    "g10_sha256_fingerprint",
-    "h3_hour_label_histogram",
-    # last driver-sampled in round 2 (stalest remaining greens)
-    "brand_revenue_ranking",
-    "nation_customer_rollup",
-    "tpch_q4_order_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume_customers",
-    "tpch_q10_returned_items",
-    "e1_latest_per_key",
-    "e2_recent_n_per_key",
-    "e3_series_tail_k",
-    "b2_range_filter_month",
-    "e4_ordered_series_for_key",
-    "d1_hwm_per_key",
-    "d5_daily_rollup",
-    "d6_volatility_per_key",
-    "d8_latest_summary_per_key",
-    "h7_staleness_cutoff",
-    "w1_rolling_avg",
-    "w2_lag_delta",
-    "w3_rank_by_activity",
-    "w4_tumbling_window_1d",
-    "w5_sliding_window_6h_1h",
-    "w6_asof_join_purchase_click",
-    "emb_cosine_near_dup",
-    "h5_iso8601_serialization",
-    "w7_trailing_1h_range_avg",
-    "w8_rank_distributions",
-    "ann_cosine_topk",
-    "embedding_label_centroids",
-    "ann_pq_topk",
-    "heavy_hitter_users",
-    "freq_items_users",
-    "stratified_sample_events",
-    # "distinct_users_per_stream" deferred to r07 (head capped at 50)
-    # "approx_distinct_users_per_stream" deferred to r07 (head capped at 50)
-    # "hll_sketch_rollup" deferred to r07 (head capped at 50)
-    # "approx_percentiles_per_stream" deferred to r07 (head capped at 50)
-    # "session_window_native" deferred to r07 (head capped at 50)
-    # "tpch_q7_volume_shipping" deferred to r07 (head capped at 50)
-    # "tpch_q8_market_share" deferred to r07 (head capped at 50)
-    # "tpch_q14_promo_effect" deferred to r07 (head capped at 50)
-    # "tpch_q15_top_supplier" deferred to r07 (head capped at 50)
-    # "tpch_q17_small_quantity_revenue" deferred to r07 (head capped at 50)
-    # "tpch_q19_discounted_revenue" deferred to r07 (head capped at 50)
-    # "tpch_q22_dormant_customers" deferred to r07 (head capped at 50)
+    'approx_distinct_users_per_stream',
+    'approx_percentiles_per_stream',
+    'distinct_users_per_stream',
+    'hll_sketch_rollup',
+    'session_window_native',
+    'tpch_q14_promo_effect',
+    'tpch_q15_top_supplier',
+    'tpch_q17_small_quantity_revenue',
+    'tpch_q19_discounted_revenue',
+    'tpch_q22_dormant_customers',
+    'tpch_q7_volume_shipping',
+    'tpch_q8_market_share',
+    'ann_ivf_sign_topk',
+    'bm25_search_scores',
+    'bollinger_bands_20',
+    'clean_text_stats',
+    'decontaminate_train_test',
+    'dedup_clusters_star',
+    'dedup_ngram_jaccard',
+    'doc_repetition_stats',
+    'emb_near_dup_clusters',
+    'ewma_price_per_key',
+    'funnel_view_click_purchase',
+    'gapfill_hourly_locf',
+    'hash_split_assignment',
+    'hist_quantiles_per_stream',
+    'hll_deterministic_distinct',
+    'hll_deterministic_merge_rollup',
+    'j1_rate_limit_admission',
+    'j4_backoff_transition_table',
+    'mad_outliers_per_stream',
+    'max_drawdown_per_key',
+    'ngram_novelty_scores',
+    'pii_redaction_stats',
+    'reservoir_sample_per_stream',
+    'rsi_14',
+    'stratified_sample_hash',
+    'stream_corr_matrix',
+    'tfidf_top_terms',
+    'tpch_q11_important_stock',
+    'tpch_q12_priority_by_linestatus',
+    'tpch_q16_supplier_relationship',
+    'tpch_q1_pricing_summary',
+    'tpch_q20_dominant_supplier',
+    'tpch_q21_suppliers_who_kept_waiting',
+    'tpch_q2_min_cost_supplier',
+    'tpch_q3_shipping_priority',
+    'tpch_q5_local_supplier_volume',
+    'tpch_q6_forecast_revenue',
+    'tpch_q9_product_type_profit',
 )
 
 

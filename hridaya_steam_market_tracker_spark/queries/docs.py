@@ -1249,7 +1249,7 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dominate every n-gram statistic: the longest token prefix "
         "shared by >= 20% of a source's documents, ties broken "
         "deterministically. The fixture has no natural banners, so the "
-        "query plants one on the doc_id % 4 = 0 quarter of each source "
+        "query plants one on the doc_id % 3 = 0 third of each source "
         "('hdr <source> official notice', constructed identically on "
         "both engines) and the operator must recover exactly that "
         "4-token prefix at support ~0.33 for all 20 sources (3 is coprime with the 20-way source assignment, so every source gets a bannered slice). At most "

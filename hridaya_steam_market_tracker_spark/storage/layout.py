@@ -98,7 +98,11 @@ def compact_partition(
 ) -> int:
     """Rewrite one date partition into `target_files` key-sorted files
     (compress-after-age analog). Returns rows rewritten. Only the one
-    partition directory is read and atomically replaced."""
+    partition directory is read and replaced via rename-aside (live →
+    ``.compact.old``, tmp → live, drop old), so the partition is absent
+    only between two atomic renames — a crash mid-swap leaves the fully
+    written ``.compact.tmp`` for a one-rename recovery, never a
+    partially deleted live dir."""
     part_dir = os.path.join(path, f"{PARTITION_COL}={part.isoformat()}")
     df = spark.read.parquet(part_dir)
     n = df.count()
@@ -109,8 +113,12 @@ def compact_partition(
         .write.mode("overwrite")
         .parquet(tmp_dir)
     )
-    shutil.rmtree(part_dir)
+    old_dir = part_dir + ".compact.old"
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(part_dir, old_dir)
     os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
     return n
 
 

@@ -62,6 +62,38 @@ from hridaya_steam_market_tracker_spark.operators.dedup import (
 _BAND_COLS = ("doc_id", "band", "bucket")
 
 
+def _swap_dir(tmp: str, live: str) -> None:
+    """Replace ``live`` with ``tmp`` via rename-aside: the live directory
+    is absent only between two atomic renames, not for the duration of an
+    ``rmtree`` over the whole store. A crash in that narrow window leaves
+    ``<live>.compact.tmp`` on disk without ``live`` — a state
+    ``ingest_batch`` refuses loudly (see ``_check_store_integrity``)
+    instead of silently treating the store as empty and re-admitting
+    duplicates."""
+    old = live + ".compact.old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
+def _check_store_integrity(store_path: str) -> None:
+    """Fail loudly on the one half-compacted state rename-aside can
+    leave: a ``.compact.tmp`` (the fully-written compacted store) present
+    without its live counterpart. Recovery is a single rename, which must
+    be a deliberate operator action — never an implicit 'store is empty'."""
+    for sub in ("docs", "bands"):
+        live = os.path.join(store_path, sub)
+        tmp = live + ".compact.tmp"
+        if os.path.isdir(tmp) and not os.path.isdir(live):
+            raise RuntimeError(
+                f"half-compacted store: {tmp!r} exists without {live!r}; "
+                f"a compaction crashed mid-swap. Recover with "
+                f"os.rename({tmp!r}, {live!r}) before ingesting."
+            )
+
+
 def ingest_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -80,6 +112,7 @@ def ingest_batch(
     bands_path = os.path.join(store_path, "bands")
 
     batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+    _check_store_integrity(store_path)
     # isdir, not try/except around the read: a real read failure on an
     # existing store must fail the batch, never alias to "empty store".
     stored_docs = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
@@ -191,11 +224,15 @@ def compact_store(
       band's rows land in at most ``target_files`` tasks and the
       partitionBy writer emits at most that many files per band dir.
 
-    Same tmp-dir-swap pattern as storage/layout.py compact_partition:
-    the rewrite goes to ``<store>.compact.tmp`` first and replaces the
-    live directory with a rename, so a crash mid-compaction leaves the
-    original store intact. Single-writer discipline applies: do not run
-    concurrently with an active ingest query.
+    The rewrite goes to ``<store>.compact.tmp`` first and swaps in via
+    rename-aside (``_swap_dir``): live → ``.compact.old``, tmp → live,
+    then remove old — so the live directory is missing only between two
+    atomic renames, never for the duration of an ``rmtree``. A crash
+    before the swap leaves the original store intact; a crash mid-swap
+    leaves the tmp dir without a live one, which ``ingest_batch``
+    refuses loudly rather than re-admitting duplicates. Single-writer
+    discipline applies: do not run concurrently with an active ingest
+    query.
 
     Returns rows rewritten per store.
     """
@@ -207,8 +244,7 @@ def compact_store(
         n = docs.count()
         tmp = docs_path + ".compact.tmp"
         docs.repartition(target_files).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(docs_path)
-        os.rename(tmp, docs_path)
+        _swap_dir(tmp, docs_path)
         spark.catalog.refreshByPath(docs_path)
         rewritten["docs"] = n
 
@@ -225,8 +261,7 @@ def compact_store(
             .partitionBy("band")
             .parquet(tmp)
         )
-        shutil.rmtree(bands_path)
-        os.rename(tmp, bands_path)
+        _swap_dir(tmp, bands_path)
         spark.catalog.refreshByPath(bands_path)
         rewritten["bands"] = n
     return rewritten

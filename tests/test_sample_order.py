@@ -51,20 +51,35 @@ def test_sample_head_is_capped_and_registered():
     assert tuple(registry)[: len(_SAMPLE_FIRST)] == _SAMPLE_FIRST
 
 
-def test_every_stale_verified_query_is_fronted():
-    """Any query whose implementation changed since its last driver row
-    (or that never had one) must sit in the sample head — otherwise the
-    next CORRECTNESS_r*.json would re-certify code that no longer runs."""
+def test_sample_head_equals_derived_priority_order():
+    """The head must BE the derived priority order (never-sampled
+    first, then stalest green round) — since the round-7
+    transitive-closure fingerprint a deep shared-helper change can
+    legitimately flag more queries than 50 slots hold, so the gate is
+    no longer 'all flagged in head' but 'head = first 50 of the
+    derived rotation': hand-dropping a flagged query in favor of a
+    fresher one still fails the suite."""
     if not _git_available():
         pytest.skip("no git history available")
     from hridaya_steam_market_tracker_spark.queries import _SAMPLE_FIRST
 
-    from tools.sample_order import flagged_queries
+    from tools.sample_order import suggested_head
 
-    flagged = flagged_queries()
-    head = set(_SAMPLE_FIRST[:HEAD_CAP])
-    missing = {n: why for n, why in flagged.items() if n not in head}
-    assert not missing, (
-        "stale-verified queries not in the _SAMPLE_FIRST head "
-        f"(hridaya_steam_market_tracker_spark/queries/__init__.py): {missing}"
+    assert list(_SAMPLE_FIRST[:HEAD_CAP]) == suggested_head(HEAD_CAP), (
+        "_SAMPLE_FIRST head drifted from tools/sample_order.py's derived "
+        "order; regenerate with `python tools/sample_order.py`"
     )
+
+
+def test_fingerprint_walks_transitive_deps():
+    """Regression for the round-7 blind spot: the HEVC SPS query reaches
+    its synthetic fixture writer only via checked-table builder ->
+    fixture builder -> RBSP writer (2+ package-internal hops); the
+    fingerprint must include the writer so a change to it re-fronts the
+    query."""
+    from tools.sample_order import query_fingerprint_parts
+
+    parts = query_fingerprint_parts("multimodal_hevc_sps_params_checked")
+    mm = "hridaya_steam_market_tracker_spark/operators/multimodal.py"
+    assert (mm, "synth_hevc_sps_rbsp") in parts
+    assert (mm, "_SpsBits") in parts  # three hops deep

@@ -1712,3 +1712,48 @@ def test_dhash_banding_is_lossless_vs_bruteforce(spark):
             if ham <= 3:
                 want.add((ids[a], ids[b], ham))
     assert got == want and len(want) >= 12
+
+
+def test_audio_zcr_stereo_deinterleaves_and_radius_guard(spark):
+    """(a) Stereo ZCR must deinterleave: channel 0 alternates +/-100
+    every frame (nf-1 crossings), channel 1 is constant +50 (0
+    crossings) — a flat interleaved count would see ~2 crossings per
+    frame; the correct per-channel count is exactly nf-1 and
+    zcr = (nf-1) / (2*(nf-1)) = 0.5. (b) dhash_near_pairs rejects
+    max_hamming > 3, where 16-bit banding stops being lossless."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        dhash_near_pairs,
+        extract_audio_zcr,
+    )
+
+    nf = 200
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        frames = b"".join(
+            struct.pack("<hh", 100 if k % 2 == 0 else -100, 50)
+            for k in range(nf)
+        )
+        wf.writeframes(frames)
+    media = spark.createDataFrame(
+        [(0, "audio", "wav", bytearray(buf.getvalue()), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_audio_zcr(media).collect()[0]
+    assert row["decode_ok"]
+    assert row["n_samples"] == 2 * nf
+    assert row["zero_crossings"] == nf - 1
+    assert row["zcr"] == 0.5
+    assert row["mean_abs"] == 75.0
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        dhash_near_pairs(media.limit(0), max_hamming=4)

@@ -597,6 +597,35 @@ def test_corpus_store_compaction_preserves_admissions(spark, tmp_path):
     } == expected | {901}
 
 
+def test_half_compacted_store_fails_loudly(spark, tmp_path):
+    """A compaction crash between the two swap renames leaves
+    ``docs.compact.tmp`` without ``docs`` — ingest_batch must refuse
+    with a recovery hint, never treat the store as empty and re-admit
+    duplicates; the prescribed one-rename recovery then restores the
+    store with every admission intact."""
+    import pytest
+
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [(k, " ".join(f"hx{k}w{j}" for j in range(12))) for k in range(4)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    ingest_batch(batch, store)
+    docs = os.path.join(store, "docs")
+
+    # simulate the mid-swap crash: live renamed aside, tmp never swapped in
+    os.rename(docs, docs + ".compact.tmp")
+    with pytest.raises(RuntimeError, match="half-compacted"):
+        ingest_batch(batch, store)
+    # the prescribed recovery, then ingest works and replay is a no-op
+    os.rename(docs + ".compact.tmp", docs)
+    ingest_batch(batch, store)
+    stored = {r["doc_id"] for r in spark.read.parquet(docs).collect()}
+    assert stored == {0, 1, 2, 3}
+
+
 def test_dedup_ingest_inline_compaction_cadence(spark, tmp_path):
     """start_dedup_ingest(compact_every=1) runs store maintenance from
     inside the serial foreachBatch loop: after the stream drains, the

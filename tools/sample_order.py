@@ -13,18 +13,18 @@ query module can change without flagging every query it hosts:
 * the query fn's own decorated source (``@register(...)`` block included,
   so oracle/doc edits inline in the decorator count),
 * the source of every function/constant the fn's source references that
-  is importable one level away inside the package (the repo convention:
+  is importable inside the package (the repo convention:
   ``from hridaya_steam_market_tracker_spark.operators.X import name``
-  at module top or inside the fn body), and
-* simple module-level assignments the fn source references (shared
-  oracle constants like ``_APSS_ORACLE`` / ``_TOKS_LOWER``).
+  at module top or inside the fn body), expanded TRANSITIVELY (round 7
+  — the one-level walk missed a fixture-writer change two hops below
+  the SPS queries), and
+* simple module-level assignments any closed-over symbol references
+  (shared oracle constants like ``_APSS_ORACLE`` / ``_TOKS_LOWER``).
 
 The old text comes from ``git show <boundary>:<path>`` where
 ``<boundary>`` is the PARENT of the driver's "round N: ..." commit —
 the exact tree the round-N correctness gate ran against. A name that
-cannot be found in the old tree counts as changed. One-level deps only:
-a change buried two imports deep is the (documented) blind spot; the
-sf0.001 oracle-parity suite still covers it every run.
+cannot be found in the old tree counts as changed.
 
 `tests/test_sample_order.py` fails the suite whenever a flagged query is
 missing from the `_SAMPLE_FIRST` head, so the list can drift from
@@ -162,29 +162,44 @@ def _mod_relpath(module: str) -> str:
 _WORD_RE = re.compile(r"\w+")
 
 
+def _expand_symbol(relpath: str, symbol: str, seen: set[tuple[str, str]]) -> None:
+    """DFS one symbol's dependency edges into `seen`: package imports in
+    its own source segment, module-top package imports it references,
+    and same-module defs/constants it references — each expanded
+    recursively, so a change buried N imports deep still lands in the
+    fingerprint (round 7: the one-level walk missed the round-7 HEVC
+    fixture-writer change two hops below the SPS queries)."""
+    if (relpath, symbol) in seen:
+        return
+    seen.add((relpath, symbol))
+    src = _current_file(relpath)
+    if src is None:
+        return
+    seg = _symbol_source(src, symbol) or ""
+    words = set(_WORD_RE.findall(seg))
+    # package imports local to this symbol's body
+    for dep_mod, dep_name in _package_imports(seg):
+        _expand_symbol(_mod_relpath(dep_mod), dep_name, seen)
+    # module-top package imports this symbol references
+    for dep_mod, dep_name in _package_imports(src):
+        if dep_name in words:
+            _expand_symbol(_mod_relpath(dep_mod), dep_name, seen)
+    # same-module defs/constants this symbol references
+    for sym in _defs(src):
+        if sym != symbol and sym in words:
+            _expand_symbol(relpath, sym, seen)
+
+
 def query_fingerprint_parts(name: str) -> list[tuple[str, str]]:
-    """[(relpath, symbol)] making up the query's one-level implementation."""
+    """[(relpath, symbol)] making up the query's implementation — the
+    TRANSITIVE closure of its in-package dependency graph (function
+    granularity, cycle-safe)."""
     from hridaya_steam_market_tracker_spark.queries import load_all
 
     q = load_all()[name]
-    mod = q.fn.__module__
-    relpath = _mod_relpath(mod)
-    src = _current_file(relpath) or ""
-    fn_src = _decorated_segment(src, q.fn.__name__) or ""
-    words = set(_WORD_RE.findall(fn_src))
-    parts = [(relpath, q.fn.__name__)]
-    # function-local package imports (convention for operator deps)
-    for dep_mod, dep_name in _package_imports(fn_src):
-        parts.append((_mod_relpath(dep_mod), dep_name))
-    # module-top package imports actually referenced by this fn
-    for dep_mod, dep_name in _package_imports(src):
-        if dep_name in words:
-            parts.append((_mod_relpath(dep_mod), dep_name))
-    # same-module constants/helpers the fn references
-    for sym in _defs(src):
-        if sym != q.fn.__name__ and sym in words:
-            parts.append((relpath, sym))
-    return sorted(set(parts))
+    seen: set[tuple[str, str]] = set()
+    _expand_symbol(_mod_relpath(q.fn.__module__), q.fn.__name__, seen)
+    return sorted(seen)
 
 
 def _symbol_source(file_text: str | None, symbol: str) -> str | None:
@@ -255,16 +270,23 @@ def flagged_queries() -> dict[str, str]:
 
 
 def suggested_head(cap: int = 50) -> list[str]:
-    """Flagged queries first, then stalest greens, truncated to cap."""
+    """Flagged queries first — never-driver-sampled ahead of stalest
+    green round — then unflagged stalest greens, truncated to cap.
+    Since the round-7 transitive-closure fingerprint, a change to a
+    deep shared helper legitimately flags more queries than one
+    50-slot sample holds; the priority sort makes the overflow a
+    defined rotation (oldest evidence first) instead of a silent
+    drop."""
     from hridaya_steam_market_tracker_spark.queries import load_all
 
     latest = latest_green_round()
     flagged = flagged_queries()
+    flagged_order = sorted(flagged, key=lambda n: (latest.get(n, -1), n))
     rest = sorted(
         (n for n in load_all() if n not in flagged),
         key=lambda n: (latest.get(n, 0), n),
     )
-    return (sorted(flagged) + rest)[:cap]
+    return (flagged_order + rest)[:cap]
 
 
 if __name__ == "__main__":
