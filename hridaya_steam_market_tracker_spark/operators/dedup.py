@@ -754,3 +754,69 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("i", "j", "containment")
     )
+
+
+def clip_duplicate_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The APPLY half of substring-level dedup: take
+    `duplicate_span_pairs` output and remove each reported span from
+    the HIGHER-id document (j) — keep-lowest-id, the same survivor
+    rule as the whole-document dedup family. Overlapping spans on one
+    doc are merged (interval union via gaps-and-islands: a new island
+    starts where start > running max end) before clipping, so clipped
+    regions never double-count.
+
+    Output: (doc_id, n_tokens_before, n_tokens_after, clipped_tokens,
+    text_clean) for EVERY document (unclipped docs pass through with
+    clipped_tokens = 0).
+
+    Plan: merge intervals with one window + one groupBy keyed on the
+    clipped doc, collect each doc's merged intervals into one small
+    array row, join back to the scan on doc_id, then the clip is
+    scan-stage array algebra (F.filter with the positional lambda +
+    F.exists over the interval array) — no token explode, no pair
+    space."""
+    from pyspark.sql import Window
+
+    iv = spans.select(
+        F.col("j").alias("doc_id"),
+        F.col("start_j").alias("s"),
+        (F.col("start_j") + F.col("span_tokens")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        (F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-1))).cast("int"),
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("new_island").over(w2))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("ivs"))
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    joined = df.select(F.col(id_col).alias("doc_id"), toks.alias("w")).join(
+        merged, "doc_id", "left"
+    )
+    ivs = F.coalesce("ivs", F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    keep = F.filter(
+        "w",
+        lambda x, i: ~F.exists(ivs, lambda v: (i >= v["s"]) & (i < v["e"])),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens_before"),
+        F.size(keep).cast("long").alias("n_tokens_after"),
+        (F.size("w") - F.size(keep)).cast("long").alias("clipped_tokens"),
+        F.array_join(keep, " ").alias("text_clean"),
+    )

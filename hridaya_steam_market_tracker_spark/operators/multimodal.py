@@ -3094,3 +3094,242 @@ def extract_audio_zcr(media: DataFrame) -> DataFrame:
     return media.filter(F.col("media_type") == "audio").mapInPandas(
         op, schema=AUDIO_ZCR_SCHEMA
     )
+
+
+EXIF_SCHEMA = (
+    "media_id long, has_exif boolean, orientation int, exif_datetime string, "
+    "has_icc boolean, parse_ok boolean"
+)
+
+
+def extract_image_exif(media: DataFrame) -> DataFrame:
+    """EXIF orientation/timestamp + ICC-profile presence — the standard
+    image-metadata curation gate (rotate-before-hash, date filters,
+    color-managed-source detection) next to dHash. Container walks are
+    real: JPEG APP1 'Exif\\0\\0' + APP2 'ICC_PROFILE\\0' marker-segment
+    scan; PNG eXIf + iCCP chunk scan (CRC-checked); the embedded TIFF
+    IFD0 is parsed for Orientation (0x0112) and DateTime (0x0132) under
+    both byte orders. No pixel decode — metadata only.
+
+    Rows: has_exif=false with NULL fields for images without an EXIF
+    block (a valid, common state — distinct from failure); parse_ok =
+    false with all-NULL fields when the container or TIFF structure is
+    corrupt. Arrow-batched mapInPandas riding the image-only scan,
+    same posture as the other codec ops."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        def parse_tiff_exif(tiff: bytes):
+            """Minimal TIFF/IFD0 walk (EXIF 2.3 §4.5 / TIFF 6.0): byte
+            order II/MM, magic 42, IFD0 entry scan for tag 0x0112
+            Orientation (SHORT, inline) and 0x0132 DateTime (ASCII,
+            offset-addressed). Raises ValueError on any structural
+            violation."""
+            if len(tiff) < 8:
+                raise ValueError("truncated TIFF header")
+            if tiff[:2] == b"II":
+                bo = "<"
+            elif tiff[:2] == b"MM":
+                bo = ">"
+            else:
+                raise ValueError("bad TIFF byte order")
+            magic, ifd0 = struct.unpack_from(bo + "HI", tiff, 2)
+            if magic != 42:
+                raise ValueError("bad TIFF magic")
+            if ifd0 + 2 > len(tiff):
+                raise ValueError("IFD0 offset out of range")
+            (count,) = struct.unpack_from(bo + "H", tiff, ifd0)
+            if ifd0 + 2 + 12 * count > len(tiff):
+                raise ValueError("truncated IFD0")
+            orientation = None
+            dt = None
+            for k in range(count):
+                off = ifd0 + 2 + 12 * k
+                tag, typ, n = struct.unpack_from(bo + "HHI", tiff, off)
+                if tag == 0x0112 and typ == 3 and n == 1:  # Orientation, SHORT
+                    (orientation,) = struct.unpack_from(bo + "H", tiff, off + 8)
+                elif tag == 0x0132 and typ == 2:  # DateTime, ASCII
+                    (voff,) = struct.unpack_from(bo + "I", tiff, off + 8)
+                    if n > 4:
+                        if voff + n > len(tiff):
+                            raise ValueError("DateTime value out of range")
+                        raw = tiff[voff : voff + n]
+                    else:
+                        raw = tiff[off + 8 : off + 8 + n]
+                    dt = raw.rstrip(b"\x00").decode("ascii", "strict")
+            return orientation, dt
+
+        def walk_jpeg(data: bytes):
+            if data[:2] != b"\xff\xd8":
+                raise ValueError("not a JPEG")
+            pos, tiff, icc = 2, None, False
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    raise ValueError("bad marker stream")
+                marker = data[pos + 1]
+                pos += 2
+                if marker == 0xD9:
+                    break
+                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    continue
+                ln = struct.unpack_from(">H", data, pos)[0]
+                seg = data[pos + 2 : pos + ln]
+                if len(seg) != ln - 2:
+                    raise ValueError("truncated segment")
+                pos += ln
+                if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                    tiff = seg[6:]
+                elif marker == 0xE2 and seg[:12] == b"ICC_PROFILE\x00":
+                    icc = True
+                elif marker == 0xDA:
+                    break  # entropy data; metadata segments precede SOS
+            return tiff, icc
+
+        def walk_png(data: bytes):
+            if data[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG")
+            pos, tiff, icc = 8, None, False
+            while pos + 8 <= len(data):
+                ln, ctype = struct.unpack_from(">I4s", data, pos)
+                chunk = data[pos + 8 : pos + 8 + ln]
+                if len(chunk) != ln or pos + 12 + ln > len(data):
+                    raise ValueError("truncated PNG chunk")
+                (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+                if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
+                    raise ValueError("PNG chunk CRC mismatch")
+                if ctype == b"eXIf":
+                    tiff = chunk
+                elif ctype == b"iCCP":
+                    icc = True
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + ln
+            return tiff, icc
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload or b"")
+                try:
+                    if fmt == "jpeg":
+                        tiff, icc = walk_jpeg(data)
+                    elif fmt == "png":
+                        tiff, icc = walk_png(data)
+                    else:
+                        # formats with no EXIF container: valid, no block
+                        recs.append((mid, False, None, None, False, True))
+                        continue
+                    if tiff is None:
+                        recs.append((mid, False, None, None, icc, True))
+                    else:
+                        ori, dt = parse_tiff_exif(tiff)
+                        recs.append((mid, True, ori, dt, icc, True))
+                except (ValueError, struct.error, UnicodeDecodeError, IndexError):
+                    recs.append((mid, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "has_exif", "orientation", "exif_datetime",
+                    "has_icc", "parse_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=EXIF_SCHEMA)
+
+
+def _tiff_exif_bytes(orientation: int, dt: str, motorola: bool) -> bytes:
+    """Encode half of `extract_image_exif`'s TIFF walk, for the checked fixtures: a
+    2-entry IFD0 (Orientation SHORT inline, DateTime ASCII at offset)
+    under either byte order."""
+    import struct
+
+    bo = ">" if motorola else "<"
+    head = (b"MM" if motorola else b"II") + struct.pack(bo + "HI", 42, 8)
+    dt_raw = dt.encode("ascii") + b"\x00"
+    # IFD0 @8: count(2) + 2*12 + next(4) = 30 -> data @38
+    ent1 = struct.pack(bo + "HHIHH", 0x0112, 3, 1, orientation, 0)
+    ent2 = struct.pack(bo + "HHII", 0x0132, 2, len(dt_raw), 38)
+    return head + struct.pack(bo + "H", 2) + ent1 + ent2 + struct.pack(bo + "I", 0) + dt_raw
+
+
+def checked_exif_df(spark, n: int = 24) -> DataFrame:
+    """Oracle-checkable EXIF table: real JPEG/PNG/BMP images (the
+    package's own encoders) with closed-form metadata injected —
+    orientation 1 + i%8, DateTime '2024:01:DD HH:MM:SS' derived from i,
+    byte order alternating II/MM, ICC marker present on i%3==0
+    (coprime with the i%2 byte-order and i%4 shape cycles, so ICC
+    presence varies independently of both).
+    Shapes by i%4: 0 -> JPEG with EXIF(+ICC), 1 -> PNG with eXIf
+    (+iCCP), 2 -> BMP (no EXIF container: has_exif=false row),
+    3 -> JPEG without EXIF but with ICC on the same i%3 rule.
+    i%7==5 truncates the TIFF body (parse_ok=false); the last id is an
+    undecodable digest blob (container-level parse_ok=false)."""
+    import struct
+    import zlib
+
+    _, encode = _pixel_codec()
+
+    def pixels(i: int) -> tuple[int, int, bytes]:
+        w, h = 8, 6
+        rgb = bytes(
+            (x * 7 + y * 11 + i * 13 + c * 3) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        return w, h, rgb
+
+    rows = []
+    for i in range(n):
+        if i == n - 1:
+            rows.append(
+                (i, "image", "jpeg",
+                 bytearray(hashlib.md5(f"exif{i}".encode()).digest() * 4),
+                 None, None, None)
+            )
+            continue
+        w, h, rgb = pixels(i)
+        ori = 1 + i % 8
+        dt = f"2024:01:{2 + i % 27:02d} {i % 24:02d}:{(3 * i) % 60:02d}:00"
+        tiff = _tiff_exif_bytes(ori, dt, motorola=bool(i % 2))
+        if i % 7 == 5:
+            tiff = tiff[: len(tiff) // 2]  # structurally truncated
+        icc = i % 3 == 0
+        shape = i % 4
+        if shape in (0, 3):
+            payload = bytearray(encode(w, h, rgb, "jpeg"))
+            inject = b""
+            if shape == 0:
+                body = b"Exif\x00\x00" + tiff
+                inject += b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+            if icc:
+                body2 = b"ICC_PROFILE\x00\x01\x01" + b"\x00" * 16
+                inject += b"\xff\xe2" + struct.pack(">H", len(body2) + 2) + body2
+            payload = payload[:2] + inject + payload[2:]
+            fmt = "jpeg"
+        elif shape == 1:
+            payload = bytearray(encode(w, h, rgb, "png"))
+
+            def chunk(ctype: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+                )
+
+            inject = chunk(b"eXIf", tiff)
+            if icc:
+                inject += chunk(b"iCCP", b"p\x00" + zlib.compress(b"\x00" * 8))
+            # after the 25-byte IHDR chunk (8-byte signature + 25)
+            payload = payload[:33] + inject + payload[33:]
+            fmt = "png"
+        else:
+            payload = bytearray(encode(w, h, rgb, "bmp"))
+            fmt = "bmp"
+        rows.append((i, "image", fmt, bytearray(payload), None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -438,3 +438,59 @@ def source_prefix_boilerplate(
         .filter(F.col("rn") == 1)
         .select("source", F.col("L").alias("prefix_len"), "prefix", "support")
     )
+
+
+def strip_source_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_len: int = 8,
+    min_support: float = 0.2,
+) -> DataFrame:
+    """The APPLY half of per-source boilerplate removal (the strip stage
+    C4/CCNet run before quality scoring): detect each source's dominant
+    header with `source_prefix_boilerplate`, then remove that token
+    prefix from every document of the source whose leading tokens match
+    it exactly. Documents of sources with no qualifying prefix, and
+    documents that don't start with their source's prefix, pass through
+    unchanged.
+
+    Output: (doc_id, source, stripped, n_tokens_before, n_tokens_after,
+    text_clean) — text_clean is the space-rejoined lowercase token
+    stream (tokenization-normalized on BOTH engines, so the value is
+    oracle-checkable with md5).
+
+    Plan: the detected prefix table is one tiny row per source —
+    broadcast-joined back to the scan; the strip itself is scan-stage
+    array algebra (slice + array_join). No new shuffle beyond
+    detection's own."""
+    prefixes = source_prefix_boilerplate(
+        df, text_col, id_col, source_col, max_len, min_support
+    ).select("source", "prefix_len", "prefix")
+    toks = tokens(F.lower(F.col(text_col)))
+    joined = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        toks.alias("w"),
+    ).join(F.broadcast(prefixes), "source", "left")
+    matches = F.col("prefix").isNotNull() & (
+        F.array_join(F.slice("w", F.lit(1), F.coalesce("prefix_len", F.lit(0))), " ")
+        == F.col("prefix")
+    )
+    clean = F.when(
+        matches,
+        F.slice(
+            "w",
+            F.col("prefix_len") + 1,
+            F.greatest(F.size("w") - F.col("prefix_len"), F.lit(0)),
+        ),
+    ).otherwise(F.col("w"))
+    return joined.select(
+        "doc_id",
+        "source",
+        matches.alias("stripped"),
+        F.size("w").cast("long").alias("n_tokens_before"),
+        F.size(clean).cast("long").alias("n_tokens_after"),
+        F.array_join(clean, " ").alias("text_clean"),
+    )

@@ -63,12 +63,18 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-7 composition: the 12 r02-era rows deferred from r06 (approx-sketch
-# family, session_window_native, tpch_q7/q8/q14/q15/q17/q19/q22) lead,
-# followed by the oldest r03 cohort; the transitive fingerprint marks ~100
-# queries stale (shared tables.py helpers changed in r04), so the remainder
-# rotates into r08 in the same derived order.
+# Round-7 composition: the 4 never-sampled round-7 queries (boilerplate
+# strip/clip family + EXIF gate) lead, then the 12 r02-era rows deferred
+# from r06 (approx-sketch family, session_window_native,
+# tpch_q7/q8/q14/q15/q17/q19/q22), then the oldest r03 cohort; the
+# transitive fingerprint marks ~100 queries stale (shared tables.py
+# helpers changed in r04), so the remainder rotates into r08 in the same
+# derived order.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    'clip_duplicate_spans_stats',
+    'multimodal_image_exif_checked',
+    'strip_source_prefix_stats',
+    'strip_then_span_stats',
     'approx_distinct_users_per_stream',
     'approx_percentiles_per_stream',
     'distinct_users_per_stream',
@@ -115,10 +121,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'tpch_q20_dominant_supplier',
     'tpch_q21_suppliers_who_kept_waiting',
     'tpch_q2_min_cost_supplier',
-    'tpch_q3_shipping_priority',
-    'tpch_q5_local_supplier_volume',
-    'tpch_q6_forecast_revenue',
-    'tpch_q9_product_type_profit',
 )
 
 

@@ -1011,3 +1011,61 @@ def multimodal_audio_zcr_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return extract_audio_zcr(checked_audio_df(spark, n=32))
+
+
+@register(
+    "multimodal_image_exif_checked",
+    oracle="""
+    WITH ids AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS i),
+    shaped AS (
+      SELECT i,
+             i % 4 AS shape,
+             (i % 7 = 5 AND i % 4 IN (0, 1)) AS trunc,
+             i = 23 AS blob,
+             i % 3 = 0 AS icc
+      FROM ids
+    )
+    SELECT i AS media_id,
+           CASE WHEN blob OR trunc THEN NULL
+                WHEN shape IN (0, 1) THEN TRUE ELSE FALSE END AS has_exif,
+           CASE WHEN blob OR trunc OR shape NOT IN (0, 1) THEN NULL
+                ELSE CAST(1 + i % 8 AS INTEGER) END AS orientation,
+           CASE WHEN blob OR trunc OR shape NOT IN (0, 1) THEN NULL
+                ELSE '2024:01:' || lpad(CAST(2 + i % 27 AS VARCHAR), 2, '0')
+                     || ' ' || lpad(CAST(i % 24 AS VARCHAR), 2, '0')
+                     || ':' || lpad(CAST((3 * i) % 60 AS VARCHAR), 2, '0')
+                     || ':00' END AS exif_datetime,
+           CASE WHEN blob OR trunc THEN NULL
+                WHEN shape = 2 THEN FALSE ELSE icc END AS has_icc,
+           NOT (blob OR trunc) AS parse_ok
+    FROM shaped
+    """,
+    doc=(
+        "VALUE-CHECKED EXIF/ICC metadata gate — the standard image "
+        "curation filters (orientation for rotate-before-hash, capture "
+        "timestamp for date windows, ICC presence for color-managed "
+        "sources) extracted by REAL container walks: JPEG APP1 "
+        "'Exif\\0\\0' + APP2 'ICC_PROFILE\\0' marker-segment scan, PNG "
+        "eXIf/iCCP chunk scan (CRC-checked), then a real TIFF/IFD0 "
+        "parse (EXIF 2.3 / TIFF 6.0) under BOTH byte orders for "
+        "Orientation (0x0112) and DateTime (0x0132). The fixture "
+        "injects closed-form metadata into the package's own "
+        "JPEG/PNG/BMP encodings — shapes cycle i%4 over "
+        "JPEG-with-EXIF / PNG-eXIf / BMP-no-container / JPEG-no-EXIF, "
+        "byte order alternates II/MM on i%2, ICC on i%3, i%7==5 "
+        "truncates the TIFF body (parse_ok=false all-NULL, the honest-"
+        "failure contract), last id is an undecodable blob — so every "
+        "field is recomputable arithmetically by the oracle. "
+        "has_exif=false (a valid common state) stays distinct from "
+        "parse failure. Metadata-only: no pixel decode; Arrow-batched "
+        "mapInPandas on the image-only scan "
+        "(operators/multimodal.py:extract_image_exif)."
+    ),
+)
+def multimodal_image_exif_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_exif_df,
+        extract_image_exif,
+    )
+
+    return extract_image_exif(checked_exif_df(spark, n=24))

@@ -121,6 +121,8 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "duplicate_span_stats",
         "duplicate_span_pairs",
         "tfidf_cosine_pairs_posting",
+        "strip_source_prefix_stats",
+        "clip_duplicate_spans_stats",
     ],
 )
 def test_no_python_eval_in_data_path(spark, registry, name):
@@ -354,6 +356,13 @@ def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
         # jaccard_pairs' guarded shape: df-capped candidates + two
         # full-set join-backs for the exact verify
         ("containment_pairs", 9),
+        # detection's own shuffles (prefix counts + source totals +
+        # top-1 window); the strip itself is a broadcast join + scan
+        ("strip_source_prefix_stats", 4),
+        # detection + the span stat's gram-df/doc rollup shuffles
+        ("strip_then_span_stats", 7),
+        # span_pairs' 6 + interval merge window/groupBy + doc join-back
+        ("clip_duplicate_spans_stats", 9),
     ],
 )
 def test_pipeline_ext_shuffle_budget(spark, registry, name, max_shuffles):

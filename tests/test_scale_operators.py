@@ -1757,3 +1757,44 @@ def test_audio_zcr_stereo_deinterleaves_and_radius_guard(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         dhash_near_pairs(media.limit(0), max_hamming=4)
+
+
+def test_df_cap_encoded_in_oracle_all_hot_agreement(spark):
+    """Round-6 verdict ask #3: the containment/jaccard oracles must
+    encode the df cap so oracle and engine agree BY CONSTRUCTION, not
+    by fixture luck. Build the documented miss regime — a duplicate
+    cluster wider than the cap (70 identical docs, so every shared
+    shingle has df = 70 > 64) — and check (a) the guarded engine path
+    returns nothing, (b) the REGISTERED oracle SQL returns nothing on
+    the same table (both sides agree on the miss), (c) the unguarded
+    quadratic path sees the full 70*69/2 pair set (the miss is real,
+    not vacuous)."""
+    import duckdb
+    import pandas as pd
+
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+    from hridaya_steam_market_tracker_spark.queries import load_all
+
+    text = " ".join(f"hot{k}" for k in range(10))
+    pdf = pd.DataFrame(
+        {"doc_id": range(70), "text": [text] * 70,
+         "lang": ["en"] * 70, "source": ["s"] * 70, "n_chars": [len(text)] * 70}
+    )
+    docs = spark.createDataFrame(pdf)
+
+    assert containment_pairs(docs, threshold=0.8, max_shingle_df=64).count() == 0
+    assert jaccard_pairs(docs, threshold=0.5, max_shingle_df=64).count() == 0
+    # the unguarded path proves the miss regime is non-vacuous
+    assert jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).count() == (
+        70 * 69 // 2
+    )
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    registry = load_all()
+    for qname in ("containment_pairs", "dedup_ngram_jaccard"):
+        n = len(con.execute(registry[qname].oracle).df())
+        assert n == 0, f"{qname} oracle returned {n} rows on the all-hot fixture"
