@@ -88,6 +88,12 @@ HEADLINE = [
     # the final 8-row union read (~40 ms), not the training work. Honest
     # timings for it live in tests; including a misleading number here
     # would pollute the round-over-round record.
+    # round-8: boilerplate apply stages + the composed strip→span
+    # pipeline (its stage-boundary localCheckpoint is LAZY, so the strip
+    # work runs inside the timer — see queries/docs.py).
+    "strip_source_prefix_stats",
+    "clip_duplicate_spans_stats",
+    "strip_then_span_stats",
 ]
 
 
@@ -105,6 +111,17 @@ def main() -> None:
     for t in TABLE_NAMES:
         table(spark, sf_dir, t).limit(1).count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Round-8 (r7 verdict ask #4): ONE untimed warm execution of the
+    # first headline query. The fixture warm above touches footers, but
+    # position 1 still paid session-level JIT the converge rule can't
+    # amortize (r7: tpch_q1's pass curve was still descending at the
+    # 8-pass cap while its plan was gate-pinned unchanged), so its
+    # recorded floor mixed warm-up with plan cost. One throwaway pass
+    # makes floor-vs-floor comparable at every list position.
+    if names:
+        registry[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     # CONVERGE mode (round 6 — the round-5 verdict's ask #2): best-of-2
     # (+conditional 3rd) sampled the JIT warm-up curve, which cost two
@@ -121,7 +138,13 @@ def main() -> None:
     # bench_detail.json. Host steal spikes only ever slow a pass
     # down, so they can delay convergence but never contaminate the
     # floor itself.
-    MAX_PASSES, MIN_PASSES, IMPROVE = 8, 4, 0.95
+    # MIN_PASSES raised 4 -> 5 in round 8 (driver ADVICE): with a
+    # 4-pass minimum, a warm-up plateau on passes 3-4 within 5% of the
+    # pass-2 min could still stop mid-descent — one step later than the
+    # class the round-7 fix closed. A 5-pass minimum requires the flat
+    # streak to hold through pass 5, past where every recorded curve's
+    # warm-up plateau ends (bench_detail.json r6/r7).
+    MAX_PASSES, MIN_PASSES, IMPROVE = 8, 5, 0.95
     curves: dict[str, list[float]] = {}
     best: dict[str, float] = {}
     for name in names:

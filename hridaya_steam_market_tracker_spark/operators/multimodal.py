@@ -1196,6 +1196,85 @@ DHASH_SCHEMA = (
 )
 
 
+def _dhash_kernel(grid_w: int, grid_h: int):
+    """Self-contained dHash core shared by `image_dhash` and
+    `image_dhash_oriented` (captured by value like `_pixel_codec`'s
+    closures, so executors need no package import): exact integer
+    cell-sum comparisons over a decoded RGB raster, packed big-endian
+    into two non-negative 32-bit halves."""
+
+    def dhash_bits(w: int, h: int, rgb) -> tuple[int, int]:
+        cw, ch = w // grid_w, h // grid_h
+        if cw == 0 or ch == 0:
+            raise ValueError("image smaller than the dhash grid")
+        sums = [[0] * grid_w for _ in range(grid_h)]
+        for cy in range(grid_h):
+            for yy in range(cy * ch, (cy + 1) * ch):
+                base = yy * w * 3
+                for cx in range(grid_w):
+                    s = 0
+                    for xx in range(cx * cw, (cx + 1) * cw):
+                        p = base + xx * 3
+                        s += rgb[p] + rgb[p + 1] + rgb[p + 2]
+                    sums[cy][cx] += s
+        hi = lo = 0
+        k = 0
+        for cy in range(grid_h):
+            for cx in range(grid_w - 1):
+                bit = 1 if sums[cy][cx] > sums[cy][cx + 1] else 0
+                if k < 32:
+                    hi = (hi << 1) | bit
+                else:
+                    lo = (lo << 1) | bit
+                k += 1
+        # left-align the halves to fixed 32-bit widths
+        hi <<= max(0, 32 - min(k, 32))
+        lo <<= max(0, 32 - max(k - 32, 0))
+        return hi, lo
+
+    return dhash_bits
+
+
+def _orientation_transform():
+    """Upright mapping for EXIF Orientation values 1-8 (EXIF 2.3
+    §4.6.4, tag 0x0112): `upright(w, h, rgb, ori)` returns the raster
+    as it should be DISPLAYED. Exact per-pixel index permutation — no
+    resampling — so orientation-normalized hashes stay replicable
+    cross-engine. Self-contained closure (capture-by-value posture)."""
+
+    def upright(w: int, h: int, rgb, ori: int):
+        if ori == 1:
+            return w, h, rgb
+        if ori in (2, 3, 4):
+            w2, h2 = w, h
+        elif ori in (5, 6, 7, 8):
+            w2, h2 = h, w
+        else:
+            raise ValueError(f"EXIF orientation {ori} outside 1-8")
+        out = bytearray(3 * w2 * h2)
+        for y in range(h2):
+            for x in range(w2):
+                if ori == 2:  # mirror horizontal
+                    sx, sy = w - 1 - x, y
+                elif ori == 3:  # rotate 180
+                    sx, sy = w - 1 - x, h - 1 - y
+                elif ori == 4:  # mirror vertical
+                    sx, sy = x, h - 1 - y
+                elif ori == 5:  # transpose (main diagonal)
+                    sx, sy = y, x
+                elif ori == 6:  # stored needs 90 deg CW to display
+                    sx, sy = y, h - 1 - x
+                elif ori == 7:  # transverse (anti-diagonal)
+                    sx, sy = w - 1 - y, h - 1 - x
+                else:  # 8: stored needs 270 deg CW to display
+                    sx, sy = w - 1 - y, x
+                src, dst = 3 * (sy * w + sx), 3 * (y * w2 + x)
+                out[dst : dst + 3] = rgb[src : src + 3]
+        return w2, h2, bytes(out)
+
+    return upright
+
+
 def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame:
     """Perceptual difference hash (dHash) over REAL decoded pixels —
     the image-side analog of the text near-dup tier: two images whose

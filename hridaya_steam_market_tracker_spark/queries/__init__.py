@@ -63,64 +63,63 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-7 composition: the 4 never-sampled round-7 queries (boilerplate
-# strip/clip family + EXIF gate) lead, then the 12 r02-era rows deferred
-# from r06 (approx-sketch family, session_window_native,
-# tpch_q7/q8/q14/q15/q17/q19/q22), then the oldest r03 cohort; the
-# transitive fingerprint marks ~100 queries stale (shared tables.py
-# helpers changed in r04), so the remainder rotates into r08 in the same
-# derived order.
+# Round-8 composition: the 8 queries whose latest driver row is r03
+# (tpch_q3/q5/q6/q9, url_domain_stats, winnow_*, zorder_code_assignment)
+# lead — after this sample no query's row is older than r04 — then the
+# r04 cohort in derived order; the transitive fingerprint's overflow
+# (shared-helper stale set larger than the 50-slot head) keeps rotating
+# in subsequent rounds.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    'clip_duplicate_spans_stats',
-    'multimodal_image_exif_checked',
-    'strip_source_prefix_stats',
-    'strip_then_span_stats',
-    'approx_distinct_users_per_stream',
-    'approx_percentiles_per_stream',
-    'distinct_users_per_stream',
-    'hll_sketch_rollup',
-    'session_window_native',
-    'tpch_q14_promo_effect',
-    'tpch_q15_top_supplier',
-    'tpch_q17_small_quantity_revenue',
-    'tpch_q19_discounted_revenue',
-    'tpch_q22_dormant_customers',
-    'tpch_q7_volume_shipping',
-    'tpch_q8_market_share',
-    'ann_ivf_sign_topk',
-    'bm25_search_scores',
-    'bollinger_bands_20',
-    'clean_text_stats',
-    'decontaminate_train_test',
-    'dedup_clusters_star',
-    'dedup_ngram_jaccard',
-    'doc_repetition_stats',
-    'emb_near_dup_clusters',
-    'ewma_price_per_key',
-    'funnel_view_click_purchase',
-    'gapfill_hourly_locf',
-    'hash_split_assignment',
-    'hist_quantiles_per_stream',
-    'hll_deterministic_distinct',
-    'hll_deterministic_merge_rollup',
-    'j1_rate_limit_admission',
-    'j4_backoff_transition_table',
-    'mad_outliers_per_stream',
-    'max_drawdown_per_key',
-    'ngram_novelty_scores',
-    'pii_redaction_stats',
-    'reservoir_sample_per_stream',
-    'rsi_14',
-    'stratified_sample_hash',
-    'stream_corr_matrix',
-    'tfidf_top_terms',
-    'tpch_q11_important_stock',
-    'tpch_q12_priority_by_linestatus',
-    'tpch_q16_supplier_relationship',
-    'tpch_q1_pricing_summary',
-    'tpch_q20_dominant_supplier',
-    'tpch_q21_suppliers_who_kept_waiting',
-    'tpch_q2_min_cost_supplier',
+    'tpch_q3_shipping_priority',
+    'tpch_q5_local_supplier_volume',
+    'tpch_q6_forecast_revenue',
+    'tpch_q9_product_type_profit',
+    'url_domain_stats',
+    'winnow_fingerprints',
+    'winnow_near_pairs',
+    'zorder_code_assignment',
+    'ann_ivf_recall_vs_brute',
+    'ann_ivf_topk',
+    'ann_pq_recall_vs_brute',
+    'bigram_lm_doc_scores',
+    'bloom_filter_probe',
+    'bpe_doc_token_stats',
+    'bpe_train_merges',
+    'cc_luhn_detection_stats',
+    'ccnet_perplexity_buckets',
+    'chunk_dedup_reassemble',
+    'cluster_weighted_sample',
+    'cms_heavy_hitter_freq',
+    'dedup_keep_best_quality',
+    'dedup_recall_audit',
+    'doc_embeddings_hashed',
+    'domain_mix_weights',
+    'dsir_importance_weights',
+    'hard_negative_mining',
+    'html_text_extract_checked',
+    'incremental_daily_rollup',
+    'j7_debounce_coalesce',
+    'knn_label_accuracy',
+    'minhash_estimate_error',
+    'mmr_diverse_topk',
+    'multimodal_mjpeg_decode_checked',
+    'multimodal_mp4_frame_index_checked',
+    'multimodal_mp4_frame_sample_checked',
+    'perceptron_per_source_models',
+    'perceptron_quality_scores',
+    'pretrain_pipeline_e2e',
+    'semantic_dedup_keep_list',
+    'semantic_dedup_text_e2e',
+    'sequence_pack_assignment',
+    'source_kl_divergence',
+    'source_overlap_matrix',
+    'stupid_backoff_eval_scores',
+    'textrank_keywords',
+    'url_blocklist_filter',
+    'vocab_growth_curve',
+    'winsorize_stream_values',
+    'dedup_minhash_lsh',
+    'multimodal_avc1_nal_index_checked',
 )
 
 

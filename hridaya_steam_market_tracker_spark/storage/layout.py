@@ -49,7 +49,31 @@ def write_partitioned(
     )
 
 
+def _check_partition_integrity(path: str) -> None:
+    """Fail loudly on the one half-compacted state `compact_partition`'s
+    rename-aside can leave: a fully-written ``<part>.compact.tmp``
+    present without its live partition directory. Without this guard a
+    table-level reader silently loses that partition's rows; recovery
+    must be a deliberate single ``os.rename``, never an implicit
+    'partition is gone'. Mirrors corpus_ingest._check_store_integrity."""
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        if not entry.endswith(".compact.tmp"):
+            continue
+        live = os.path.join(path, entry[: -len(".compact.tmp")])
+        tmp = os.path.join(path, entry)
+        if not os.path.isdir(live):
+            raise RuntimeError(
+                f"half-compacted partition: {tmp!r} exists without "
+                f"{live!r}; a compaction crashed mid-swap. Recover with "
+                f"os.rename({tmp!r}, {live!r}) before reading or "
+                f"compacting this table."
+            )
+
+
 def list_partitions(path: str) -> list[date]:
+    _check_partition_integrity(path)
     out = []
     if not os.path.isdir(path):
         return out
@@ -102,7 +126,10 @@ def compact_partition(
     ``.compact.old``, tmp → live, drop old), so the partition is absent
     only between two atomic renames — a crash mid-swap leaves the fully
     written ``.compact.tmp`` for a one-rename recovery, never a
-    partially deleted live dir."""
+    partially deleted live dir. Refuses loudly (rather than clobbering
+    the only surviving copy) if the table already holds a
+    half-compacted partition from a previous crash."""
+    _check_partition_integrity(path)
     part_dir = os.path.join(path, f"{PARTITION_COL}={part.isoformat()}")
     df = spark.read.parquet(part_dir)
     n = df.count()

@@ -236,6 +236,12 @@ def compact_store(
 
     Returns rows rewritten per store.
     """
+    # Same loud refusal as ingest_batch: compacting a half-compacted
+    # store would silently skip the missing live dir via the isdir()
+    # guards below and could clobber the only surviving copy in
+    # ``.compact.tmp`` on the next write. Recovery must stay a
+    # deliberate single rename.
+    _check_store_integrity(store_path)
     rewritten: dict[str, int] = {}
 
     docs_path = os.path.join(store_path, "docs")

@@ -626,6 +626,34 @@ def test_half_compacted_store_fails_loudly(spark, tmp_path):
     assert stored == {0, 1, 2, 3}
 
 
+def test_half_compacted_store_refuses_compaction_too(spark, tmp_path):
+    """compact_store must enforce the same loud-refusal invariant as
+    ingest_batch: on a half-compacted store (bands.compact.tmp present,
+    bands absent) its isdir() guards would otherwise silently skip the
+    missing live dir and the next compaction's overwrite could clobber
+    the only surviving copy in the tmp dir."""
+    import pytest
+
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [(k, " ".join(f"hc{k}w{j}" for j in range(12))) for k in range(4)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    ingest_batch(batch, store)
+    bands = os.path.join(store, "bands")
+
+    os.rename(bands, bands + ".compact.tmp")
+    with pytest.raises(RuntimeError, match="half-compacted"):
+        compact_store(spark, store)
+    # prescribed recovery, then compaction proceeds losslessly
+    os.rename(bands + ".compact.tmp", bands)
+    rewritten = compact_store(spark, store)
+    assert rewritten["docs"] == 4 and rewritten["bands"] > 0
+
+
 def test_dedup_ingest_inline_compaction_cadence(spark, tmp_path):
     """start_dedup_ingest(compact_every=1) runs store maintenance from
     inside the serial foreachBatch loop: after the stream drains, the

@@ -183,6 +183,37 @@ def test_layout_retention_and_compaction(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 10  # lossless rewrite
 
 
+def test_half_compacted_partition_fails_loudly(spark, tmp_path):
+    """A compact_partition crash between the two swap renames leaves
+    ``date=X.compact.tmp`` without its live partition dir. Table-level
+    readers (list_partitions) and further compactions must refuse with
+    a recovery hint — never silently lose the partition's rows — and
+    the prescribed one-rename recovery restores the table intact."""
+    import os
+
+    import pytest
+
+    sink = str(tmp_path / "overview")
+    rows = [
+        Row(time=datetime.datetime(2024, 1, d, 12, 0), market_hash_name=f"item{i}", value=float(i))
+        for d in (1, 2)
+        for i in range(5)
+    ]
+    write_partitioned(spark.createDataFrame(rows), sink)
+
+    # simulate the mid-swap crash on the 2024-01-02 partition
+    live = os.path.join(sink, "date=2024-01-02")
+    os.rename(live, live + ".compact.tmp")
+    with pytest.raises(RuntimeError, match="half-compacted"):
+        list_partitions(sink)
+    with pytest.raises(RuntimeError, match="half-compacted"):
+        compact_partition(spark, sink, datetime.date(2024, 1, 1), key_col="market_hash_name", time_col="time")
+    # prescribed recovery, then the table reads whole again
+    os.rename(live + ".compact.tmp", live)
+    assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
+    assert spark.read.parquet(sink).count() == 10
+
+
 def test_table_meta(spark):
     raw = spark.createDataFrame(
         [Row(success=True, lowest_price="$5.00", median_price="$5.50", volume="10", **IDENT)]

@@ -26,10 +26,14 @@ The old text comes from ``git show <boundary>:<path>`` where
 the exact tree the round-N correctness gate ran against. A name that
 cannot be found in the old tree counts as changed.
 
-`tests/test_sample_order.py` fails the suite whenever a flagged query is
-missing from the `_SAMPLE_FIRST` head, so the list can drift from
-reality at most one commit before CI goes red. Run this file directly to
-print the flagged set and a suggested head ordering:
+`tests/test_sample_order.py` enforces head equality: the committed
+`_SAMPLE_FIRST[:50]` must EQUAL ``suggested_head(50)`` exactly. The
+transitive fingerprint legitimately flags more than 50 queries (a
+shared-helper edit touches whole families), so flagged queries beyond
+the 50-slot head are not an error — they rotate into later rounds in
+the same derived order (never-sampled first, then oldest green row,
+ties by registry order) as earlier cohorts get fresh driver rows. Run
+this file directly to print the flagged set and the suggested head:
 
     python tools/sample_order.py
 """

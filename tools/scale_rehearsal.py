@@ -200,6 +200,126 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
                       "unit": "sec"}))
 
 
+def boilerplate_rehearsal(
+    spark, out_dir: str, rep: int, passes: int, banner_pct: int = 80
+) -> None:
+    """Measure the df cap + strip stage under the regime they exist for:
+    a boilerplate-HEAVY crawl. Injects a shared per-source 8-token
+    banner into ``banner_pct``% of the rep-times-scaled corpus, then
+    times the span/containment heavies on that corpus twice — WITHOUT
+    any strip pass (the df∈[2,8] cap is the only guard against the
+    banner grams' quadratic pair space) and WITH `strip_source_prefix`
+    in front (the C4/CCNet sanitize-before-screen discipline; reference
+    analog: the sanitize-before-store path of
+    /root/reference/src/SQLinserts.py:386-402). Records best wall time
+    AND output rows per corpus, plus the strip stage's own cost, so
+    PLANS.md can state measured numbers for both the guard and the
+    cleanup payoff."""
+    import shutil
+
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        strip_source_prefix,
+    )
+
+    registry = load_all()
+    base = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+
+    # Per-source banner: 8 tokens that exist nowhere in the organic
+    # vocabulary, identical across every hit doc OF THE SAME SOURCE —
+    # the worst case for positional n-grams (every hit shares the same
+    # grams at the same positions) and exactly what prefix detection
+    # is specified to recover (>= 20% support; we inject into 80%).
+    banner = F.concat_ws(
+        " ", *[F.concat(F.lit(f"bnr{k}q"), F.col("source")) for k in range(8)]
+    )
+    hit = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100)) < banner_pct
+    dirty_text = F.when(
+        hit, F.concat(banner, F.lit(" "), F.col("text"))
+    ).otherwise(F.col("text"))
+
+    corpora = {}
+    for tag in ("banner", "stripped"):
+        d = f"{out_dir}_{tag}"
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        os.makedirs(d)
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events"):
+            os.symlink(os.path.join(out_dir, f"{t}.parquet"),
+                       os.path.join(d, f"{t}.parquet"))
+        os.symlink(os.path.join(out_dir, "embeddings.parquet"),
+                   os.path.join(d, "embeddings.parquet"))
+        corpora[tag] = d
+
+    dirty = base.select(
+        "doc_id",
+        dirty_text.alias("text"),
+        "lang",
+        "source",
+        F.length(dirty_text).cast("long").alias("n_chars"),
+    )
+    dirty.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(corpora["banner"], "documents.parquet")
+    )
+
+    # The strip stage itself, timed end-to-end (detect + apply + write):
+    # this is the number the WITH-strip pipeline pays up front.
+    dirty_on_disk = spark.read.parquet(
+        os.path.join(corpora["banner"], "documents.parquet")
+    )
+    t0 = time.perf_counter()
+    cleaned = strip_source_prefix(
+        dirty_on_disk, max_len=8, min_support=0.2
+    ).join(dirty_on_disk.select("doc_id", "lang"), "doc_id")
+    (
+        cleaned.select(
+            "doc_id",
+            F.col("text_clean").alias("text"),
+            "lang",
+            "source",
+            F.length("text_clean").cast("long").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(corpora["stripped"], "documents.parquet"))
+    )
+    strip_sec = round(time.perf_counter() - t0, 2)
+    stripped_n = spark.read.parquet(
+        os.path.join(corpora["stripped"], "documents.parquet")
+    ).filter(F.col("text").startswith("bnr0q")).count()
+    print(json.dumps({
+        "tier": "boilerplate", "stage": "strip", "rep": rep,
+        "banner_pct": banner_pct, "strip_write_sec": strip_sec,
+        "residual_banner_docs": stripped_n,
+    }))
+
+    queries = ["duplicate_span_stats", "duplicate_span_pairs",
+               "containment_pairs"]
+    summary = {}
+    for tag, d in corpora.items():
+        for name in queries:
+            best = None
+            rows = 0
+            for _ in range(passes):
+                spark.catalog.clearCache()
+                df = registry[name].fn(spark, d)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 2)
+                best = dt if best is None else min(best, dt)
+            rows = registry[name].fn(spark, d).count()
+            summary[f"{tag}.{name}"] = {"best_sec": best, "out_rows": rows}
+            print(json.dumps({
+                "tier": "boilerplate", "corpus": tag, "query": name,
+                "rep": rep, "best_sec": best, "out_rows": rows,
+            }))
+    print(json.dumps({
+        "metric": "boilerplate_rehearsal", "rep": rep,
+        "banner_pct": banner_pct, "strip_write_sec": strip_sec,
+        "queries": summary,
+    }))
+
+
 def streaming_rehearsal(spark, out_dir: str, n_batches: int = 20) -> None:
     """Scale the streaming corpus-ingest path: feed the scaled document
     corpus through `ingest_batch` in n_batches hash-sliced micro-batches
@@ -264,10 +384,13 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
-        "--tier", default="text", choices=["text", "media", "streaming"],
+        "--tier", default="text",
+        choices=["text", "media", "streaming", "boilerplate"],
         help="text = scaled-fixture catalog queries (the original sf1 "
         "rehearsal); media = codec-tier mapInPandas ops with worker RSS "
-        "sampling; streaming = corpus_ingest micro-batch cost curve",
+        "sampling; streaming = corpus_ingest micro-batch cost curve; "
+        "boilerplate = banner-injected corpus, span/containment heavies "
+        "WITH vs WITHOUT strip_source_prefix in front",
     )
     args = ap.parse_args()
 
@@ -278,6 +401,9 @@ def main() -> None:
     generate(spark, args.sf_dir, args.out, args.rep)
     if args.tier == "streaming":
         streaming_rehearsal(spark, args.out)
+        return
+    if args.tier == "boilerplate":
+        boilerplate_rehearsal(spark, args.out, args.rep, args.passes)
         return
     registry = load_all()
     results = {}
