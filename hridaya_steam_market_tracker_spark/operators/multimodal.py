@@ -1297,36 +1297,12 @@ def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame
     near-dup joins bucket on 16-bit hash bands (pigeonhole: <= 3
     flipped bits cannot touch all 4 bands), never all-pairs."""
     pixel_decode, _ = _pixel_codec()
+    dhash_bits = _dhash_kernel(grid_w, grid_h)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def dhash(payload: bytes, fmt: str | None):
             w, h, rgb = pixel_decode(payload, fmt)
-            cw, ch = w // grid_w, h // grid_h
-            if cw == 0 or ch == 0:
-                raise ValueError("image smaller than the dhash grid")
-            sums = [[0] * grid_w for _ in range(grid_h)]
-            for cy in range(grid_h):
-                for yy in range(cy * ch, (cy + 1) * ch):
-                    base = yy * w * 3
-                    for cx in range(grid_w):
-                        s = 0
-                        for xx in range(cx * cw, (cx + 1) * cw):
-                            p = base + xx * 3
-                            s += rgb[p] + rgb[p + 1] + rgb[p + 2]
-                        sums[cy][cx] += s
-            hi = lo = 0
-            k = 0
-            for cy in range(grid_h):
-                for cx in range(grid_w - 1):
-                    bit = 1 if sums[cy][cx] > sums[cy][cx + 1] else 0
-                    if k < 32:
-                        hi = (hi << 1) | bit
-                    else:
-                        lo = (lo << 1) | bit
-                    k += 1
-            # left-align the halves to fixed 32-bit widths
-            hi <<= max(0, 32 - min(k, 32))
-            lo <<= max(0, 32 - max(k - 32, 0))
+            hi, lo = dhash_bits(w, h, rgb)
             return w, h, hi, lo
 
         for pdf in batches:
@@ -1442,6 +1418,173 @@ def checked_dhash_df(spark, n: int = 17) -> DataFrame:
              w, h, None)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DHASH_ORIENTED_SCHEMA = (
+    "media_id long, orientation int, width int, height int, "
+    "hash_hi long, hash_lo long, decode_ok boolean"
+)
+
+
+def image_dhash_oriented(
+    media: DataFrame, grid_w: int = 9, grid_h: int = 8
+) -> DataFrame:
+    """Orientation-normalized dHash — the standard rotate-before-hash
+    rule: rotate/flip the decoded raster upright per its EXIF
+    Orientation (tag 0x0112) BEFORE hashing, so a camera-rotated copy
+    of an image lands on the SAME 64-bit signature (plain `image_dhash`
+    puts a 90-degree-rotated duplicate ~32 Hamming bits away — outside
+    any usable near-dup radius).
+
+    Composition of the two metadata/pixel tiers in ONE pass: the EXIF
+    container walk (shared with `extract_image_exif` via `_exif_walks`)
+    and the pixel decode + hash (shared kernel with `image_dhash`) ride
+    a single Arrow-batched scan. Joining `extract_image_exif` back to
+    the payload column would instead shuffle every image byte through
+    an exchange — at corpus scale the metadata walk is microseconds on
+    bytes already in worker memory, so single-pass is the 100 TB plan.
+
+    Orientation semantics: a missing EXIF block, a non-EXIF container
+    (bmp/ppm/gif) or a CORRUPT metadata walk all fall back to
+    orientation 1 — hash the stored raster as-is; metadata damage must
+    never drop an image from dedup — and the APPLIED orientation is
+    recorded. width/height are the upright (displayed) dimensions.
+    Undecodable pixels keep the NULL-hash failure row."""
+    pixel_decode, _ = _pixel_codec()
+    dhash_bits = _dhash_kernel(grid_w, grid_h)
+    parse_tiff_exif, walk_jpeg, walk_png = _exif_walks()
+    upright = _orientation_transform()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def orientation_of(data: bytes, fmt: str | None) -> int:
+            try:
+                if fmt == "jpeg":
+                    tiff, _ = walk_jpeg(data)
+                elif fmt == "png":
+                    tiff, _ = walk_png(data)
+                else:
+                    return 1
+                if tiff is None:
+                    return 1
+                ori, _ = parse_tiff_exif(tiff)
+                return ori if ori is not None and 1 <= ori <= 8 else 1
+            except (ValueError, struct.error, UnicodeDecodeError, IndexError):
+                return 1
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload or b"")
+                try:
+                    ori = orientation_of(data, fmt)
+                    w, h, rgb = pixel_decode(data, fmt)
+                    w2, h2, rgb2 = upright(w, h, rgb, ori)
+                    hi, lo = dhash_bits(w2, h2, rgb2)
+                    recs.append((mid, ori, w2, h2, hi, lo, True))
+                except (NotImplementedError, ValueError, IndexError):
+                    recs.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "orientation", "width", "height",
+                    "hash_hi", "hash_lo", "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=DHASH_ORIENTED_SCHEMA)
+
+
+def checked_oriented_dhash_df(spark, n: int = 34) -> DataFrame:
+    """Fixture for the rotate-before-hash rule: 36x32 upright gray
+    rasters with closed-form values g(b, x, y) = (x*(2 + b%5) +
+    y*(3 + b%7) + 11*b) % 200, b = (i//8) % 4, STORED as a camera
+    with EXIF Orientation o = 1 + i%8 would store them. The forward
+    camera transforms here are implemented INDEPENDENTLY of the
+    operator's inverse per-pixel mapping (explicit zip/reverse raster
+    algebra below vs index arithmetic in `_orientation_transform`), so
+    a swapped orientation case on either side breaks the value check
+    instead of cancelling out. Container is PNG + eXIf — both real
+    (package PNG encoder, CRC'd chunk, `_tiff_exif_bytes` TIFF body,
+    byte order alternating II/MM) and lossless, so decoded pixels are
+    exact. All 8 orientations of one base MUST produce the identical
+    (hash_hi, hash_lo) — that identity IS the oracle. i=32: truncated
+    eXIf TIFF over an upright base-0 raster (orientation falls back to
+    1, hash still value-checked); i=33: undecodable digest blob."""
+    import struct
+    import zlib
+
+    _, encode = _pixel_codec()
+    w, h = 36, 32
+
+    def base_rows(b: int) -> list[list[int]]:
+        return [
+            [(x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200
+             for x in range(w)]
+            for y in range(h)
+        ]
+
+    def stored_rows(rows: list[list[int]], o: int) -> list[list[int]]:
+        # Forward camera transforms, EXIF 2.3 §4.6.4: what the sensor
+        # wrote when the display transform is the one `upright` applies.
+        if o == 1:
+            return rows
+        if o == 2:  # displayed = mirror_h(stored) -> stored = mirror_h
+            return [r[::-1] for r in rows]
+        if o == 3:  # rotate 180 (involution)
+            return [r[::-1] for r in rows][::-1]
+        if o == 4:  # mirror vertical (involution)
+            return rows[::-1]
+        if o == 5:  # transpose (involution)
+            return [list(r) for r in zip(*rows)]
+        if o == 6:  # display needs rot90cw -> stored = rot90ccw(upright)
+            return [list(r) for r in zip(*rows)][::-1]
+        if o == 7:  # transverse (involution)
+            return [list(r)[::-1] for r in zip(*rows)][::-1]
+        # o == 8: display needs rot90ccw -> stored = rot90cw(upright)
+        return [list(r)[::-1] for r in zip(*rows)]
+
+    def png_with_exif(rows: list[list[int]], tiff: bytes) -> bytearray:
+        sh, sw = len(rows), len(rows[0])
+        rgb = bytes(v for r in rows for v in r for _ in range(3))
+        payload = bytearray(encode(sw, sh, rgb, "png"))
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        # after the 25-byte IHDR chunk (8-byte signature + 25)
+        return payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
+
+    rows_out = []
+    for i in range(n):
+        if i == 33:
+            rows_out.append(
+                (i, "image", "png",
+                 bytearray(hashlib.md5(f"odh{i}".encode()).digest() * 4),
+                 None, None, None)
+            )
+            continue
+        if i == 32:
+            tiff = _tiff_exif_bytes(6, "2024:02:01 00:00:00", motorola=False)
+            payload = png_with_exif(base_rows(0), tiff[: len(tiff) // 2])
+            rows_out.append((i, "image", "png", payload, w, h, None))
+            continue
+        o, b = 1 + i % 8, (i // 8) % 4
+        tiff = _tiff_exif_bytes(
+            o, f"2024:02:{1 + i % 27:02d} {i % 24:02d}:00:00",
+            motorola=bool(i % 2),
+        )
+        payload = png_with_exif(stored_rows(base_rows(b), o), tiff)
+        rows_out.append((i, "image", "png", payload, None, None, None))
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -3181,6 +3324,103 @@ EXIF_SCHEMA = (
 )
 
 
+def _exif_walks():
+    """Self-contained EXIF container walks shared by `extract_image_exif`
+    and `image_dhash_oriented` (capture-by-value posture, like
+    `_pixel_codec`): returns (parse_tiff_exif, walk_jpeg, walk_png)."""
+    import struct
+    import zlib
+
+    def parse_tiff_exif(tiff: bytes):
+        """Minimal TIFF/IFD0 walk (EXIF 2.3 §4.5 / TIFF 6.0): byte
+        order II/MM, magic 42, IFD0 entry scan for tag 0x0112
+        Orientation (SHORT, inline) and 0x0132 DateTime (ASCII,
+        offset-addressed). Raises ValueError on any structural
+        violation."""
+        if len(tiff) < 8:
+            raise ValueError("truncated TIFF header")
+        if tiff[:2] == b"II":
+            bo = "<"
+        elif tiff[:2] == b"MM":
+            bo = ">"
+        else:
+            raise ValueError("bad TIFF byte order")
+        magic, ifd0 = struct.unpack_from(bo + "HI", tiff, 2)
+        if magic != 42:
+            raise ValueError("bad TIFF magic")
+        if ifd0 + 2 > len(tiff):
+            raise ValueError("IFD0 offset out of range")
+        (count,) = struct.unpack_from(bo + "H", tiff, ifd0)
+        if ifd0 + 2 + 12 * count > len(tiff):
+            raise ValueError("truncated IFD0")
+        orientation = None
+        dt = None
+        for k in range(count):
+            off = ifd0 + 2 + 12 * k
+            tag, typ, n = struct.unpack_from(bo + "HHI", tiff, off)
+            if tag == 0x0112 and typ == 3 and n == 1:  # Orientation, SHORT
+                (orientation,) = struct.unpack_from(bo + "H", tiff, off + 8)
+            elif tag == 0x0132 and typ == 2:  # DateTime, ASCII
+                (voff,) = struct.unpack_from(bo + "I", tiff, off + 8)
+                if n > 4:
+                    if voff + n > len(tiff):
+                        raise ValueError("DateTime value out of range")
+                    raw = tiff[voff : voff + n]
+                else:
+                    raw = tiff[off + 8 : off + 8 + n]
+                dt = raw.rstrip(b"\x00").decode("ascii", "strict")
+        return orientation, dt
+
+    def walk_jpeg(data: bytes):
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG")
+        pos, tiff, icc = 2, None, False
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("bad marker stream")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0xD9:
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            ln = struct.unpack_from(">H", data, pos)[0]
+            seg = data[pos + 2 : pos + ln]
+            if len(seg) != ln - 2:
+                raise ValueError("truncated segment")
+            pos += ln
+            if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+                tiff = seg[6:]
+            elif marker == 0xE2 and seg[:12] == b"ICC_PROFILE\x00":
+                icc = True
+            elif marker == 0xDA:
+                break  # entropy data; metadata segments precede SOS
+        return tiff, icc
+
+    def walk_png(data: bytes):
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG")
+        pos, tiff, icc = 8, None, False
+        while pos + 8 <= len(data):
+            ln, ctype = struct.unpack_from(">I4s", data, pos)
+            chunk = data[pos + 8 : pos + 8 + ln]
+            if len(chunk) != ln or pos + 12 + ln > len(data):
+                raise ValueError("truncated PNG chunk")
+            (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+            if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
+                raise ValueError("PNG chunk CRC mismatch")
+            if ctype == b"eXIf":
+                tiff = chunk
+            elif ctype == b"iCCP":
+                icc = True
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln
+        return tiff, icc
+
+    return parse_tiff_exif, walk_jpeg, walk_png
+
+
 def extract_image_exif(media: DataFrame) -> DataFrame:
     """EXIF orientation/timestamp + ICC-profile presence — the standard
     image-metadata curation gate (rotate-before-hash, date filters,
@@ -3195,97 +3435,10 @@ def extract_image_exif(media: DataFrame) -> DataFrame:
     false with all-NULL fields when the container or TIFF structure is
     corrupt. Arrow-batched mapInPandas riding the image-only scan,
     same posture as the other codec ops."""
+    parse_tiff_exif, walk_jpeg, walk_png = _exif_walks()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
-        import zlib
-
-        def parse_tiff_exif(tiff: bytes):
-            """Minimal TIFF/IFD0 walk (EXIF 2.3 §4.5 / TIFF 6.0): byte
-            order II/MM, magic 42, IFD0 entry scan for tag 0x0112
-            Orientation (SHORT, inline) and 0x0132 DateTime (ASCII,
-            offset-addressed). Raises ValueError on any structural
-            violation."""
-            if len(tiff) < 8:
-                raise ValueError("truncated TIFF header")
-            if tiff[:2] == b"II":
-                bo = "<"
-            elif tiff[:2] == b"MM":
-                bo = ">"
-            else:
-                raise ValueError("bad TIFF byte order")
-            magic, ifd0 = struct.unpack_from(bo + "HI", tiff, 2)
-            if magic != 42:
-                raise ValueError("bad TIFF magic")
-            if ifd0 + 2 > len(tiff):
-                raise ValueError("IFD0 offset out of range")
-            (count,) = struct.unpack_from(bo + "H", tiff, ifd0)
-            if ifd0 + 2 + 12 * count > len(tiff):
-                raise ValueError("truncated IFD0")
-            orientation = None
-            dt = None
-            for k in range(count):
-                off = ifd0 + 2 + 12 * k
-                tag, typ, n = struct.unpack_from(bo + "HHI", tiff, off)
-                if tag == 0x0112 and typ == 3 and n == 1:  # Orientation, SHORT
-                    (orientation,) = struct.unpack_from(bo + "H", tiff, off + 8)
-                elif tag == 0x0132 and typ == 2:  # DateTime, ASCII
-                    (voff,) = struct.unpack_from(bo + "I", tiff, off + 8)
-                    if n > 4:
-                        if voff + n > len(tiff):
-                            raise ValueError("DateTime value out of range")
-                        raw = tiff[voff : voff + n]
-                    else:
-                        raw = tiff[off + 8 : off + 8 + n]
-                    dt = raw.rstrip(b"\x00").decode("ascii", "strict")
-            return orientation, dt
-
-        def walk_jpeg(data: bytes):
-            if data[:2] != b"\xff\xd8":
-                raise ValueError("not a JPEG")
-            pos, tiff, icc = 2, None, False
-            while pos + 4 <= len(data):
-                if data[pos] != 0xFF:
-                    raise ValueError("bad marker stream")
-                marker = data[pos + 1]
-                pos += 2
-                if marker == 0xD9:
-                    break
-                if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-                    continue
-                ln = struct.unpack_from(">H", data, pos)[0]
-                seg = data[pos + 2 : pos + ln]
-                if len(seg) != ln - 2:
-                    raise ValueError("truncated segment")
-                pos += ln
-                if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
-                    tiff = seg[6:]
-                elif marker == 0xE2 and seg[:12] == b"ICC_PROFILE\x00":
-                    icc = True
-                elif marker == 0xDA:
-                    break  # entropy data; metadata segments precede SOS
-            return tiff, icc
-
-        def walk_png(data: bytes):
-            if data[:8] != b"\x89PNG\r\n\x1a\n":
-                raise ValueError("not a PNG")
-            pos, tiff, icc = 8, None, False
-            while pos + 8 <= len(data):
-                ln, ctype = struct.unpack_from(">I4s", data, pos)
-                chunk = data[pos + 8 : pos + 8 + ln]
-                if len(chunk) != ln or pos + 12 + ln > len(data):
-                    raise ValueError("truncated PNG chunk")
-                (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
-                if zlib.crc32(ctype + chunk) & 0xFFFFFFFF != crc:
-                    raise ValueError("PNG chunk CRC mismatch")
-                if ctype == b"eXIf":
-                    tiff = chunk
-                elif ctype == b"iCCP":
-                    icc = True
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + ln
-            return tiff, icc
 
         for pdf in batches:
             recs = []

@@ -967,6 +967,71 @@ def multimodal_dhash_near_pairs_checked(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "multimodal_dhash_oriented_checked",
+    oracle="""
+    WITH px AS (
+      SELECT b, x, y,
+             3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
+      FROM generate_series(0, 3) g(b),
+           generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
+    ),
+    cells AS (
+      SELECT b, x // 4 AS cx, y // 4 AS cy, CAST(sum(v) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.b, CASE WHEN a.s > c.s THEN 1 ELSE 0 END AS bit,
+             a.cy * 8 + a.cx AS k
+      FROM cells a
+      JOIN cells c ON a.b = c.b AND a.cy = c.cy AND c.cx = a.cx + 1
+    ),
+    hashes AS (
+      SELECT b,
+             CAST(sum(CASE WHEN k < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY b
+    ),
+    ids AS (SELECT CAST(unnest(range(0, 33)) AS BIGINT) AS i)
+    SELECT i AS media_id,
+           CAST(CASE WHEN i = 32 THEN 1 ELSE 1 + i % 8 END AS INTEGER)
+             AS orientation,
+           CAST(36 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+           h.hash_hi, h.hash_lo, TRUE AS decode_ok
+    FROM ids
+    JOIN hashes h ON h.b = CASE WHEN i = 32 THEN 0 ELSE (i // 8) % 4 END
+    UNION ALL
+    SELECT CAST(33 AS BIGINT), NULL, NULL, NULL, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED orientation-normalized dHash (rotate-before-"
+        "hash): real PNGs carrying real eXIf orientation metadata are "
+        "stored as a camera would write them (all 8 EXIF orientations "
+        "of 4 closed-form upright rasters), un-rotated by the exact "
+        "integer pixel permutation, and hashed — the oracle computes "
+        "ONE hash per base from the upright formula, so the value "
+        "check PROVES every rotated/mirrored copy collapses onto the "
+        "identical 64-bit signature (plain dHash puts a 90-degree "
+        "rotation ~half the bits away). Fixture forward transforms "
+        "are implemented independently of the operator's inverse "
+        "mapping, so a swapped orientation case cannot cancel out. "
+        "Corrupt-eXIf fallback (orientation 1) and the undecodable "
+        "row are value-checked too."
+    ),
+)
+def multimodal_dhash_oriented_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_oriented_dhash_df,
+        image_dhash_oriented,
+    )
+
+    return image_dhash_oriented(checked_oriented_dhash_df(spark, n=34))
+
+
+@register(
     "multimodal_audio_zcr_checked",
     oracle="""
     WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),

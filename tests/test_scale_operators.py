@@ -1714,6 +1714,46 @@ def test_dhash_banding_is_lossless_vs_bruteforce(spark):
     assert got == want and len(want) >= 12
 
 
+def test_oriented_dhash_collapses_rotations_plain_dhash_does_not(spark):
+    """The motivating property of rotate-before-hash: for a non-trivial
+    image stored under EXIF orientation 6 (needs 90-degree CW display
+    rotation), `image_dhash_oriented` produces the IDENTICAL signature
+    as the upright copy, while plain `image_dhash` puts the pair far
+    outside the Hamming<=3 near-dup radius — i.e. without orientation
+    normalization, camera-rotated duplicates are unfindable by the
+    banded join. Also pins the fallback rows: corrupt eXIf hashes as
+    orientation 1, undecodable blob keeps the failure row."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_oriented_dhash_df,
+        image_dhash,
+        image_dhash_oriented,
+    )
+
+    media = checked_oriented_dhash_df(spark, n=34)
+    oriented = {r["media_id"]: r for r in image_dhash_oriented(media).collect()}
+    plain = {r["media_id"]: r for r in image_dhash(media).collect()}
+
+    # base b=1 lives at ids 8..15 with orientation 1 + i%8; id 8 is the
+    # upright copy, id 13 is stored rotated (orientation 6).
+    up, rot = oriented[8], oriented[13]
+    assert (up["hash_hi"], up["hash_lo"]) == (rot["hash_hi"], rot["hash_lo"])
+    assert (rot["width"], rot["height"]) == (36, 32)  # upright dims restored
+
+    p_up, p_rot = plain[8], plain[13]
+    ham = bin(
+        ((p_up["hash_hi"] << 32) | p_up["hash_lo"])
+        ^ ((p_rot["hash_hi"] << 32) | p_rot["hash_lo"])
+    ).count("1")
+    assert ham > 3, f"plain dHash should separate a 90-degree pair, got {ham}"
+
+    # corrupt eXIf -> orientation-1 fallback over the base-0 raster
+    assert oriented[32]["orientation"] == 1
+    assert (oriented[32]["hash_hi"], oriented[32]["hash_lo"]) == (
+        oriented[0]["hash_hi"], oriented[0]["hash_lo"],
+    )
+    assert oriented[33]["decode_ok"] is False
+
+
 def test_audio_zcr_stereo_deinterleaves_and_radius_guard(spark):
     """(a) Stereo ZCR must deinterleave: channel 0 alternates +/-100
     every frame (nf-1 crossings), channel 1 is constant +50 (0
