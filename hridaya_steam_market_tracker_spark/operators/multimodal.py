@@ -3318,6 +3318,147 @@ def extract_audio_zcr(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_GOERTZEL_SCHEMA = (
+    "media_id long, n_frames int, n_channels int, goertzel_power double, "
+    "total_power double, band_ratio double, decode_ok boolean"
+)
+
+
+def extract_audio_goertzel(media: DataFrame, freq_ratio: float = 0.25) -> DataFrame:
+    """Single-bin Goertzel energy probe over REALLY-decoded 16-bit PCM
+    — the first spectral curation gate past the time-domain ZCR tier:
+    how much of a clip's energy sits at one target frequency
+    (voiced-band / tone / hum detection) without paying a full FFT.
+
+    Recursion (Goertzel 1958): coeff = 2*cos(2*pi*f/fs);
+    s[n] = x[n] + coeff*s[n-1] - s[n-2]; power = s1^2 + s2^2 -
+    coeff*s1*s2 with (s1, s2) = (s[N-1], s[N-2]). Coefficients within
+    1e-12 of an integer snap to it, so the DEFAULT quarter-band probe
+    (f = fs/4, coeff exactly 0) runs the recursion on the exact
+    integer grid — s[n] collapses to alternating sums of same-parity
+    samples, which is what makes the value cross-engine replicable
+    (the sawtooth-ZCR trick, one tier up the spectrum). Non-grid
+    ratios run the same code with a float coefficient.
+
+    Multi-channel WAVs are DEINTERLEAVED (the stereo-ZCR lesson): the
+    recursion runs per channel — interleaved it would probe f/ch, the
+    wrong bin — and channel powers sum. band_ratio =
+    2*sum_c(power_c) / (n_frames * total_power) normalizes so a pure
+    matched sine scores exactly 1.0 and an fs/2 alternation exactly
+    0.0. Same audio-only pushdown + honest-failure discipline as the
+    ZCR op."""
+    import math
+
+    coeff = 2.0 * math.cos(2.0 * math.pi * freq_ratio)
+    if abs(coeff - round(coeff)) < 1e-12:
+        coeff = float(round(coeff))
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        def decode(payload: bytes, fmt: str | None):
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                nf = wf.getnframes()
+                ch = wf.getnchannels()
+                raw = wf.readframes(nf)
+            samples = struct.unpack(f"<{nf * ch}h", raw)
+            if not samples:
+                raise ValueError("empty PCM stream")
+            power = 0.0
+            total = 0.0
+            for c in range(ch):
+                s1 = s2 = 0.0
+                for x in samples[c::ch]:
+                    s0 = x + coeff * s1 - s2
+                    s2, s1 = s1, s0
+                power += s1 * s1 + s2 * s2 - coeff * s1 * s2
+                total += float(sum(x * x for x in samples[c::ch]))
+            ratio = 2.0 * power / (nf * total) if total > 0 else 0.0
+            return nf, ch, power, total, ratio
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    nf, ch, pw, tot, ratio = decode(payload, fmt)
+                    recs.append(
+                        (mid, nf, ch, round(pw, 6), round(tot, 6),
+                         round(ratio, 6), True)
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
+                    recs.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "n_frames", "n_channels", "goertzel_power",
+                    "total_power", "band_ratio", "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").mapInPandas(
+        op, schema=AUDIO_GOERTZEL_SCHEMA
+    )
+
+
+def checked_goertzel_df(spark, n: int = 24) -> DataFrame:
+    """Oracle-checkable Goertzel table: 400-frame mono 16-bit WAVs on
+    the exact integer grid of the quarter-band probe. i%4 cycles the
+    spectral regimes — 1: matched sine x[t] = A*{0,1,0,-1} (a pure
+    fs/4 tone; band_ratio exactly 1.0), 2: fs/2 alternation A*(-1)^t
+    (the antipodal bin; Goertzel power exactly 0), 3: the ZCR
+    fixture's integer sawtooth ((t*(2i+3)) % 4001) - 2000 (broadband;
+    the oracle recomputes the alternating-sum closed form of the
+    coeff-0 recursion). A = 500 + 37*i keeps every square inside
+    exact float64 range. i%4==0 rows are undecodable 'mp3' digest
+    blobs value-checking failure marking."""
+    import io
+    import struct
+    import wave
+
+    rows = []
+    for i in range(n):
+        if i % 4 == 0:
+            rows.append(
+                (i, "audio", "mp3",
+                 bytearray(hashlib.md5(f"goertzel{i}".encode()).digest() * 4),
+                 None, None, None)
+            )
+            continue
+        amp = 500 + 37 * i
+        if i % 4 == 1:
+            samples = [
+                amp * (1 if t % 4 == 1 else -1 if t % 4 == 3 else 0)
+                for t in range(400)
+            ]
+        elif i % 4 == 2:
+            samples = [amp if t % 2 == 0 else -amp for t in range(400)]
+        else:
+            samples = [((t * (2 * i + 3)) % 4001) - 2000 for t in range(400)]
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        rows.append((i, "audio", "wav", bytearray(buf.getvalue()),
+                     None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 EXIF_SCHEMA = (
     "media_id long, has_exif boolean, orientation int, exif_datetime string, "
     "has_icc boolean, parse_ok boolean"

@@ -70,6 +70,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # (shared-helper stale set larger than the 50-slot head) keeps rotating
 # in subsequent rounds.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    'multimodal_audio_goertzel_checked',
     'multimodal_dhash_oriented_checked',
     'tpch_q3_shipping_priority',
     'tpch_q5_local_supplier_volume',
@@ -119,7 +120,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'url_blocklist_filter',
     'vocab_growth_curve',
     'winsorize_stream_values',
-    'dedup_minhash_lsh',
 )
 
 

@@ -1079,6 +1079,68 @@ def multimodal_audio_zcr_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_goertzel_checked",
+    oracle="""
+    WITH m AS (SELECT i FROM generate_series(0, 23) g(i)),
+    s AS (
+      SELECT o.i,
+             sum(CASE WHEN q.t % 2 = 1
+                 THEN (CASE WHEN (399 - q.t) % 4 = 0 THEN 1 ELSE -1 END) * q.v
+                 ELSE 0 END) AS s1,
+             sum(CASE WHEN q.t % 2 = 0
+                 THEN (CASE WHEN (398 - q.t) % 4 = 0 THEN 1 ELSE -1 END) * q.v
+                 ELSE 0 END) AS s2,
+             sum(q.v * q.v) AS total
+      FROM (SELECT i FROM m WHERE i % 4 <> 0) o,
+           LATERAL (
+             SELECT t.t,
+                    CASE o.i % 4
+                      WHEN 1 THEN (500 + 37*o.i)
+                           * (CASE t.t % 4 WHEN 1 THEN 1 WHEN 3 THEN -1
+                              ELSE 0 END)
+                      WHEN 2 THEN (500 + 37*o.i)
+                           * (CASE WHEN t.t % 2 = 0 THEN 1 ELSE -1 END)
+                      ELSE ((t.t * (2*o.i + 3)) % 4001) - 2000
+                    END AS v
+             FROM generate_series(0, 399) t(t)
+           ) q
+      GROUP BY o.i
+    )
+    SELECT i AS media_id, CAST(400 AS INTEGER) AS n_frames,
+           CAST(1 AS INTEGER) AS n_channels,
+           round(CAST(s1*s1 + s2*s2 AS DOUBLE), 6) AS goertzel_power,
+           round(CAST(total AS DOUBLE), 6) AS total_power,
+           round(2.0 * (s1*s1 + s2*s2) / (400.0 * total), 6) AS band_ratio,
+           TRUE AS decode_ok
+    FROM s
+    UNION ALL
+    SELECT i, NULL, NULL, NULL, NULL, NULL, FALSE FROM m WHERE i % 4 = 0
+    """,
+    doc=(
+        "VALUE-CHECKED single-bin Goertzel energy over really-decoded "
+        "PCM — the first spectral gate past ZCR. The quarter-band "
+        "probe's coefficient is exactly 0, so the recursion collapses "
+        "to alternating sums of same-parity samples: the oracle "
+        "replicates s[N-1], s[N-2], the power, the total energy and "
+        "the normalized band ratio arithmetically from the sample "
+        "formulas, on the exact integer grid (no IEEE ambiguity "
+        "before the one final division, rounded identically on both "
+        "sides). The fixture spans the three canonical regimes — "
+        "matched fs/4 tone (band_ratio exactly 1.0), antipodal fs/2 "
+        "alternation (Goertzel power exactly 0), broadband integer "
+        "sawtooth — plus value-checked failure rows."
+    ),
+)
+def multimodal_audio_goertzel_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_goertzel_df,
+        extract_audio_goertzel,
+    )
+
+    return extract_audio_goertzel(checked_goertzel_df(spark, n=24))
+
+
+@register(
     "multimodal_image_exif_checked",
     oracle="""
     WITH ids AS (SELECT CAST(unnest(range(0, 24)) AS BIGINT) AS i),

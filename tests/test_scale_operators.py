@@ -1799,6 +1799,47 @@ def test_audio_zcr_stereo_deinterleaves_and_radius_guard(spark):
         dhash_near_pairs(media.limit(0), max_hamming=4)
 
 
+def test_goertzel_stereo_deinterleaves_and_matched_tone_is_exact(spark):
+    """Stereo Goertzel must deinterleave: ch0 is a matched fs/4 tone
+    A*{0,1,0,-1}, ch1 is silence. Per-channel recursion gives power
+    exactly (A*nf/2)^2 and band_ratio exactly 1.0; a flat interleaved
+    run would probe the wrong bin (the tone lands at fs/8 of the
+    interleaved stream) and score far below 1. Also pins the general
+    float-coefficient path: probing the same clip at freq_ratio=0.125
+    (off the tone) must score near 0."""
+    import io
+    import struct
+    import wave
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_goertzel,
+    )
+
+    nf, amp = 400, 1200
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        tone = [amp * (1 if t % 4 == 1 else -1 if t % 4 == 3 else 0)
+                for t in range(nf)]
+        wf.writeframes(
+            b"".join(struct.pack("<hh", v, 0) for v in tone)
+        )
+    media = spark.createDataFrame(
+        [(0, "audio", "wav", bytearray(buf.getvalue()), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_audio_goertzel(media).collect()[0]
+    assert row["decode_ok"] and row["n_channels"] == 2
+    assert row["goertzel_power"] == float((amp * nf // 2) ** 2)
+    assert row["band_ratio"] == 1.0
+
+    off = extract_audio_goertzel(media, freq_ratio=0.125).collect()[0]
+    assert off["decode_ok"] and off["band_ratio"] < 0.05
+
+
 def test_df_cap_encoded_in_oracle_all_hot_agreement(spark):
     """Round-6 verdict ask #3: the containment/jaccard oracles must
     encode the df cap so oracle and engine agree BY CONSTRUCTION, not
