@@ -72,6 +72,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 _SAMPLE_FIRST: tuple[str, ...] = (
     'multimodal_audio_goertzel_checked',
     'multimodal_dhash_oriented_checked',
+    'multimodal_dhash_oriented_near_pairs_checked',
     'tpch_q3_shipping_priority',
     'tpch_q5_local_supplier_volume',
     'tpch_q6_forecast_revenue',
@@ -119,7 +120,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'textrank_keywords',
     'url_blocklist_filter',
     'vocab_growth_curve',
-    'winsorize_stream_values',
 )
 
 

@@ -1032,6 +1032,76 @@ def multimodal_dhash_oriented_checked(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "multimodal_dhash_oriented_near_pairs_checked",
+    oracle="""
+    WITH px AS (
+      SELECT b, x, y,
+             3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
+      FROM generate_series(0, 3) g(b),
+           generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
+    ),
+    cells AS (
+      SELECT b, x // 4 AS cx, y // 4 AS cy, CAST(sum(v) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.b, CASE WHEN a.s > c.s THEN 1 ELSE 0 END AS bit,
+             a.cy * 8 + a.cx AS k
+      FROM cells a
+      JOIN cells c ON a.b = c.b AND a.cy = c.cy AND c.cx = a.cx + 1
+    ),
+    hashes AS (
+      SELECT b,
+             CAST(sum(CASE WHEN k < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY b
+    ),
+    imgs AS (
+      SELECT g.i, h.hash_hi, h.hash_lo
+      FROM generate_series(0, 32) g(i)
+      JOIN hashes h
+        ON h.b = CASE WHEN g.i = 32 THEN 0 ELSE (g.i // 8) % 4 END
+    )
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(c.i AS BIGINT) AS j,
+           CAST(bit_count(xor(a.hash_hi, c.hash_hi))
+                + bit_count(xor(a.hash_lo, c.hash_lo)) AS INTEGER) AS hamming
+    FROM imgs a JOIN imgs c ON a.i < c.i
+    WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+          + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
+    """,
+    doc=(
+        "VALUE-CHECKED end-to-end rotated-duplicate retrieval: "
+        "orientation-normalized hashes feed the SAME lossless 4x16-bit "
+        "banded join as plain dHash, and every rotated/mirrored copy "
+        "of a base image surfaces as a Hamming-0 pair (all 8 EXIF "
+        "orientations cluster, plus the corrupt-eXIf fallback row "
+        "joining its base-0 cluster) — the pipeline a crawl-scale "
+        "image dedup actually runs: EXIF walk -> upright -> dHash -> "
+        "band-bucket join, with the oracle brute-forcing Hamming over "
+        "the closed-form upright hashes. Plain dHash finds NONE of "
+        "the cross-orientation pairs (the property test pins one at "
+        ">3 bits)."
+    ),
+)
+def multimodal_dhash_oriented_near_pairs_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_oriented_dhash_df,
+        dhash_near_pairs,
+        image_dhash_oriented,
+    )
+
+    return dhash_near_pairs(
+        image_dhash_oriented(checked_oriented_dhash_df(spark, n=34))
+    )
+
+
+@register(
     "multimodal_audio_zcr_checked",
     oracle="""
     WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),
