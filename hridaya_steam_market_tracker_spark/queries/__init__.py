@@ -73,6 +73,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'multimodal_audio_goertzel_checked',
     'multimodal_dhash_oriented_checked',
     'multimodal_dhash_oriented_near_pairs_checked',
+    'multimodal_image_dedup_keep_list',
     'tpch_q3_shipping_priority',
     'tpch_q5_local_supplier_volume',
     'tpch_q6_forecast_revenue',
@@ -119,7 +120,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'stupid_backoff_eval_scores',
     'textrank_keywords',
     'url_blocklist_filter',
-    'vocab_growth_curve',
 )
 
 

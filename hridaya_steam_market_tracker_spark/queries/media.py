@@ -1102,6 +1102,98 @@ def multimodal_dhash_oriented_near_pairs_checked(
 
 
 @register(
+    "multimodal_image_dedup_keep_list",
+    oracle="""
+    WITH RECURSIVE px AS (
+      SELECT b, x, y,
+             3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
+      FROM generate_series(0, 3) g(b),
+           generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
+    ),
+    cells AS (
+      SELECT b, x // 4 AS cx, y // 4 AS cy, CAST(sum(v) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.b, CASE WHEN a.s > c.s THEN 1 ELSE 0 END AS bit,
+             a.cy * 8 + a.cx AS k
+      FROM cells a
+      JOIN cells c ON a.b = c.b AND a.cy = c.cy AND c.cx = a.cx + 1
+    ),
+    hashes AS (
+      SELECT b,
+             CAST(sum(CASE WHEN k < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY b
+    ),
+    imgs AS (
+      SELECT CAST(g.i AS BIGINT) AS i, h.hash_hi, h.hash_lo
+      FROM generate_series(0, 32) g(i)
+      JOIN hashes h
+        ON h.b = CASE WHEN g.i = 32 THEN 0 ELSE (g.i // 8) % 4 END
+    ),
+    pairs AS (
+      SELECT a.i AS i, c.i AS j
+      FROM imgs a JOIN imgs c ON a.i < c.i
+      WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+            + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT i, i FROM imgs
+      UNION
+      SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node
+    )
+    SELECT node AS media_id, CAST(min(lab) AS BIGINT) AS component,
+           min(lab) = node AS kept
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "The full crawl-scale image-dedup decision, VALUE-CHECKED end "
+        "to end: EXIF-upright dHash -> lossless banded candidate join "
+        "-> connected components over verified Hamming<=3 pairs -> "
+        "keep min-id per cluster. Every rotated/mirrored/corrupt-"
+        "metadata copy of a base image collapses into one component "
+        "with exactly one kept survivor (undecodable rows are excluded "
+        "from the graph rather than silently kept); the oracle "
+        "recomputes the hashes closed-form and resolves the same "
+        "components with recursive SQL. Composition of three "
+        "independently-oracled tiers — the image analog of "
+        "semantic_dedup_keep_list."
+    ),
+)
+def multimodal_image_dedup_keep_list(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_oriented_dhash_df,
+        dhash_near_pairs,
+        image_dhash_oriented,
+    )
+
+    hashes = image_dhash_oriented(checked_oriented_dhash_df(spark, n=34))
+    pairs = dhash_near_pairs(hashes, max_hamming=3)
+    labels = connected_components(
+        hashes.filter(F.col("decode_ok")).select("media_id"),
+        pairs.select("i", "j"),
+        id_col="media_id",
+    )
+    return labels.select(
+        F.col("node").alias("media_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("kept"),
+    )
+
+
+@register(
     "multimodal_audio_zcr_checked",
     oracle="""
     WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),

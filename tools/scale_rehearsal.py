@@ -153,13 +153,17 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
     memory profile the sf1 text rehearsal did not cover."""
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
         checked_avc1_df,
+        checked_goertzel_df,
         checked_hevc_df,
         checked_mjpeg_df,
+        checked_oriented_dhash_df,
         decode_mp4_frames,
+        extract_audio_goertzel,
         extract_avc1_nal_index,
         extract_features,
         extract_hevc_nal_index,
         fake_media_df,
+        image_dhash_oriented,
     )
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -172,6 +176,12 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
             checked_avc1_df(spark, n=16 * rep).repartition(cores))),
         ("hevc_nal_index", lambda: extract_hevc_nal_index(
             checked_hevc_df(spark, n=16 * rep).repartition(cores))),
+        # round-8 ops: EXIF walk + upright + hash in one pass; Goertzel
+        # over decoded PCM — both ride the same mapInPandas posture.
+        ("dhash_oriented", lambda: image_dhash_oriented(
+            checked_oriented_dhash_df(spark, n=34 * rep).repartition(cores))),
+        ("audio_goertzel", lambda: extract_audio_goertzel(
+            checked_goertzel_df(spark, n=24 * rep).repartition(cores))),
     ]
     results = {}
     for name, build in jobs:
