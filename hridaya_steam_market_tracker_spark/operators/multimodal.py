@@ -1574,10 +1574,10 @@ def checked_oriented_dhash_df(spark, n: int = 34) -> DataFrame:
             continue
         if i == 32:
             tiff = _tiff_exif_bytes(6, "2024:02:01 00:00:00", motorola=False)
-            payload = png_with_exif(base_rows(0), tiff[: len(tiff) // 2])
+            payload = png_with_exif(base_rows(1), tiff[: len(tiff) // 2])
             rows_out.append((i, "image", "png", payload, w, h, None))
             continue
-        o, b = 1 + i % 8, (i // 8) % 4
+        o, b = 1 + i % 8, 1 + (i // 8) % 4
         tiff = _tiff_exif_bytes(
             o, f"2024:02:{1 + i % 27:02d} {i % 24:02d}:00:00",
             motorola=bool(i % 2),

@@ -972,7 +972,7 @@ def multimodal_dhash_near_pairs_checked(spark: SparkSession, sf_dir: str) -> Dat
     WITH px AS (
       SELECT b, x, y,
              3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
-      FROM generate_series(0, 3) g(b),
+      FROM generate_series(1, 4) g(b),
            generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
     ),
     cells AS (
@@ -1002,7 +1002,7 @@ def multimodal_dhash_near_pairs_checked(spark: SparkSession, sf_dir: str) -> Dat
            CAST(36 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
            h.hash_hi, h.hash_lo, TRUE AS decode_ok
     FROM ids
-    JOIN hashes h ON h.b = CASE WHEN i = 32 THEN 0 ELSE (i // 8) % 4 END
+    JOIN hashes h ON h.b = CASE WHEN i = 32 THEN 1 ELSE 1 + (i // 8) % 4 END
     UNION ALL
     SELECT CAST(33 AS BIGINT), NULL, NULL, NULL, NULL, NULL, FALSE
     """,
@@ -1037,7 +1037,7 @@ def multimodal_dhash_oriented_checked(spark: SparkSession, sf_dir: str) -> DataF
     WITH px AS (
       SELECT b, x, y,
              3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
-      FROM generate_series(0, 3) g(b),
+      FROM generate_series(1, 4) g(b),
            generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
     ),
     cells AS (
@@ -1064,7 +1064,7 @@ def multimodal_dhash_oriented_checked(spark: SparkSession, sf_dir: str) -> DataF
       SELECT g.i, h.hash_hi, h.hash_lo
       FROM generate_series(0, 32) g(i)
       JOIN hashes h
-        ON h.b = CASE WHEN g.i = 32 THEN 0 ELSE (g.i // 8) % 4 END
+        ON h.b = CASE WHEN g.i = 32 THEN 1 ELSE 1 + (g.i // 8) % 4 END
     )
     SELECT CAST(a.i AS BIGINT) AS i, CAST(c.i AS BIGINT) AS j,
            CAST(bit_count(xor(a.hash_hi, c.hash_hi))
@@ -1107,7 +1107,7 @@ def multimodal_dhash_oriented_near_pairs_checked(
     WITH RECURSIVE px AS (
       SELECT b, x, y,
              3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
-      FROM generate_series(0, 3) g(b),
+      FROM generate_series(1, 4) g(b),
            generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
     ),
     cells AS (
@@ -1134,7 +1134,7 @@ def multimodal_dhash_oriented_near_pairs_checked(
       SELECT CAST(g.i AS BIGINT) AS i, h.hash_hi, h.hash_lo
       FROM generate_series(0, 32) g(i)
       JOIN hashes h
-        ON h.b = CASE WHEN g.i = 32 THEN 0 ELSE (g.i // 8) % 4 END
+        ON h.b = CASE WHEN g.i = 32 THEN 1 ELSE 1 + (g.i // 8) % 4 END
     ),
     pairs AS (
       SELECT a.i AS i, c.i AS j
