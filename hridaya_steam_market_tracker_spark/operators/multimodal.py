@@ -1348,40 +1348,51 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             f"max_hamming={max_hamming}: 16-bit banding is lossless only "
             "for max_hamming <= 3 (pigeonhole over 4 bands)"
         )
-    h = hashes.filter(F.col("decode_ok")).select(
-        "media_id", "hash_hi", "hash_lo"
-    )
-    b16 = F.lit(65536).cast("long")
-    banded = h.select(
-        "media_id", "hash_hi", "hash_lo",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("bi"), F.shiftright("hash_hi", 16).alias("bv")),
-                F.struct(F.lit(1).alias("bi"), F.pmod("hash_hi", b16).cast("long").alias("bv")),
-                F.struct(F.lit(2).alias("bi"), F.shiftright("hash_lo", 16).alias("bv")),
-                F.struct(F.lit(3).alias("bi"), F.pmod("hash_lo", b16).cast("long").alias("bv")),
-            )
-        ).alias("band"),
-    ).select("media_id", "hash_hi", "hash_lo", "band.bi", "band.bv")
+    banded = dhash_bands(hashes)
     a = banded.select(
         F.col("media_id").alias("i"), F.col("hash_hi").alias("hi_i"),
-        F.col("hash_lo").alias("lo_i"), "bi", "bv",
+        F.col("hash_lo").alias("lo_i"), "band", "bucket",
     )
     b = banded.select(
         F.col("media_id").alias("j"), F.col("hash_hi").alias("hi_j"),
-        F.col("hash_lo").alias("lo_j"), "bi", "bv",
+        F.col("hash_lo").alias("lo_j"), "band", "bucket",
     )
     ham = (
         F.bit_count(F.col("hi_i").bitwiseXOR(F.col("hi_j")))
         + F.bit_count(F.col("lo_i").bitwiseXOR(F.col("lo_j")))
     ).cast("int")
     return (
-        a.join(b, ["bi", "bv"])
+        a.join(b, ["band", "bucket"])
         .filter(F.col("i") < F.col("j"))
         .select("i", "j", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dhash_bands(hashes: DataFrame) -> DataFrame:
+    """Split each decodable 64-bit dHash into its four 16-bit
+    (band, bucket) rows, carrying the full hash halves so candidates
+    can be exact-verified with two bit_count(XOR)s and no second
+    lookup — the blocking relation shared by `dhash_near_pairs` and
+    the streaming media-ingest band index
+    (streaming/media_ingest.py). 4 two-int rows per image cross the
+    shuffle; never payload bytes, never the all-pairs square."""
+    b16 = F.lit(65536).cast("long")
+    h = hashes.filter(F.col("decode_ok")).select(
+        "media_id", "hash_hi", "hash_lo"
+    )
+    return h.select(
+        "media_id", "hash_hi", "hash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright("hash_hi", 16).alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.pmod("hash_hi", b16).cast("long").alias("bucket")),
+                F.struct(F.lit(2).alias("band"), F.shiftright("hash_lo", 16).alias("bucket")),
+                F.struct(F.lit(3).alias("band"), F.pmod("hash_lo", b16).cast("long").alias("bucket")),
+            )
+        ).alias("b"),
+    ).select("media_id", "hash_hi", "hash_lo", "b.band", "b.bucket")
 
 
 def checked_dhash_df(spark, n: int = 17) -> DataFrame:

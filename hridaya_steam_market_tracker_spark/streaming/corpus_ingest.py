@@ -210,7 +210,10 @@ def ingest_batch(
 
 
 def compact_store(
-    spark: SparkSession, store_path: str, target_files: int = 1
+    spark: SparkSession,
+    store_path: str,
+    target_files: int = 1,
+    band_cols: tuple[str, ...] = _BAND_COLS,
 ) -> dict[str, int]:
     """Rewrite the append-only ``docs/`` and ``bands/`` stores down to a
     bounded part-file count. Admission decisions are a pure function of
@@ -234,6 +237,11 @@ def compact_store(
     discipline applies: do not run concurrently with an active ingest
     query.
 
+    ``band_cols`` is the band store's logical column set — the text
+    plane's (doc_id, band, bucket) by default; the media plane passes
+    its hash-carrying shape (streaming/media_ingest.py). Both planes
+    share (band, bucket), which is all the rewrite shuffles on.
+
     Returns rows rewritten per store.
     """
     # Same loud refusal as ingest_batch: compacting a half-compacted
@@ -256,7 +264,7 @@ def compact_store(
 
     bands_path = os.path.join(store_path, "bands")
     if os.path.isdir(bands_path):
-        b = spark.read.parquet(bands_path).select(*_BAND_COLS)
+        b = spark.read.parquet(bands_path).select(*band_cols)
         n = b.count()
         tmp = bands_path + ".compact.tmp"
         (
