@@ -63,63 +63,65 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-8 composition: the 8 queries whose latest driver row is r03
-# (tpch_q3/q5/q6/q9, url_domain_stats, winnow_*, zorder_code_assignment)
-# lead — after this sample no query's row is older than r04 — then the
-# r04 cohort in derived order; the transitive fingerprint's overflow
-# (shared-helper stale set larger than the 50-slot head) keeps rotating
-# in subsequent rounds.
+# Round-9 composition: derived from COMMITTED correctness records (the
+# round-8 structural fix — a driver-dropped untracked record can no
+# longer flip the gate red without a builder commit). The 13 flagged
+# queries lead: the two r04-era rows (vocab_growth_curve,
+# winsorize_stream_values), then the NAL/SPS/EXIF/dhash cohort whose
+# transitive fingerprints changed in the r8 dHash/EXIF factory refactor,
+# plus the span/strip family touched by the r8 localCheckpoint fix; the
+# remaining r04-era raw scans and the r05 cohort fill the 50 slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    'multimodal_audio_goertzel_checked',
-    'multimodal_dhash_oriented_checked',
-    'multimodal_dhash_oriented_near_pairs_checked',
-    'multimodal_image_dedup_keep_list',
-    'tpch_q3_shipping_priority',
-    'tpch_q5_local_supplier_volume',
-    'tpch_q6_forecast_revenue',
-    'tpch_q9_product_type_profit',
-    'url_domain_stats',
-    'winnow_fingerprints',
-    'winnow_near_pairs',
-    'zorder_code_assignment',
-    'ann_ivf_recall_vs_brute',
-    'ann_ivf_topk',
-    'ann_pq_recall_vs_brute',
-    'bigram_lm_doc_scores',
-    'bloom_filter_probe',
-    'bpe_doc_token_stats',
-    'bpe_train_merges',
-    'cc_luhn_detection_stats',
-    'ccnet_perplexity_buckets',
-    'chunk_dedup_reassemble',
-    'cluster_weighted_sample',
-    'cms_heavy_hitter_freq',
-    'dedup_keep_best_quality',
-    'dedup_recall_audit',
-    'doc_embeddings_hashed',
-    'domain_mix_weights',
-    'dsir_importance_weights',
-    'hard_negative_mining',
-    'html_text_extract_checked',
-    'incremental_daily_rollup',
-    'j7_debounce_coalesce',
-    'knn_label_accuracy',
-    'minhash_estimate_error',
-    'mmr_diverse_topk',
-    'multimodal_mjpeg_decode_checked',
-    'multimodal_mp4_frame_index_checked',
-    'multimodal_mp4_frame_sample_checked',
-    'perceptron_per_source_models',
-    'perceptron_quality_scores',
-    'pretrain_pipeline_e2e',
-    'semantic_dedup_keep_list',
-    'semantic_dedup_text_e2e',
-    'sequence_pack_assignment',
-    'source_kl_divergence',
-    'source_overlap_matrix',
-    'stupid_backoff_eval_scores',
-    'textrank_keywords',
-    'url_blocklist_filter',
+    'vocab_growth_curve',
+    'winsorize_stream_values',
+    'dedup_minhash_lsh',
+    'multimodal_avc1_nal_index_checked',
+    'multimodal_hevc_nal_index_checked',
+    'containment_pairs',
+    'multimodal_avc1_sps_params_checked',
+    'multimodal_avcc_config_sps_checked',
+    'multimodal_hevc_sps_params_checked',
+    'multimodal_hvcc_config_sps_checked',
+    'source_prefix_boilerplate',
+    'multimodal_image_exif_checked',
+    'strip_then_span_stats',
+    'blob_decompress_stats_checked',
+    'multimodal_audio_features',
+    'multimodal_audio_features_checked',
+    'multimodal_feature_extract',
+    'multimodal_feature_extract_checked',
+    'multimodal_frame_sample_checked',
+    'multimodal_resize_checked',
+    'warc_record_index_checked',
+    'ann_lsh_multiprobe_topk',
+    'ann_lsh_topk',
+    'b5_sanity_invariants',
+    'c1_broadcast_enrich',
+    'c2_manifest_resolve_join',
+    'c3_spike_above_global_avg',
+    'c4_reconcile_diff',
+    'c5_anti_unresolved',
+    'c6_exists_semi',
+    'c7_hwm_delta_ingest',
+    'c8_set_equality_verify',
+    'corpus_curation_rollup',
+    'curation_pipeline_kept_docs',
+    'd11_distinct_collect_per_stream',
+    'd2_count_enabled',
+    'd3_windowed_union_count',
+    'd4_last_ingest_union_max',
+    'd9_feasibility_gate',
+    'dedup_clusters',
+    'dedup_exact',
+    'dedup_incremental_delta',
+    'e6_urgency_overdue',
+    'f1_union_all_per_stream_meta',
+    'f3_payload_dup_check',
+    'g1_parse_steam_price',
+    'g2_minor_units_conversion',
+    'g3_parse_volume',
+    'g4_extract_currency',
+    'g5_activity_price_currency',
 )
 
 

@@ -71,6 +71,32 @@ def test_sample_head_equals_derived_priority_order():
     )
 
 
+def test_untracked_correctness_record_cannot_flip_the_gate():
+    """Round-8 structural fix: the driver drops each round's
+    CORRECTNESS_rNN.json as an UNTRACKED file, and the old working-tree
+    glob let that flip the committed head red with zero builder action.
+    The order must derive from committed records only, so a fresh
+    untracked record leaves `latest_green_round` (hence the derived
+    head) unchanged until the builder commits it alongside a regen."""
+    if not _git_available():
+        pytest.skip("no git history available")
+    from tools.sample_order import latest_green_round
+
+    before = latest_green_round()
+    probe = os.path.join(REPO, "CORRECTNESS_r97.json")
+    assert not os.path.exists(probe)
+    try:
+        with open(probe, "w") as f:
+            f.write('{"__sample_order_probe__": {"rows_match": true}}')
+        after = latest_green_round()
+    finally:
+        os.remove(probe)
+    assert after == before, (
+        "an untracked CORRECTNESS record changed the derived order; "
+        "tools/sample_order.py must read committed records only"
+    )
+
+
 def test_fingerprint_walks_transitive_deps():
     """Regression for the round-7 blind spot: the HEVC SPS query reaches
     its synthetic fixture writer only via checked-table builder ->

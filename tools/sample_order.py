@@ -55,17 +55,49 @@ PKG = "hridaya_steam_market_tracker_spark"
 sys.path.insert(0, REPO)
 
 
-def latest_green_round() -> dict[str, int]:
-    """query name -> most recent round with any driver CORRECTNESS row."""
-    latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+def _committed_correctness() -> list[tuple[int, str]]:
+    """(round, json text) for every CORRECTNESS_r*.json COMMITTED at HEAD.
+
+    Round 8 structural fix: the order must derive from the committed
+    tree, not the working tree — the driver drops each round's record
+    as an untracked file, and a working-tree glob made the committed
+    ``_SAMPLE_FIRST`` red with zero builder action at the start of
+    every round. Reading ``git show HEAD:<file>`` means a new record
+    can only change the derived order in the same commit that tracks
+    it, so the regenerated head lands atomically alongside it."""
+    ls = subprocess.run(
+        ["git", "ls-tree", "--name-only", "HEAD"],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    if ls.returncode != 0:  # no git history: fall back to the worktree
+        out = []
+        for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if m:
+                with open(path) as f:
+                    out.append((int(m.group(1)), f.read()))
+        return out
+    out = []
+    for fname in sorted(ls.stdout.splitlines()):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
         if not m:
             continue
-        rnd = int(m.group(1))
-        with open(path) as f:
-            for name in json.load(f):
-                latest[name] = max(latest.get(name, 0), rnd)
+        show = subprocess.run(
+            ["git", "show", f"HEAD:{fname}"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if show.returncode == 0:
+            out.append((int(m.group(1)), show.stdout))
+    return out
+
+
+def latest_green_round() -> dict[str, int]:
+    """query name -> most recent round with any COMMITTED driver
+    CORRECTNESS row (see _committed_correctness for why committed)."""
+    latest: dict[str, int] = {}
+    for rnd, text in _committed_correctness():
+        for name in json.loads(text):
+            latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 
