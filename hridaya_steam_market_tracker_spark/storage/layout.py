@@ -50,26 +50,53 @@ def write_partitioned(
 
 
 def _check_partition_integrity(path: str) -> None:
-    """Fail loudly on the one half-compacted state `compact_partition`'s
-    rename-aside can leave: a fully-written ``<part>.compact.tmp``
-    present without its live partition directory. Without this guard a
-    table-level reader silently loses that partition's rows; recovery
-    must be a deliberate single ``os.rename``, never an implicit
-    'partition is gone'. Mirrors corpus_ingest._check_store_integrity."""
+    """Guard every crash state `compact_partition`'s rename-aside can
+    leave, so readers get either clean results or a guided error —
+    never a raw ``date.fromisoformat`` crash on a ``date=X.compact.*``
+    entry (those start with ``date=`` too). Per state:
+
+    * ``.compact.tmp`` WITHOUT live (crash between tmp write-out and
+      the swap completing): the tmp dir may be the only surviving
+      copy — refuse loudly; recovery must be a deliberate single
+      ``os.rename``. Mirrors corpus_ingest._check_store_integrity.
+    * ``.compact.old`` WITHOUT live (and no tmp): the pre-compaction
+      copy is the only data left — refuse with the rename that
+      restores it.
+    * ``.compact.tmp`` ALONGSIDE live (crash before the first rename):
+      live is complete and authoritative; the stale tmp is removed.
+    * ``.compact.old`` ALONGSIDE live (crash between the second rename
+      and the rmtree, or a partial rmtree): live is the compacted
+      result; the superseded old copy is removed — finishing the
+      interrupted swap, exactly what the next compaction would do.
+    """
     if not os.path.isdir(path):
         return
     for entry in os.listdir(path):
-        if not entry.endswith(".compact.tmp"):
-            continue
-        live = os.path.join(path, entry[: -len(".compact.tmp")])
-        tmp = os.path.join(path, entry)
-        if not os.path.isdir(live):
-            raise RuntimeError(
-                f"half-compacted partition: {tmp!r} exists without "
-                f"{live!r}; a compaction crashed mid-swap. Recover with "
-                f"os.rename({tmp!r}, {live!r}) before reading or "
-                f"compacting this table."
-            )
+        for suffix in (".compact.tmp", ".compact.old"):
+            if not entry.endswith(suffix):
+                continue
+            live = os.path.join(path, entry[: -len(suffix)])
+            orphan = os.path.join(path, entry)
+            if os.path.isdir(live):
+                shutil.rmtree(orphan)  # live is authoritative; finish the swap
+            elif suffix == ".compact.tmp":
+                raise RuntimeError(
+                    f"half-compacted partition: {orphan!r} exists without "
+                    f"{live!r}; a compaction crashed mid-swap. Recover with "
+                    f"os.rename({orphan!r}, {live!r}) before reading or "
+                    f"compacting this table."
+                )
+            elif not os.path.isdir(live + ".compact.tmp"):
+                raise RuntimeError(
+                    f"half-compacted partition: {orphan!r} exists without "
+                    f"{live!r} or a .compact.tmp; the pre-compaction copy is "
+                    f"the only data left. Recover with "
+                    f"os.rename({orphan!r}, {live!r})."
+                )
+            # else: live absent but tmp present too (crash between the
+            # two renames) — the .compact.tmp branch raises with the
+            # right recovery (the tmp is the complete compacted copy);
+            # don't mask it with the old-copy message.
 
 
 def list_partitions(path: str) -> list[date]:
@@ -78,7 +105,11 @@ def list_partitions(path: str) -> list[date]:
     if not os.path.isdir(path):
         return out
     for entry in os.listdir(path):
-        if entry.startswith(f"{PARTITION_COL}="):
+        # '.compact.' entries start with 'date=' too; the guard above
+        # removes/refuses them, but skip defensively so a state created
+        # AFTER the guard ran (single-writer violation) still cannot
+        # surface as a fromisoformat crash.
+        if entry.startswith(f"{PARTITION_COL}=") and ".compact." not in entry:
             out.append(date.fromisoformat(entry.split("=", 1)[1]))
     return sorted(out)
 

@@ -32,7 +32,15 @@ Two places the image plane is deliberately DIFFERENT:
 State under ``store_path``:
 
 * ``docs/``  — accepted media rows (media_id, media_type, format,
-  payload).
+  payload, decode_ok). ``decode_ok`` records whether the row is
+  band-indexed: true rows have band rows, false rows are the admitted
+  undecodable blobs that legitimately have none. That bit is what
+  makes the one crash state this plane could previously not see —
+  a crash between the docs/ append and the bands/ append — DETECTABLE:
+  a decode_ok=true docs row absent from bands/ is always an orphan,
+  and every ingest batch starts by repairing those (re-hash just the
+  orphans, append their band rows) before admitting anything, so
+  replay heals the index instead of anti-joining the evidence away.
 * ``bands/`` — (media_id, bucket, hash_hi, hash_lo), HIVE-PARTITIONED
   BY ``band`` (4 static values — the 16-bit quarters of the 64-bit
   hash). Each micro-batch equi-joins its own 4 rows/image against this
@@ -66,23 +74,121 @@ def _hamming(hi_a, lo_a, hi_b, lo_b):
     ).cast("int")
 
 
+def media_admission_rejects(
+    stored_bands: DataFrame | None,
+    batch_bands: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The admission DECISION function, factored out so the streaming
+    gate and its registered batch twin (`media_ingest_admission_twin`
+    in queries/media.py) run literally the same plan: given the store's
+    band index (None for an empty store) and the batch's band rows
+    (both shaped like `dhash_bands` output), return the one-column
+    (media_id) relation of batch rows to REJECT — a verified
+    Hamming <= max_hamming match among stored rows, or among lower-id
+    rows of the same batch (leader-keeps). Equi-join on (band, bucket)
+    with the carried hashes verified inline: 4 two-int rows per image
+    cross the shuffle, never payloads, never the all-pairs square."""
+    a = batch_bands.select(
+        F.col("media_id").alias("i"), F.col("hash_hi").alias("hi_i"),
+        F.col("hash_lo").alias("lo_i"), "band", "bucket",
+    )
+    b = batch_bands.select(
+        F.col("media_id").alias("j"), F.col("hash_hi").alias("hi_j"),
+        F.col("hash_lo").alias("lo_j"), "band", "bucket",
+    )
+    ham = _hamming(F.col("hi_i"), F.col("lo_i"), F.col("hi_j"), F.col("lo_j"))
+    within = (
+        a.join(b, ["band", "bucket"])
+        .filter((F.col("i") < F.col("j")) & (ham <= max_hamming))
+        .select("j")
+    )
+    if stored_bands is not None:
+        s = stored_bands.select(
+            F.col("media_id").alias("i"),
+            F.col("hash_hi").alias("hi_i"),
+            F.col("hash_lo").alias("lo_i"), "band", "bucket",
+        )
+        cross = s.join(b, ["band", "bucket"]).filter(ham <= max_hamming).select("j")
+        rejected = cross.unionByName(within).distinct()
+    else:
+        rejected = within.distinct()
+    return rejected.withColumnRenamed("j", "media_id")
+
+
+def repair_media_band_index(spark: SparkSession, store_path: str) -> int:
+    """Re-index any decodable docs/ rows missing from bands/ — the one
+    crash state the admission path used to be blind to (a crash between
+    the two appends of `ingest_media_batch` left admitted images
+    permanently unindexed, so their rotated re-uploads were silently
+    admitted forever; replay could not heal it because the orphans were
+    anti-joined away as already-stored). Runs at the head of every
+    ingest batch; the normal-path cost is one id/flag-column anti-join
+    between the two stores (no payload touched). Only when orphans
+    exist are their payload rows re-read and re-hashed — the
+    "stored payloads are never re-read on admission" property holds
+    for every non-crash batch. Returns the number of rows repaired.
+
+    Stores written before decode_ok landed lack the flag; those fall
+    back to treating every docs id as a repair candidate (undecodable
+    legacy rows then re-decode on each batch until the store is
+    rewritten — compact after upgrading to re-establish the cheap
+    path)."""
+    docs_path = os.path.join(store_path, "docs")
+    bands_path = os.path.join(store_path, "bands")
+    if not os.path.isdir(docs_path):
+        return 0
+    docs = spark.read.parquet(docs_path)
+    cand = (
+        docs.filter(F.col("decode_ok")) if "decode_ok" in docs.columns else docs
+    ).select("media_id")
+    if os.path.isdir(bands_path):
+        band_ids = spark.read.parquet(bands_path).select("media_id").distinct()
+        orphans = cand.join(band_ids, "media_id", "left_anti")
+    else:
+        orphans = cand
+    # Cut lineage BEFORE the bands append below refreshes bands_path —
+    # the orphan set reads it (the corpus_ingest localCheckpoint lesson).
+    orphans = orphans.localCheckpoint(eager=True)
+    if orphans.isEmpty():
+        return 0
+    orphan_docs = docs.join(orphans, "media_id", "left_semi")
+    repaired = dhash_bands(image_dhash_oriented(orphan_docs)).localCheckpoint(
+        eager=True
+    )
+    n = repaired.count()
+    repaired.write.mode("append").partitionBy("band").parquet(bands_path)
+    return n
+
+
 def ingest_media_batch(
     batch_df: DataFrame,
     store_path: str,
     max_hamming: int = 3,
+    non_image: str = "error",
 ) -> None:
     """Process ONE media micro-batch: orientation-normalized dHash,
     band-join against the store index and the batch itself, admit
     leaders and genuinely-new images, append accepted blobs + their
     band rows. Designed for foreachBatch; replaying a batch is a
-    no-op. Rejection: an image with a verified Hamming <= max_hamming
-    match among stored images, or among lower-id images of the same
-    batch (leader-keeps)."""
+    no-op (and heals a crash-orphaned band index first — see
+    `repair_media_band_index`). Rejection: an image with a verified
+    Hamming <= max_hamming match among stored images, or among
+    lower-id images of the same batch (leader-keeps).
+
+    The dHash gate is IMAGE-only. ``non_image`` makes that explicit
+    instead of silent: ``"error"`` (default) refuses a batch carrying
+    audio/video rows; ``"admit"`` stores them in docs/ WITHOUT any
+    dedup (no band rows — a re-upload of the same audio twice is
+    admitted twice) for callers that knowingly use this store as a
+    mixed blob sink."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 16-bit banding is lossless only "
             "for max_hamming <= 3 (pigeonhole over 4 bands)"
         )
+    if non_image not in ("error", "admit"):
+        raise ValueError(f"non_image={non_image!r}: expected 'error' or 'admit'")
     from pyspark import StorageLevel
 
     spark = batch_df.sparkSession
@@ -90,7 +196,17 @@ def ingest_media_batch(
     bands_path = os.path.join(store_path, "bands")
 
     batch = batch_df.select(*_DOC_COLS).dropDuplicates(["media_id"])
+    if non_image == "error" and not batch.filter(
+        F.col("media_type") != "image"
+    ).isEmpty():
+        raise ValueError(
+            "ingest_media_batch: batch contains non-image rows, which the "
+            "dHash gate cannot dedup (they would be admitted unconditionally). "
+            "Filter to media_type == 'image', or pass non_image='admit' to "
+            "knowingly store them without dedup."
+        )
     _check_store_integrity(store_path)
+    repair_media_band_index(spark, store_path)
     stored = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
     if stored is not None:
         batch = batch.join(stored.select("media_id"), "media_id", "left_anti")
@@ -106,52 +222,28 @@ def ingest_media_batch(
         hashes = image_dhash_oriented(batch).persist(StorageLevel.MEMORY_AND_DISK)
         b_bands = dhash_bands(hashes)
 
-        # Within-batch candidates (satellite j vs leader i, i < j),
-        # verified inline — the hashes ride the band rows.
-        a = b_bands.select(
-            F.col("media_id").alias("i"), F.col("hash_hi").alias("hi_i"),
-            F.col("hash_lo").alias("lo_i"), "band", "bucket",
+        # The shared decision function: within-batch leader-keeps plus
+        # store-vs-batch candidates, both verified from the CARRIED
+        # hashes — no stored payload is ever re-read on this path.
+        stored_bands = (
+            spark.read.parquet(bands_path).select(*_MEDIA_BAND_COLS)
+            if os.path.isdir(bands_path)
+            else None
         )
-        b = b_bands.select(
-            F.col("media_id").alias("j"), F.col("hash_hi").alias("hi_j"),
-            F.col("hash_lo").alias("lo_j"), "band", "bucket",
-        )
-        ham = _hamming(F.col("hi_i"), F.col("lo_i"), F.col("hi_j"), F.col("lo_j"))
-        within = (
-            a.join(b, ["band", "bucket"])
-            .filter((F.col("i") < F.col("j")) & (ham <= max_hamming))
-            .select("j")
-        )
-        # Store-vs-batch candidates: equi-join on (band, bucket), exact
-        # Hamming verify from the CARRIED hashes — no stored payload is
-        # ever re-read on this path.
-        if os.path.isdir(bands_path):
-            s = (
-                spark.read.parquet(bands_path)
-                .select(*_MEDIA_BAND_COLS)
-                .select(
-                    F.col("media_id").alias("i"),
-                    F.col("hash_hi").alias("hi_i"),
-                    F.col("hash_lo").alias("lo_i"), "band", "bucket",
-                )
-            )
-            cross = (
-                s.join(b, ["band", "bucket"])
-                .filter(ham <= max_hamming)
-                .select("j")
-            )
-            rejected = cross.unionByName(within).distinct()
-        else:
-            rejected = within.distinct()
-        rejected = rejected.withColumnRenamed("j", "media_id")
+        rejected = media_admission_rejects(stored_bands, b_bands, max_hamming)
 
         # Both outputs are localCheckpoint-ed BEFORE the first append:
         # the docs append refreshes the path cache, which would force
         # any still-lazy plan reading docs/ (the anti-join in `batch`'s
         # lineage) to re-evaluate against the just-extended store and
         # write an empty band index — the corpus_ingest lesson, kept.
-        accepted = batch.join(rejected, "media_id", "left_anti").localCheckpoint(
-            eager=True
+        # decode_ok rides the docs row (null for non_image='admit'
+        # rows, which image_dhash_oriented never saw) so the repair
+        # pass can tell "legitimately unindexed" from "orphaned".
+        accepted = (
+            batch.join(rejected, "media_id", "left_anti")
+            .join(hashes.select("media_id", "decode_ok"), "media_id", "left")
+            .localCheckpoint(eager=True)
         )
         accepted_bands = (
             dhash_bands(hashes)

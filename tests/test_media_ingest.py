@@ -18,6 +18,7 @@ from hridaya_steam_market_tracker_spark.operators.multimodal import (
 from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
     compact_media_store,
     ingest_media_batch,
+    repair_media_band_index,
     start_dedup_media_ingest,
 )
 
@@ -131,6 +132,59 @@ def test_media_ingest_streaming_e2e_with_compaction(spark, tmp_path):
     finally:
         q2.stop()
     assert _stored_ids(spark, store) == {0, 8, 16, 24, 101}
+
+
+def test_media_ingest_repairs_crash_orphaned_band_index(spark, tmp_path):
+    """A crash between the docs/ append and the bands/ append used to
+    leave admitted images permanently unindexed: replay anti-joined
+    their ids away (already stored), their band rows were never
+    written, and rotated re-uploads were silently admitted forever.
+    Every batch now starts by re-indexing decodable docs rows missing
+    from bands/, so the next ingest — even a replay — heals the store
+    and the re-upload is rejected. The undecodable blob (decode_ok
+    false) must NOT count as an orphan."""
+    import shutil
+
+    store = str(tmp_path / "store")
+    ingest_media_batch(_rows(spark, [0, 33]), store)  # base 1 + undecodable
+    shutil.rmtree(store + "/bands")  # crash state: docs written, bands not
+
+    # id 5 is base 1 under EXIF orientation 6 — a rotated re-upload of
+    # stored id 0. Without repair it would be admitted.
+    ingest_media_batch(_rows(spark, [5]), store)
+    assert _stored_ids(spark, store) == {0, 33}
+    band_ids = {
+        r["media_id"] for r in spark.read.parquet(store + "/bands").collect()
+    }
+    assert band_ids == {0}  # repaired; decode_ok=false row stayed unindexed
+
+    # a healthy store repairs nothing (the cheap-path no-op)
+    assert repair_media_band_index(spark, store) == 0
+
+
+def test_media_ingest_non_image_policy(spark, tmp_path):
+    """The dHash gate is image-only; a batch carrying audio/video rows
+    must refuse by default (the silent no-dedup bypass), and
+    non_image='admit' stores them docs-only with decode_ok null."""
+    store = str(tmp_path / "store")
+    audio_row = (500, "audio", "wav", bytearray(b"RIFF...."), None, None, None)
+
+    with pytest.raises(ValueError, match="non-image"):
+        ingest_media_batch(_rows(spark, [0], extra=[audio_row]), store)
+    assert not os.path.isdir(store + "/docs")  # refused before any write
+
+    ingest_media_batch(
+        _rows(spark, [0], extra=[audio_row]), store, non_image="admit"
+    )
+    docs = {r["media_id"]: r["decode_ok"]
+            for r in spark.read.parquet(store + "/docs").collect()}
+    assert docs == {0: True, 500: None}
+    band_ids = {
+        r["media_id"] for r in spark.read.parquet(store + "/bands").collect()
+    }
+    assert band_ids == {0}
+    # the admitted audio row is NOT an orphan candidate for repair
+    assert repair_media_band_index(spark, store) == 0
 
 
 def test_media_store_halfcompacted_refusal_and_recovery(spark, tmp_path):

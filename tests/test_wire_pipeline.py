@@ -214,6 +214,62 @@ def test_half_compacted_partition_fails_loudly(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 10
 
 
+def test_compaction_orphan_states_cleaned_or_guided(spark, tmp_path):
+    """The two other rename-aside crash states must never surface as a
+    raw date.fromisoformat ValueError (both start with 'date='):
+
+    * ``date=X.compact.old`` ALONGSIDE live (crash between the second
+      rename and the rmtree) — live is the compacted result; readers
+      finish the interrupted swap by removing the superseded copy.
+    * ``date=X.compact.tmp`` ALONGSIDE live (crash before the first
+      rename) — live is authoritative; the stale tmp is removed.
+    * ``date=X.compact.old`` WITHOUT live or tmp — the pre-compaction
+      copy is the only data left: refuse with the restoring rename.
+    """
+    import os
+    import shutil
+
+    import pytest
+
+    sink = str(tmp_path / "overview")
+    rows = [
+        Row(time=datetime.datetime(2024, 1, d, 12, 0), market_hash_name=f"item{i}", value=float(i))
+        for d in (1, 2)
+        for i in range(5)
+    ]
+    write_partitioned(spark.createDataFrame(rows), sink)
+    live = os.path.join(sink, "date=2024-01-02")
+
+    # old alongside live: cleaned, table reads whole
+    shutil.copytree(live, live + ".compact.old")
+    assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
+    assert not os.path.isdir(live + ".compact.old")
+
+    # tmp alongside live: cleaned, table reads whole
+    shutil.copytree(live, live + ".compact.tmp")
+    assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
+    assert not os.path.isdir(live + ".compact.tmp")
+    assert spark.read.parquet(sink).count() == 10
+
+    # old without live or tmp: guided refusal naming the restoring rename
+    os.rename(live, live + ".compact.old")
+    with pytest.raises(RuntimeError, match="only data left"):
+        list_partitions(sink)
+    os.rename(live + ".compact.old", live)
+
+    # mid-swap state (old + tmp, no live): the tmp recovery must win —
+    # the message prescribes renaming the COMPACTED copy, not the old one
+    shutil.copytree(live, live + ".compact.old")
+    os.rename(live, live + ".compact.tmp")
+    with pytest.raises(RuntimeError, match=r"compact\.tmp' exists without"):
+        list_partitions(sink)
+    os.rename(live + ".compact.tmp", live)
+    # the leftover old is then cleaned on the next read
+    assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
+    assert not os.path.isdir(live + ".compact.old")
+    assert spark.read.parquet(sink).count() == 10
+
+
 def test_table_meta(spark):
     raw = spark.createDataFrame(
         [Row(success=True, lowest_price="$5.00", median_price="$5.50", volume="10", **IDENT)]
