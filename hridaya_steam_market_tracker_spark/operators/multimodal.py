@@ -2162,6 +2162,146 @@ def checked_mjpeg_df(spark, n: int = 12) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+VIDEO_TDHASH_SCHEMA = (
+    "media_id long, n_bits int, hash_hi long, hash_lo long, "
+    "decode_ok boolean"
+)
+
+
+def video_temporal_dhash(media: DataFrame) -> DataFrame:
+    """Per-video temporal dHash — the video near-dup signature: 64
+    sign bits of consecutive decoded-frame mean intensities
+    (bit_k = 1 iff mean[k+1] > mean[k] over the first 65 decodable
+    frames, frame_idx order). The temporal-gradient analog of the
+    image dHash's horizontal-gradient bits, so the same invariances
+    hold one level up: any monotone per-pixel brightness change
+    (gain/offset re-encode) preserves every bit, and a re-encoded or
+    brightness-shifted re-upload of a stored video lands Hamming-0
+    from it — while the bits ride ordinal STRUCTURE, not absolute
+    levels, so two different clips agree per-bit with p~0.5 and sit
+    ~32 bits apart. Output is shaped exactly like the image-hash
+    relation (media_id, hash_hi, hash_lo, decode_ok), so the whole
+    downstream dedup machinery — `dhash_bands` 4x16-bit pigeonhole
+    blocking, `dhash_near_pairs`, connected components — is REUSED
+    unchanged; no new Python crosses the executor boundary beyond the
+    existing `decode_mp4_frames` pass.
+
+    decode_ok is true only for videos yielding the full 64 bits
+    (>= 65 decodable frames): zero-padding shorter signatures would
+    make every pair of short clips a spurious near-dup, so short
+    videos keep their (n_bits < 64) hash for inspection but are
+    excluded from banding — the honest-failure discipline. Per-frame
+    decode failures are SKIPPED (the sequence closes over them),
+    matching the metadata-damage-never-drops-evidence stance of
+    `image_dhash_oriented`, at the cost that a mid-stream corrupt
+    frame shifts subsequent bits (a damaged copy may not cluster —
+    the quality tier owns corrupt media). Scale shape: one window +
+    one groupBy, both keyed on media_id (one shuffle), plus an
+    id-only scan for the honest-failure rows — payload bytes never
+    cross an exchange."""
+    from pyspark.sql.window import Window
+
+    frames = decode_mp4_frames(media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    seq = (
+        frames.filter(F.col("decode_ok"))
+        .select("media_id", "frame_idx", "mean_intensity")
+        .withColumn("nxt", F.lead("mean_intensity").over(w))
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .filter(F.col("nxt").isNotNull() & (F.col("pos") < 64))
+        .withColumn(
+            "bit", (F.col("nxt") > F.col("mean_intensity")).cast("long")
+        )
+    )
+    hashes = seq.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bits"),
+        F.sum(
+            F.when(
+                F.col("pos") < 32,
+                F.col("bit") * F.expr("shiftleft(1L, cast(31 - pos AS int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("hash_hi"),
+        F.sum(
+            F.when(
+                F.col("pos") >= 32,
+                F.col("bit") * F.expr("shiftleft(1L, cast(63 - pos AS int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("hash_lo"),
+    )
+    vids = media.filter(
+        (F.col("media_type") == "video") & (F.col("format") == "mp4")
+    ).select("media_id")
+    return vids.join(hashes, "media_id", "left").select(
+        "media_id",
+        F.coalesce("n_bits", F.lit(0)).cast("int").alias("n_bits"),
+        "hash_hi",
+        "hash_lo",
+        (F.coalesce("n_bits", F.lit(0)) == 64).alias("decode_ok"),
+    )
+
+
+def checked_video_dedup_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable video near-dup table: 4*n_bases MJPEG-in-MP4
+    videos of 65 constant-gray frames whose per-frame level is closed
+    form, id i = 4*b + variant with b the content base:
+
+    * variant 0 — the base clip: frame j has gray
+      g(b, j) = (j*j*7 + j*29*(b+3) + 151*b) % 251.
+    * variant 1 — brightness re-encode g + 4 (every temporal diff sign
+      preserved: Hamming 0 from the base).
+    * variant 2 — one-frame edit: frame 10 becomes
+      (g(b,9) + g(b,11)) // 2 (at most the two adjacent bits flip:
+      Hamming <= 2, inside the near-dup radius).
+    * variant 3 — genuinely different content
+      (j*j*11 + j*37*(b+5) + 97*b + 3) % 251 (measured >= 25 bits from
+      every other fixture signature).
+
+    Constant-gray frames round-trip the baseline-JPEG path exactly
+    (the checked_mjpeg_df property), so a SQL oracle can restate each
+    temporal signature arithmetically. Two honesty rows follow: id
+    4*n_bases is an unparseable digest payload (n_bits 0, NULL hash),
+    id 4*n_bases+1 a 10-frame clip of base-0 content (n_bits 9 — a
+    real partial hash, decode_ok false: too short to band)."""
+    _, encode = _pixel_codec()
+    w, h = 8, 6
+
+    def g(b: int, j: int) -> int:
+        return (j * j * 7 + j * 29 * (b + 3) + 151 * b) % 251
+
+    def clip(i: int, vals: list[int]) -> bytes:
+        frames = [encode(w, h, bytes([v]) * (3 * w * h), "jpg") for v in vals]
+        return synth_mp4(
+            i, len(frames), 600, with_stss=False,
+            frame_payloads=frames, codec=b"mjpa",
+        )
+
+    rows = []
+    for b in range(n_bases):
+        base = [g(b, j) for j in range(65)]
+        tweak = list(base)
+        tweak[10] = (g(b, 9) + g(b, 11)) // 2
+        alt = [(j * j * 11 + j * 37 * (b + 5) + 97 * b + 3) % 251
+               for j in range(65)]
+        for v, vals in enumerate((base, [x + 4 for x in base], tweak, alt)):
+            rows.append(
+                (4 * b + v, "video", "mp4", bytearray(clip(4 * b + v, vals)),
+                 None, None, None)
+            )
+    bad_id = 4 * n_bases
+    rows.append(
+        (bad_id, "video", "mp4",
+         bytearray(hashlib.md5(f"vdedup{bad_id}".encode()).digest() * 4),
+         None, None, None)
+    )
+    short_id = bad_id + 1
+    rows.append(
+        (short_id, "video", "mp4",
+         bytearray(clip(short_id, [g(0, j) for j in range(10)])),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def checked_mp4_df(spark, n: int = 16) -> DataFrame:
     """Oracle-checkable MP4 table: real container bytes from synth_mp4
     with timescale/frame-count/sizes/deltas closed-form in media_id;
@@ -3525,6 +3665,194 @@ def checked_goertzel_df(spark, n: int = 24) -> DataFrame:
             wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
         rows.append((i, "audio", "wav", bytearray(buf.getvalue()),
                      None, None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = (
+    "media_id long, n_bits int, hash_hi long, hash_lo long, "
+    "decode_ok boolean"
+)
+
+_FP_COEFFS = (1, 0, -1, -2)  # integer-grid ratios fs/6, fs/4, fs/3, fs/2
+
+
+def audio_goertzel_fingerprint(
+    media: DataFrame, window: int = 128, n_windows: int = 16
+) -> DataFrame:
+    """Multi-bin Goertzel audio fingerprint — the audio near-dup
+    signature: 16 windows x 4 spectral-slope bits = the same 64-bit
+    (hash_hi, hash_lo) relation the image/video dedup machinery
+    consumes, so `dhash_bands` / `dhash_near_pairs` / components are
+    REUSED unchanged. Per window of 128 channel-0 samples, four
+    Goertzel band powers at the INTEGER-GRID ratios fs/6, fs/4, fs/3,
+    fs/2 (coefficients 1, 0, -1, -2 — the r8 Goertzel's exact-integer
+    quarter-band observation extended to every ratio whose
+    2*cos(2*pi*f/fs) is an integer), and bit(w, k) = 1 iff
+    E(w, k) > E(w, (k+1)%4): the spectral SLOPE between adjacent
+    probes. Ratios of powers are amplitude-invariant, so a
+    volume-scaled re-upload lands Hamming-0 from the stored clip,
+    while different content agrees per-bit with p~0.5 (~32 bits
+    apart). The integer recursion makes every bit cross-engine
+    replicable: the DuckDB oracle restates each power as a weighted
+    sum over the closed-form samples (the recursion's impulse
+    response is periodic — period 6/4/3 — or the alternating ramp
+    (-1)^d (d+1) for fs/2).
+
+    Channel discipline: the fingerprint is computed over CHANNEL 0
+    after deinterleaving (the stereo-ZCR lesson) — interleaved stereo
+    would probe half-frequencies of the wrong signal; a mixdown would
+    leave the integer grid. decode_ok is true only for clips yielding
+    all 64 bits (>= window*n_windows channel-0 samples); shorter
+    clips keep their real partial hash (n_bits = 4*full_windows) for
+    inspection but are excluded from banding — zero-padding would
+    make every pair of short clips spurious near-dups. Same
+    audio-only pushdown + honest-failure discipline as the other
+    audio ops; numpy-vectorized across windows inside Arrow batches
+    (the recursion loops over the 128 in-window samples, each step a
+    vector op over all windows)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        def fingerprint(payload: bytes, fmt: str | None):
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                nf = wf.getnframes()
+                ch = wf.getnchannels()
+                raw = wf.readframes(nf)
+            chan0 = np.frombuffer(raw, dtype="<i2")[::ch].astype(np.int64)
+            if chan0.size == 0:
+                raise ValueError("empty PCM stream")
+            nw = min(chan0.size // window, n_windows)
+            if nw == 0:
+                return 0, None, None, False
+            X = chan0[: nw * window].reshape(nw, window)
+            # |E| <= (window^2 * max|x|)^2-ish but measured <= 2^28 for
+            # 16-bit PCM at window=128 — far inside int64 (the c=-2
+            # kernel grows linearly, all others are periodic +-1).
+            E = np.empty((nw, 4), dtype=np.int64)
+            for k, c in enumerate(_FP_COEFFS):
+                s1 = np.zeros(nw, dtype=np.int64)
+                s2 = np.zeros(nw, dtype=np.int64)
+                for t in range(window):
+                    s0 = X[:, t] + c * s1 - s2
+                    s2, s1 = s1, s0
+                E[:, k] = s1 * s1 + s2 * s2 - c * s1 * s2
+            bits = (E > E[:, [1, 2, 3, 0]]).reshape(-1)  # pos = 4*w + k
+            hi = lo = 0
+            for p in range(bits.size):
+                if bits[p]:
+                    if p < 32:
+                        hi |= 1 << (31 - p)
+                    else:
+                        lo |= 1 << (63 - p)
+            return 4 * nw, hi, lo, nw == n_windows
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    nb, hi, lo, ok = fingerprint(bytes(payload or b""), fmt)
+                    recs.append((mid, nb, hi, lo, ok))
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
+                    recs.append((mid, 0, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=["media_id", "n_bits", "hash_hi", "hash_lo", "decode_ok"],
+            )
+
+    return media.filter(F.col("media_type") == "audio").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=AUDIO_FP_SCHEMA)
+
+
+def checked_audio_fp_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable audio near-dup table: 4*n_bases 2048-sample
+    16-bit WAVs with closed-form integer samples, id i = 4*b + variant:
+
+    * variant 0 — base clip: x(b, t) = ((t*t*13 + t*17*(b+2) + 31*b)
+      % 1025) - 512.
+    * variant 1 — volume-doubled re-upload 2*x (all four band powers
+      scale by exactly 4: every spectral-slope bit preserved,
+      Hamming 0).
+    * variant 2 — one-window edit: window 5's samples become
+      ((t*t*5 + t*23*(b+4) + 11*b) % 1025) - 512 (only that window's
+      4 bits can move; measured Hamming <= 1).
+    * variant 3 — different content ((t*t*19 + t*13*(b+6) + 53*b + 7)
+      % 1025) - 512 (measured >= 21 bits from everything else).
+
+    Three honesty rows follow: id 4*n_bases an undecodable 'mp3'
+    digest blob; id 4*n_bases+1 a 500-sample clip of base-0 content
+    (3 full windows -> a REAL 12-bit partial hash, decode_ok false);
+    id 4*n_bases+2 a STEREO clip whose channel 0 is exactly base 0's
+    samples and channel 1 anti-phase junk — it must land on base 0's
+    exact hash (the channel-0 deinterleave discipline, value-checked)."""
+    import io
+    import struct
+    import wave
+
+    def xb(b: int, t: int) -> int:
+        return ((t * t * 13 + t * 17 * (b + 2) + 31 * b) % 1025) - 512
+
+    def wav(samples: list[int], ch: int = 1) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    rows = []
+    for b in range(n_bases):
+        base = [xb(b, t) for t in range(2048)]
+        edit = list(base)
+        edit[5 * 128 : 6 * 128] = [
+            ((t * t * 5 + t * 23 * (b + 4) + 11 * b) % 1025) - 512
+            for t in range(5 * 128, 6 * 128)
+        ]
+        alt = [((t * t * 19 + t * 13 * (b + 6) + 53 * b + 7) % 1025) - 512
+               for t in range(2048)]
+        for v, samples in enumerate(
+            (base, [2 * x for x in base], edit, alt)
+        ):
+            rows.append(
+                (4 * b + v, "audio", "wav", bytearray(wav(samples)),
+                 None, None, None)
+            )
+    bad_id = 4 * n_bases
+    rows.append(
+        (bad_id, "audio", "mp3",
+         bytearray(hashlib.md5(f"afp{bad_id}".encode()).digest() * 4),
+         None, None, None)
+    )
+    rows.append(
+        (bad_id + 1, "audio", "wav",
+         bytearray(wav([xb(0, t) for t in range(500)])), None, None, None)
+    )
+    stereo = []
+    for t in range(2048):
+        stereo.append(xb(0, t))
+        stereo.append(((t * 911 + 97) % 1025) - 512)  # channel-1 junk
+    rows.append(
+        (bad_id + 2, "audio", "wav", bytearray(wav(stereo, ch=2)),
+         None, None, None)
+    )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

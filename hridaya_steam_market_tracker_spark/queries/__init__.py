@@ -72,6 +72,11 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # plus the span/strip family touched by the r8 localCheckpoint fix; the
 # remaining r04-era raw scans and the r05 cohort fill the 50 slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    'media_ingest_admission_twin',
+    'multimodal_audio_dedup_keep_list',
+    'multimodal_audio_fingerprint_checked',
+    'multimodal_video_dedup_keep_list',
+    'multimodal_video_temporal_hash_checked',
     'vocab_growth_curve',
     'winsorize_stream_values',
     'dedup_minhash_lsh',
@@ -117,11 +122,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'e6_urgency_overdue',
     'f1_union_all_per_stream_meta',
     'f3_payload_dup_check',
-    'g1_parse_steam_price',
-    'g2_minor_units_conversion',
-    'g3_parse_volume',
-    'g4_extract_currency',
-    'g5_activity_price_currency',
 )
 
 

@@ -1193,6 +1193,406 @@ def multimodal_image_dedup_keep_list(
     )
 
 
+_VIDEO_TDHASH_HASHES_CTE = """
+    vals AS (
+      SELECT i, j,
+        CASE i % 4
+          WHEN 0 THEN (j*j*7 + j*29*((i//4)+3) + 151*(i//4)) % 251
+          WHEN 1 THEN (j*j*7 + j*29*((i//4)+3) + 151*(i//4)) % 251 + 4
+          WHEN 2 THEN CASE WHEN j = 10
+                 THEN (((9*9*7 + 9*29*((i//4)+3) + 151*(i//4)) % 251)
+                       + ((11*11*7 + 11*29*((i//4)+3) + 151*(i//4)) % 251)) // 2
+                 ELSE (j*j*7 + j*29*((i//4)+3) + 151*(i//4)) % 251 END
+          ELSE (j*j*11 + j*37*((i//4)+5) + 97*(i//4) + 3) % 251
+        END AS v
+      FROM generate_series(0, 15) g(i), generate_series(0, 64) gj(j)
+      UNION ALL
+      SELECT 17, j, (j*j*7 + j*87) % 251 FROM generate_series(0, 9) gj(j)
+    ),
+    bits AS (
+      SELECT a.i, a.j AS k, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM vals a JOIN vals b ON b.i = a.i AND b.j = a.j + 1
+      WHERE a.j < 64
+    ),
+    hashes AS (
+      SELECT i, CAST(count(*) AS INTEGER) AS n_bits,
+        CAST(sum(CASE WHEN k < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(sum(CASE WHEN k >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM bits GROUP BY i
+    )
+"""
+
+
+@register(
+    "multimodal_video_temporal_hash_checked",
+    oracle="WITH "
+    + _VIDEO_TDHASH_HASHES_CTE
+    + """
+    SELECT CAST(i AS BIGINT) AS media_id, n_bits, hash_hi, hash_lo,
+           n_bits = 64 AS decode_ok
+    FROM hashes
+    UNION ALL
+    SELECT 16, 0, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED per-video temporal dHash: real MJPEG-in-MP4 "
+        "containers are demuxed, every constant-gray frame decoded "
+        "through the real baseline-JPEG codec, and the 64 sign bits of "
+        "consecutive frame-mean differences packed into the same "
+        "(hash_hi, hash_lo) relation the image dedup machinery "
+        "consumes. The oracle restates each signature arithmetically "
+        "from the closed-form frame levels (exact because constant-"
+        "gray JPEG round-trips losslessly). Honesty rows ride along: "
+        "an unparseable container (n_bits 0, NULL hash) and a 10-frame "
+        "clip whose REAL 9-bit partial hash is value-checked but "
+        "decode_ok=false — too short to band without spurious "
+        "zero-padding matches."
+    ),
+)
+def multimodal_video_temporal_hash_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_dedup_df,
+        video_temporal_dhash,
+    )
+
+    return video_temporal_dhash(checked_video_dedup_df(spark))
+
+
+@register(
+    "multimodal_video_dedup_keep_list",
+    oracle="WITH RECURSIVE "
+    + _VIDEO_TDHASH_HASHES_CTE
+    + """,
+    vids AS (SELECT CAST(i AS BIGINT) AS i, hash_hi, hash_lo
+             FROM hashes WHERE n_bits = 64),
+    pairs AS (
+      SELECT a.i AS i, c.i AS j
+      FROM vids a JOIN vids c ON a.i < c.i
+      WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+            + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT i, i FROM vids
+      UNION
+      SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node
+    )
+    SELECT node AS media_id, CAST(min(lab) AS BIGINT) AS component,
+           min(lab) = node AS kept
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "The full crawl-scale VIDEO-dedup decision, value-checked end "
+        "to end: MP4 demux -> per-frame JPEG decode -> temporal dHash "
+        "-> the SAME lossless 4x16-bit banded join, Hamming<=3 verify, "
+        "connected components and keep-min-id as the image plane — "
+        "zero new shuffle machinery, one new signature. Brightness-"
+        "re-encoded copies land Hamming 0, a one-frame edit within "
+        "the radius, different content >= 25 bits away; unparseable "
+        "and too-short clips are excluded from the graph rather than "
+        "silently kept. The video analog of "
+        "multimodal_image_dedup_keep_list."
+    ),
+)
+def multimodal_video_dedup_keep_list(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_dedup_df,
+        dhash_near_pairs,
+        video_temporal_dhash,
+    )
+
+    hashes = video_temporal_dhash(checked_video_dedup_df(spark))
+    pairs = dhash_near_pairs(hashes, max_hamming=3)
+    labels = connected_components(
+        hashes.filter(F.col("decode_ok")).select("media_id"),
+        pairs.select("i", "j"),
+        id_col="media_id",
+    )
+    return labels.select(
+        F.col("node").alias("media_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("kept"),
+    )
+
+
+_AUDIO_FP_HASHES_CTE = """
+    x AS (
+      SELECT i, t,
+        CASE
+          WHEN i >= 17 THEN ((t*t*13 + t*17*2) % 1025) - 512
+          WHEN i % 4 = 0
+            THEN ((t*t*13 + t*17*((i//4)+2) + 31*(i//4)) % 1025) - 512
+          WHEN i % 4 = 1
+            THEN 2 * (((t*t*13 + t*17*((i//4)+2) + 31*(i//4)) % 1025) - 512)
+          WHEN i % 4 = 2 THEN CASE WHEN t // 128 = 5
+            THEN ((t*t*5 + t*23*((i//4)+4) + 11*(i//4)) % 1025) - 512
+            ELSE ((t*t*13 + t*17*((i//4)+2) + 31*(i//4)) % 1025) - 512 END
+          ELSE ((t*t*19 + t*13*((i//4)+6) + 53*(i//4) + 7) % 1025) - 512
+        END AS v
+      FROM (SELECT i FROM generate_series(0, 18) g(i) WHERE i <> 16) gi,
+           generate_series(0, 2047) gt(t)
+      WHERE i <> 17 OR t < 384
+    ),
+    e AS (
+      SELECT i, t // 128 AS w, k.k,
+        sum(v * CASE k.k
+            WHEN 0 THEN CASE (127 - t % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (127 - t % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (127 - t % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (128 - t % 128)
+                 * (CASE WHEN (127 - t % 128) % 2 = 0 THEN 1 ELSE -1 END)
+          END) AS s1,
+        sum(CASE WHEN t % 128 <= 126 THEN v * CASE k.k
+            WHEN 0 THEN CASE (126 - t % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (126 - t % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (126 - t % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (127 - t % 128)
+                 * (CASE WHEN (126 - t % 128) % 2 = 0 THEN 1 ELSE -1 END)
+          END ELSE 0 END) AS s2
+      FROM x, (VALUES (0), (1), (2), (3)) k(k)
+      GROUP BY i, t // 128, k.k
+    ),
+    pw AS (
+      SELECT i, w, k,
+        s1*s1 + s2*s2
+        - (CASE k WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN -1 ELSE -2 END)
+          * s1 * s2 AS en
+      FROM e
+    ),
+    bits AS (
+      SELECT a.i, 4 * a.w + a.k AS p,
+             CASE WHEN a.en > b.en THEN 1 ELSE 0 END AS bit
+      FROM pw a JOIN pw b
+        ON b.i = a.i AND b.w = a.w AND b.k = (a.k + 1) % 4
+    ),
+    hashes AS (
+      SELECT i, CAST(count(*) AS INTEGER) AS n_bits,
+        CAST(sum(CASE WHEN p < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(sum(CASE WHEN p >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM bits GROUP BY i
+    )
+"""
+
+
+@register(
+    "multimodal_audio_fingerprint_checked",
+    oracle="WITH "
+    + _AUDIO_FP_HASHES_CTE
+    + """
+    SELECT CAST(i AS BIGINT) AS media_id, n_bits, hash_hi, hash_lo,
+           n_bits = 64 AS decode_ok
+    FROM hashes
+    UNION ALL
+    SELECT 16, 0, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED multi-bin Goertzel audio fingerprint: really-"
+        "decoded 16-bit PCM, four integer-grid band powers (fs/6, "
+        "fs/4, fs/3, fs/2 — coefficients 1, 0, -1, -2) per 128-sample "
+        "window, 16 windows of spectral-slope bits packed into the "
+        "shared (hash_hi, hash_lo) relation. The oracle restates every "
+        "power as a weighted integer sum over the closed-form samples "
+        "(the recursion's impulse response is periodic, or the "
+        "alternating ramp for fs/2), so all 64 bits are cross-engine "
+        "exact. Honesty rows: an mp3 digest blob, a 500-sample clip "
+        "whose REAL 12-bit partial hash is value-checked "
+        "(decode_ok=false — too short to band), and a STEREO clip "
+        "whose channel 0 is base 0's samples — it must land on base "
+        "0's exact hash, value-checking the deinterleave discipline."
+    ),
+)
+def multimodal_audio_fingerprint_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        checked_audio_fp_df,
+    )
+
+    return audio_goertzel_fingerprint(checked_audio_fp_df(spark))
+
+
+@register(
+    "multimodal_audio_dedup_keep_list",
+    oracle="WITH RECURSIVE "
+    + _AUDIO_FP_HASHES_CTE
+    + """,
+    clips AS (SELECT CAST(i AS BIGINT) AS i, hash_hi, hash_lo
+              FROM hashes WHERE n_bits = 64),
+    pairs AS (
+      SELECT a.i AS i, c.i AS j
+      FROM clips a JOIN clips c ON a.i < c.i
+      WHERE bit_count(xor(a.hash_hi, c.hash_hi))
+            + bit_count(xor(a.hash_lo, c.hash_lo)) <= 3
+    ),
+    edges AS (SELECT i AS src, j AS dst FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(node, lab) AS (
+      SELECT i, i FROM clips
+      UNION
+      SELECT g.dst, r.lab FROM reach r JOIN edges g ON g.src = r.node
+    )
+    SELECT node AS media_id, CAST(min(lab) AS BIGINT) AS component,
+           min(lab) = node AS kept
+    FROM reach GROUP BY node
+    """,
+    doc=(
+        "The full crawl-scale AUDIO-dedup decision, value-checked end "
+        "to end: PCM decode -> integer-grid Goertzel fingerprint -> "
+        "the SAME lossless 4x16-bit banded join, Hamming<=3 verify, "
+        "connected components and keep-min-id as the image and video "
+        "planes. Volume-doubled re-uploads land Hamming 0 (power "
+        "ratios are amplitude-invariant), a one-window edit stays "
+        "inside the radius, different content >= 21 bits away, and "
+        "the stereo twin joins its mono base's cluster; undecodable "
+        "and too-short clips are excluded from the graph rather than "
+        "silently kept."
+    ),
+)
+def multimodal_audio_dedup_keep_list(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.components import (
+        connected_components,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        checked_audio_fp_df,
+        dhash_near_pairs,
+    )
+
+    hashes = audio_goertzel_fingerprint(checked_audio_fp_df(spark))
+    pairs = dhash_near_pairs(hashes, max_hamming=3)
+    labels = connected_components(
+        hashes.filter(F.col("decode_ok")).select("media_id"),
+        pairs.select("i", "j"),
+        id_col="media_id",
+    )
+    return labels.select(
+        F.col("node").alias("media_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("kept"),
+    )
+
+
+@register(
+    "media_ingest_admission_twin",
+    oracle="""
+    WITH px AS (
+      SELECT b, x, y,
+             3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
+      FROM generate_series(1, 4) g(b),
+           generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
+    ),
+    cells AS (
+      SELECT b, x // 4 AS cx, y // 4 AS cy, CAST(sum(v) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.b, CASE WHEN a.s > c.s THEN 1 ELSE 0 END AS bit,
+             a.cy * 8 + a.cx AS k
+      FROM cells a
+      JOIN cells c ON a.b = c.b AND a.cy = c.cy AND c.cx = a.cx + 1
+    ),
+    hashes AS (
+      SELECT b,
+             CAST(sum(CASE WHEN k < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+                  AS BIGINT) AS hash_lo
+      FROM bits GROUP BY b
+    ),
+    ids(i, wave) AS (VALUES (0, 'store'), (8, 'store'), (5, 'batch'),
+                            (13, 'batch'), (18, 'batch'), (19, 'batch'),
+                            (26, 'batch')),
+    imgs AS (
+      SELECT ids.i, ids.wave, h.hash_hi, h.hash_lo
+      FROM ids JOIN hashes h ON h.b = 1 + (ids.i // 8) % 4
+    ),
+    rej AS (
+      SELECT b.i FROM imgs b
+      WHERE b.wave = 'batch' AND EXISTS (
+        SELECT 1 FROM imgs s
+        WHERE (s.wave = 'store' OR (s.wave = 'batch' AND s.i < b.i))
+          AND bit_count(xor(s.hash_hi, b.hash_hi))
+              + bit_count(xor(s.hash_lo, b.hash_lo)) <= 3
+      )
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           i NOT IN (SELECT i FROM rej) AS admitted
+    FROM ids WHERE wave = 'batch'
+    UNION ALL
+    SELECT 33, TRUE
+    """,
+    doc=(
+        "Batch twin of the streaming media-ingest gate: the EXACT "
+        "admission decision function the foreachBatch path runs "
+        "(streaming/media_ingest.py media_admission_rejects — shared "
+        "code, not a reimplementation) evaluated against a planted "
+        "store of two upright bases and a batch of rotated re-uploads. "
+        "Value-checked decisions: rotated copies of STORED bases are "
+        "rejected via the band-join + carried-hash verify; a rotation "
+        "pair of an UNSTORED base resolves within-batch by "
+        "leader-keeps (min id admitted, satellite rejected); a base "
+        "with no match anywhere is admitted; the undecodable blob is "
+        "admitted docs-only (dedup cannot gate on evidence it cannot "
+        "read). The J-family-twin discipline applied to the media "
+        "plane."
+    ),
+)
+def media_ingest_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_oriented_dhash_df,
+        dhash_bands,
+        image_dhash_oriented,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_admission_rejects,
+    )
+
+    fixture = checked_oriented_dhash_df(spark, n=34)
+    stored = fixture.filter(F.col("media_id").isin([0, 8]))
+    batch = fixture.filter(F.col("media_id").isin([5, 13, 18, 19, 26, 33]))
+    stored_bands = dhash_bands(image_dhash_oriented(stored))
+    rejects = media_admission_rejects(
+        stored_bands, dhash_bands(image_dhash_oriented(batch))
+    )
+    return (
+        batch.select("media_id")
+        .join(rejects.withColumn("rej", F.lit(True)), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
+        )
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""

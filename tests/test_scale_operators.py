@@ -1879,3 +1879,102 @@ def test_df_cap_encoded_in_oracle_all_hot_agreement(spark):
     for qname in ("containment_pairs", "dedup_ngram_jaccard"):
         n = len(con.execute(registry[qname].oracle).df())
         assert n == 0, f"{qname} oracle returned {n} rows on the all-hot fixture"
+
+
+def test_video_temporal_dhash_invariances(spark):
+    """The video near-dup signature's motivating properties, on real
+    MJPEG-in-MP4 bytes: (a) a brightness-re-encoded copy lands
+    Hamming 0 and a one-frame edit within the banding radius, so the
+    REUSED dhash_near_pairs machinery returns exactly the 4 fixture
+    clusters; (b) genuinely different content sits far outside the
+    radius; (c) the honest-failure rows — an unparseable container
+    (n_bits 0, NULL hash) and a 10-frame clip (REAL 9-bit partial
+    hash, decode_ok false) — are excluded from banding rather than
+    zero-padded into spurious matches."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_dedup_df,
+        dhash_near_pairs,
+        video_temporal_dhash,
+    )
+
+    hashes = video_temporal_dhash(checked_video_dedup_df(spark))
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert len(rows) == 18
+
+    # (a) exact clusters via the shared banded join
+    pairs = {
+        (r["i"], r["j"])
+        for r in dhash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    want = {
+        (4 * b + i, 4 * b + j)
+        for b in range(4)
+        for i in range(3)
+        for j in range(i + 1, 3)
+    }
+    assert pairs == want
+
+    # brightness re-encode is Hamming 0 (identical packed hash)
+    for b in range(4):
+        assert (rows[4 * b]["hash_hi"], rows[4 * b]["hash_lo"]) == (
+            rows[4 * b + 1]["hash_hi"], rows[4 * b + 1]["hash_lo"],
+        )
+
+    # (b) variant-3 content never pairs with anything
+    assert not any(3 in (i % 4, j % 4) for i, j in pairs)
+
+    # (c) honesty rows
+    bad, short = rows[16], rows[17]
+    assert bad["n_bits"] == 0 and bad["hash_hi"] is None
+    assert not bad["decode_ok"]
+    assert short["n_bits"] == 9 and not short["decode_ok"]
+    assert short["hash_hi"] is not None and short["hash_lo"] == 0
+
+
+def test_audio_fingerprint_invariances(spark):
+    """The audio near-dup signature's motivating properties, on real
+    WAV bytes: (a) a volume-doubled re-upload lands on the IDENTICAL
+    hash (band powers scale by exactly 4; spectral-slope bits are
+    amplitude-invariant); (b) the STEREO twin whose channel 0 is the
+    mono base's samples lands on the same hash — the deinterleave
+    discipline, not a mixdown; (c) a one-window edit stays within the
+    banding radius while different content never pairs; (d) the
+    too-short clip keeps a real 12-bit partial hash but is excluded
+    from banding."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        checked_audio_fp_df,
+        dhash_near_pairs,
+    )
+
+    hashes = audio_goertzel_fingerprint(checked_audio_fp_df(spark))
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert len(rows) == 19
+
+    for b in range(4):  # (a) volume invariance
+        assert (rows[4 * b]["hash_hi"], rows[4 * b]["hash_lo"]) == (
+            rows[4 * b + 1]["hash_hi"], rows[4 * b + 1]["hash_lo"],
+        )
+    # (b) stereo twin == mono base, full 64 bits
+    assert rows[18]["decode_ok"] and (
+        rows[18]["hash_hi"], rows[18]["hash_lo"]
+    ) == (rows[0]["hash_hi"], rows[0]["hash_lo"])
+
+    # (c) clusters exactly: {0,1,2,18} and {4b,4b+1,4b+2} for b>0
+    pairs = {
+        (r["i"], r["j"])
+        for r in dhash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    want = {
+        (4 * b + i, 4 * b + j)
+        for b in range(4)
+        for i in range(3)
+        for j in range(i + 1, 3)
+    } | {(0, 18), (1, 18), (2, 18)}
+    assert pairs == want
+
+    # (d) honesty rows
+    assert rows[16]["n_bits"] == 0 and rows[16]["hash_hi"] is None
+    short = rows[17]
+    assert short["n_bits"] == 12 and not short["decode_ok"]
+    assert short["hash_hi"] is not None and short["hash_lo"] == 0
