@@ -1196,12 +1196,12 @@ DHASH_SCHEMA = (
 )
 
 
-def _dhash_kernel(grid_w: int, grid_h: int):
-    """Self-contained dHash core shared by `image_dhash` and
-    `image_dhash_oriented` (captured by value like `_pixel_codec`'s
-    closures, so executors need no package import): exact integer
-    cell-sum comparisons over a decoded RGB raster, packed big-endian
-    into two non-negative 32-bit halves."""
+def _dhash_kernel_scalar(grid_w: int, grid_h: int):
+    """Pure-Python dHash core, kept as the ORACLE CROSS-CHECK for the
+    numpy kernel below (round 9): exact integer cell-sum comparisons
+    over a decoded RGB raster, packed big-endian into two non-negative
+    32-bit halves. tests/test_scale_operators.py asserts bit-identity
+    of the two kernels over randomized rasters."""
 
     def dhash_bits(w: int, h: int, rgb) -> tuple[int, int]:
         cw, ch = w // grid_w, h // grid_h
@@ -1235,12 +1235,50 @@ def _dhash_kernel(grid_w: int, grid_h: int):
     return dhash_bits
 
 
-def _orientation_transform():
-    """Upright mapping for EXIF Orientation values 1-8 (EXIF 2.3
-    §4.6.4, tag 0x0112): `upright(w, h, rgb, ori)` returns the raster
-    as it should be DISPLAYED. Exact per-pixel index permutation — no
-    resampling — so orientation-normalized hashes stay replicable
-    cross-engine. Self-contained closure (capture-by-value posture)."""
+def _dhash_kernel(grid_w: int, grid_h: int):
+    """Self-contained dHash core shared by `image_dhash` and
+    `image_dhash_oriented` (captured by value like `_pixel_codec`'s
+    closures, so executors need no package import). Round 9: the
+    per-pixel Python loops became numpy block sums — uint8 pixels
+    summed in int64 are EXACT, so this is the same hash bit-for-bit
+    (the scalar twin `_dhash_kernel_scalar` stays as the cross-check);
+    only rows*cols partial cells at the right/bottom edges are dropped,
+    exactly as the scalar index arithmetic drops them."""
+
+    def dhash_bits(w: int, h: int, rgb) -> tuple[int, int]:
+        import numpy as np
+
+        cw, ch = w // grid_w, h // grid_h
+        if cw == 0 or ch == 0:
+            raise ValueError("image smaller than the dhash grid")
+        px = (
+            np.frombuffer(bytes(rgb), dtype=np.uint8)
+            .reshape(h, w, 3)
+            .sum(axis=2, dtype=np.int64)
+        )
+        sums = (
+            px[: grid_h * ch, : grid_w * cw]
+            .reshape(grid_h, ch, grid_w, cw)
+            .sum(axis=(1, 3))
+        )
+        bits = (sums[:, :-1] > sums[:, 1:]).reshape(-1)
+        hi = lo = 0
+        for k in range(bits.size):
+            if bits[k]:
+                if k < 32:
+                    hi |= 1 << (31 - k)
+                else:
+                    lo |= 1 << (63 - k)
+        return hi, lo
+
+    return dhash_bits
+
+
+def _orientation_transform_scalar():
+    """Pure-Python upright mapping, kept as the ORACLE CROSS-CHECK for
+    the numpy kernel below (round 9): per-pixel index arithmetic for
+    EXIF Orientation 1-8. tests/test_scale_operators.py asserts
+    byte-identity of the two kernels over randomized rasters."""
 
     def upright(w: int, h: int, rgb, ori: int):
         if ori == 1:
@@ -1271,6 +1309,44 @@ def _orientation_transform():
                 src, dst = 3 * (sy * w + sx), 3 * (y * w2 + x)
                 out[dst : dst + 3] = rgb[src : src + 3]
         return w2, h2, bytes(out)
+
+    return upright
+
+
+def _orientation_transform():
+    """Upright mapping for EXIF Orientation values 1-8 (EXIF 2.3
+    §4.6.4, tag 0x0112): `upright(w, h, rgb, ori)` returns the raster
+    as it should be DISPLAYED. Exact per-pixel index permutation — no
+    resampling — so orientation-normalized hashes stay replicable
+    cross-engine. Self-contained closure (capture-by-value posture).
+    Round 9: the per-pixel Python loop became numpy axis flips/
+    transposes — pure index permutations, byte-identical to the scalar
+    twin `_orientation_transform_scalar` (asserted in tests)."""
+
+    def upright(w: int, h: int, rgb, ori: int):
+        import numpy as np
+
+        if ori == 1:
+            return w, h, rgb
+        if ori not in (2, 3, 4, 5, 6, 7, 8):
+            raise ValueError(f"EXIF orientation {ori} outside 1-8")
+        a = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(h, w, 3)
+        if ori == 2:  # mirror horizontal
+            a = a[:, ::-1]
+        elif ori == 3:  # rotate 180
+            a = a[::-1, ::-1]
+        elif ori == 4:  # mirror vertical
+            a = a[::-1]
+        elif ori == 5:  # transpose (main diagonal)
+            a = a.transpose(1, 0, 2)
+        elif ori == 6:  # stored needs 90 deg CW to display
+            a = a.transpose(1, 0, 2)[:, ::-1]
+        elif ori == 7:  # transverse (anti-diagonal)
+            a = a.transpose(1, 0, 2)[::-1, ::-1]
+        else:  # 8: stored needs 270 deg CW to display
+            a = a.transpose(1, 0, 2)[::-1, :]
+        h2, w2 = a.shape[0], a.shape[1]
+        return w2, h2, np.ascontiguousarray(a).tobytes()
 
     return upright
 
@@ -3414,11 +3490,16 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 ch = wf.getnchannels()
                 nf = wf.getnframes()
                 raw = wf.readframes(nf)
-            samples = struct.unpack(f"<{nf * ch}h", raw)
-            peak = max(abs(s) for s in samples) / 32768.0 if samples else 0.0
+            import numpy as np
+
+            # int64 BEFORE abs: int16 abs(-32768) overflows to itself.
+            # Integer sums <= 2^53 are float64-exact, so rms/peak are
+            # bit-identical to the r8 per-sample Python loops.
+            a = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+            peak = int(a.max()) / 32768.0 if a.size else 0.0
             rms = (
-                (sum(s * s for s in samples) / len(samples)) ** 0.5 / 32768.0
-                if samples
+                (int((a * a).sum()) / a.size) ** 0.5 / 32768.0
+                if a.size
                 else 0.0
             )
             return rate, ch, 1000.0 * nf / rate, rms, peak
@@ -3484,19 +3565,24 @@ def extract_audio_zcr(media: DataFrame) -> DataFrame:
                 nf = wf.getnframes()
                 ch = wf.getnchannels()
                 raw = wf.readframes(nf)
-            samples = struct.unpack(f"<{nf * ch}h", raw)
-            if not samples:
+            import numpy as np
+
+            # Round 9: numpy strided deinterleave + sign-product count
+            # (int64 so the products and the abs-sum are exact; the
+            # strict < 0 keeps the on-zero-bridges semantics). Values
+            # are bit-identical to the r8 per-sample loops — asserted
+            # against a scalar reference in tests.
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            if s.size == 0:
                 raise ValueError("empty PCM stream")
             crossings = 0
             for c in range(ch):  # deinterleave: crossings are per-channel
-                chan = samples[c::ch]
-                crossings += sum(
-                    1 for k in range(1, len(chan)) if chan[k - 1] * chan[k] < 0
-                )
-            mean_abs = sum(abs(s) for s in samples) / len(samples)
+                chan = s[c::ch]
+                crossings += int(((chan[:-1] * chan[1:]) < 0).sum())
+            mean_abs = int(np.abs(s).sum()) / s.size
             pairs = ch * (nf - 1)
             zcr = crossings / pairs if pairs > 0 else 0.0
-            return len(samples), crossings, zcr, mean_abs
+            return s.size, crossings, zcr, mean_abs
 
         for pdf in batches:
             recs = []
@@ -3576,18 +3662,48 @@ def extract_audio_goertzel(media: DataFrame, freq_ratio: float = 0.25) -> DataFr
                 nf = wf.getnframes()
                 ch = wf.getnchannels()
                 raw = wf.readframes(nf)
-            samples = struct.unpack(f"<{nf * ch}h", raw)
-            if not samples:
+            import numpy as np
+
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            if s.size == 0:
                 raise ValueError("empty PCM stream")
             power = 0.0
             total = 0.0
             for c in range(ch):
-                s1 = s2 = 0.0
-                for x in samples[c::ch]:
-                    s0 = x + coeff * s1 - s2
-                    s2, s1 = s1, s0
-                power += s1 * s1 + s2 * s2 - coeff * s1 * s2
-                total += float(sum(x * x for x in samples[c::ch]))
+                chan = s[c::ch]
+                if coeff == 0.0:
+                    # Round 9: the quarter-band recursion's impulse
+                    # response has period 4 (1, 0, -1, 0), so the state
+                    # pair collapses to alternating sums of same-parity
+                    # samples — strided numpy integer sums (weight +1
+                    # at n ≡ m-1, -1 at n ≡ m+1 mod 4 for s1; shifted
+                    # one sample for s2), exact in float64
+                    # (|s| <= N * 2^15 << 2^53), bit-identical to the
+                    # r8 per-sample float recursion (asserted against
+                    # a scalar reference in tests).
+                    m = chan.size
+                    s1 = float(
+                        int(chan[(m - 1) % 4 :: 4].sum())
+                        - int(chan[(m + 1) % 4 :: 4].sum())
+                    )
+                    if m >= 2:
+                        c2 = chan[: m - 1]
+                        s2 = float(
+                            int(c2[(m - 2) % 4 :: 4].sum())
+                            - int(c2[m % 4 :: 4].sum())
+                        )
+                    else:
+                        s2 = 0.0
+                    power += s1 * s1 + s2 * s2
+                else:
+                    # non-grid ratio: the recursion stays scalar (the
+                    # float coefficient admits no periodic closed form)
+                    s1 = s2 = 0.0
+                    for x in chan:
+                        s0 = x + coeff * s1 - s2
+                        s2, s1 = s1, s0
+                    power += s1 * s1 + s2 * s2 - coeff * s1 * s2
+                total += float(int((chan * chan).sum()))
             ratio = 2.0 * power / (nf * total) if total > 0 else 0.0
             return nf, ch, power, total, ratio
 
@@ -3647,7 +3763,10 @@ def checked_goertzel_df(spark, n: int = 24) -> DataFrame:
                  None, None, None)
             )
             continue
-        amp = 500 + 37 * i
+        # i % 240 keeps amp inside int16 at rehearsal scale (n=24*50
+        # overflowed struct '<h' at i >= 880); identical to 500 + 37*i
+        # for the oracle's i < 24, so registered hashes are unchanged.
+        amp = 500 + 37 * (i % 240)
         if i % 4 == 1:
             samples = [
                 amp * (1 if t % 4 == 1 else -1 if t % 4 == 3 else 0)

@@ -1978,3 +1978,79 @@ def test_audio_fingerprint_invariances(spark):
     short = rows[17]
     assert short["n_bits"] == 12 and not short["decode_ok"]
     assert short["hash_hi"] is not None and short["hash_lo"] == 0
+
+
+def test_vectorized_codec_kernels_match_scalar_references(spark):
+    """Round-9 vectorization guard: the numpy kernels must be
+    BIT-IDENTICAL to the scalar implementations they replaced — the
+    scalar twins stay in the module (dhash/upright) or here (audio) as
+    the oracle cross-check, per the exactness argument: uint8/int16
+    values summed in int64 are exact, and integer-valued float64
+    arithmetic on |x| << 2^53 has no rounding."""
+    import io
+    import random
+    import struct
+    import wave
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _dhash_kernel,
+        _dhash_kernel_scalar,
+        _orientation_transform,
+        _orientation_transform_scalar,
+        extract_audio_goertzel,
+        extract_audio_zcr,
+    )
+
+    rnd = random.Random(20260815)
+
+    # dhash + upright: randomized rasters, every orientation
+    up_v, up_s = _orientation_transform(), _orientation_transform_scalar()
+    dk_v, dk_s = _dhash_kernel(9, 8), _dhash_kernel_scalar(9, 8)
+    for w, h in ((36, 32), (9, 8), (40, 33), (19, 17)):
+        rgb = bytes(rnd.randrange(256) for _ in range(3 * w * h))
+        assert dk_v(w, h, rgb) == dk_s(w, h, rgb)
+        for ori in range(1, 9):
+            assert up_v(w, h, rgb, ori) == up_s(w, h, rgb, ori)
+
+    # audio ops: random stereo PCM incl. the int16 extremes, through
+    # the REAL operators, against scalar reference computations
+    n = 301  # odd length exercises the d2/(n-1) parity edge
+    samples = [rnd.randrange(-32768, 32768) for _ in range(2 * n)]
+    samples[0], samples[3] = -32768, 32767
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    media = spark.createDataFrame(
+        [(1, "audio", "wav", bytearray(buf.getvalue()), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+
+    zrow = extract_audio_zcr(media).collect()[0]
+    crossings = 0
+    for c in range(2):
+        chan = samples[c::2]
+        crossings += sum(
+            1 for k in range(1, len(chan)) if chan[k - 1] * chan[k] < 0
+        )
+    assert zrow["zero_crossings"] == crossings
+    assert zrow["mean_abs"] == round(
+        sum(abs(s) for s in samples) / len(samples), 6
+    )
+    assert zrow["zcr"] == round(crossings / (2 * (n - 1)), 6)
+
+    grow = extract_audio_goertzel(media).collect()[0]
+    power = total = 0.0
+    for c in range(2):
+        s1 = s2 = 0.0
+        for x in samples[c::2]:  # the r8 scalar recursion, coeff 0
+            s0 = x + 0.0 * s1 - s2
+            s2, s1 = s1, s0
+        power += s1 * s1 + s2 * s2
+        total += float(sum(x * x for x in samples[c::2]))
+    assert grow["goertzel_power"] == round(power, 6)
+    assert grow["total_power"] == round(total, 6)
+    assert grow["band_ratio"] == round(2.0 * power / (n * total), 6)
