@@ -152,6 +152,8 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
     rows/s/core and the Python-worker peak RSS — the one tier whose
     memory profile the sf1 text rehearsal did not cover."""
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        checked_audio_fp_df,
         checked_avc1_df,
         checked_goertzel_df,
         checked_hevc_df,
@@ -164,6 +166,7 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
         extract_hevc_nal_index,
         fake_media_df,
         image_dhash_oriented,
+        video_temporal_dhash,
     )
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -182,6 +185,14 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
             checked_oriented_dhash_df(spark, n=34 * rep).repartition(cores))),
         ("audio_goertzel", lambda: extract_audio_goertzel(
             checked_goertzel_df(spark, n=24 * rep).repartition(cores))),
+        # round-9 near-dup signature ops: the video temporal hash rides
+        # the same MJPEG demux+decode pass as decode_mp4_frames plus a
+        # media_id-keyed window+groupBy; the audio fingerprint is the
+        # numpy-vectorized multi-bin Goertzel.
+        ("video_temporal_dhash", lambda: video_temporal_dhash(
+            checked_mjpeg_df(spark, n=12 * rep).repartition(cores))),
+        ("audio_fingerprint", lambda: audio_goertzel_fingerprint(
+            checked_audio_fp_df(spark, n_bases=4 * rep).repartition(cores))),
     ]
     results = {}
     for name, build in jobs:
