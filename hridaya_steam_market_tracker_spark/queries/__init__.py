@@ -72,11 +72,14 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # plus the span/strip family touched by the r8 localCheckpoint fix; the
 # remaining r04-era raw scans and the r05 cohort fill the 50 slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    'any_media_ingest_admission_twin',
     'media_ingest_admission_twin',
     'multimodal_audio_dedup_keep_list',
     'multimodal_audio_fingerprint_checked',
     'multimodal_video_dedup_keep_list',
     'multimodal_video_temporal_hash_checked',
+    'multimodal_audio_features',
+    'multimodal_audio_features_checked',
     'vocab_growth_curve',
     'winsorize_stream_values',
     'dedup_minhash_lsh',
@@ -90,9 +93,11 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'source_prefix_boilerplate',
     'multimodal_image_exif_checked',
     'strip_then_span_stats',
+    'multimodal_audio_goertzel_checked',
+    'multimodal_dhash_oriented_checked',
+    'multimodal_dhash_oriented_near_pairs_checked',
+    'multimodal_image_dedup_keep_list',
     'blob_decompress_stats_checked',
-    'multimodal_audio_features',
-    'multimodal_audio_features_checked',
     'multimodal_feature_extract',
     'multimodal_feature_extract_checked',
     'multimodal_frame_sample_checked',
@@ -117,11 +122,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'd4_last_ingest_union_max',
     'd9_feasibility_gate',
     'dedup_clusters',
-    'dedup_exact',
-    'dedup_incremental_delta',
-    'e6_urgency_overdue',
-    'f1_union_all_per_stream_meta',
-    'f3_payload_dup_check',
 )
 
 

@@ -1594,6 +1594,147 @@ def media_ingest_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "any_media_ingest_admission_twin",
+    oracle="""
+    WITH imgs AS (
+      SELECT g.i, q.hash_hi, q.hash_lo
+      FROM (VALUES (0), (5), (18), (19)) g(i)
+      JOIN (
+        WITH px AS (
+          SELECT b, x, y,
+                 3 * ((x * (2 + b % 5) + y * (3 + b % 7) + 11 * b) % 200) AS v
+          FROM generate_series(1, 4) gb(b),
+               generate_series(0, 35) gx(x), generate_series(0, 31) gy(y)
+        ),
+        cells AS (
+          SELECT b, x // 4 AS cx, y // 4 AS cy, CAST(sum(v) AS BIGINT) AS s
+          FROM px GROUP BY 1, 2, 3
+        ),
+        bits AS (
+          SELECT a.b, CASE WHEN a.s > c.s THEN 1 ELSE 0 END AS bit,
+                 a.cy * 8 + a.cx AS k
+          FROM cells a
+          JOIN cells c ON a.b = c.b AND a.cy = c.cy AND c.cx = a.cx + 1
+        )
+        SELECT b,
+               CAST(sum(CASE WHEN k < 32
+                    THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END)
+                    AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN k >= 32
+                    THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END)
+                    AS BIGINT) AS hash_lo
+        FROM bits GROUP BY b
+      ) q ON q.b = 1 + (g.i // 8) % 4
+    ),
+    vids AS (
+      SELECT i + 1000 AS i, hash_hi, hash_lo FROM (
+        WITH """
+    + _VIDEO_TDHASH_HASHES_CTE
+    + """
+        SELECT i, hash_hi, hash_lo FROM hashes
+        WHERE n_bits = 64 AND i IN (0, 1, 3)
+      )
+    ),
+    auds AS (
+      SELECT i + 2000 AS i, hash_hi, hash_lo FROM (
+        WITH """
+    + _AUDIO_FP_HASHES_CTE
+    + """
+        SELECT i, hash_hi, hash_lo FROM hashes
+        WHERE n_bits = 64 AND i IN (0, 1, 18)
+      )
+    ),
+    sigs AS (
+      SELECT 'image' AS plane, i, hash_hi, hash_lo FROM imgs
+      UNION ALL SELECT 'video', i, hash_hi, hash_lo FROM vids
+      UNION ALL SELECT 'audio', i, hash_hi, hash_lo FROM auds
+    ),
+    ids(i, wave) AS (VALUES
+      (0, 'store'), (5, 'batch'), (18, 'batch'), (19, 'batch'),
+      (1000, 'store'), (1001, 'batch'), (1003, 'batch'),
+      (2000, 'store'), (2001, 'batch'), (2018, 'batch')),
+    rows_ AS (
+      SELECT ids.i, ids.wave, s.plane, s.hash_hi, s.hash_lo
+      FROM ids JOIN sigs s ON s.i = ids.i
+    ),
+    rej AS (
+      SELECT b.i FROM rows_ b
+      WHERE b.wave = 'batch' AND EXISTS (
+        SELECT 1 FROM rows_ s
+        WHERE s.plane = b.plane
+          AND (s.wave = 'store' OR (s.wave = 'batch' AND s.i < b.i))
+          AND bit_count(xor(s.hash_hi, b.hash_hi))
+              + bit_count(xor(s.hash_lo, b.hash_lo)) <= 3
+      )
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           i NOT IN (SELECT i FROM rej) AS admitted
+    FROM ids WHERE wave = 'batch'
+    UNION ALL
+    SELECT 2016, TRUE
+    UNION ALL
+    SELECT 1017, TRUE
+    """,
+    doc=(
+        "Batch twin of the UNIFIED multi-plane media gate: the literal "
+        "shared decision path (media_signatures -> plane-tagged bands "
+        "-> media_admission_rejects keyed on (plane, band, bucket)) "
+        "evaluated against a planted store holding one image, one "
+        "video and one audio base. Value-checked decisions across all "
+        "three modalities at once: a rotated image re-upload, a "
+        "brightness-re-encoded video, a volume-doubled audio and a "
+        "stereo twin are rejected against their same-plane stored "
+        "bases; an unstored image rotation pair resolves by leader-"
+        "keeps; new video content is admitted; evidence-less rows "
+        "(garbage audio, too-short video) are admitted docs-only. The "
+        "oracle recomputes all three signature families closed-form "
+        "(each CTE block scoped inside its own subquery) and applies "
+        "the same plane-keyed rejection predicate."
+    ),
+)
+def any_media_ingest_admission_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_fp_df,
+        checked_oriented_dhash_df,
+        checked_video_dedup_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        _ANY_KEYS,
+        _any_bands,
+        media_admission_rejects,
+        media_signatures,
+    )
+
+    img = checked_oriented_dhash_df(spark, n=34)
+    vid = checked_video_dedup_df(spark).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    aud = checked_audio_fp_df(spark).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    mixed = img.unionByName(vid).unionByName(aud)
+    stored = mixed.filter(F.col("media_id").isin([0, 1000, 2000]))
+    batch = mixed.filter(
+        F.col("media_id").isin([5, 18, 19, 1001, 1003, 1017, 2001, 2016, 2018])
+    )
+    rejects = media_admission_rejects(
+        _any_bands(media_signatures(stored)),
+        _any_bands(media_signatures(batch)),
+        keys=_ANY_KEYS,
+    )
+    return (
+        batch.select("media_id")
+        .join(rejects.withColumn("rej", F.lit(True)), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
+        )
+    )
+
+
+@register(
     "multimodal_audio_zcr_checked",
     oracle="""
     WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),

@@ -214,6 +214,7 @@ def compact_store(
     store_path: str,
     target_files: int = 1,
     band_cols: tuple[str, ...] = _BAND_COLS,
+    partition_cols: tuple[str, ...] = ("band",),
 ) -> dict[str, int]:
     """Rewrite the append-only ``docs/`` and ``bands/`` stores down to a
     bounded part-file count. Admission decisions are a pure function of
@@ -241,6 +242,8 @@ def compact_store(
     plane's (doc_id, band, bucket) by default; the media plane passes
     its hash-carrying shape (streaming/media_ingest.py). Both planes
     share (band, bucket), which is all the rewrite shuffles on.
+    ``partition_cols`` is the hive layout of bands/ — ("band",) for the
+    text/image planes, ("plane", "band") for the unified media gate.
 
     Returns rows rewritten per store.
     """
@@ -269,10 +272,11 @@ def compact_store(
         tmp = bands_path + ".compact.tmp"
         (
             b.repartition(
-                F.col("band"), F.pmod(F.hash("bucket"), F.lit(target_files))
+                *[F.col(c) for c in partition_cols],
+                F.pmod(F.hash("bucket"), F.lit(target_files)),
             )
             .write.mode("overwrite")
-            .partitionBy("band")
+            .partitionBy(*partition_cols)
             .parquet(tmp)
         )
         _swap_dir(tmp, bands_path)

@@ -78,6 +78,7 @@ def media_admission_rejects(
     stored_bands: DataFrame | None,
     batch_bands: DataFrame,
     max_hamming: int = 3,
+    keys: tuple[str, ...] = ("band", "bucket"),
 ) -> DataFrame:
     """The admission DECISION function, factored out so the streaming
     gate and its registered batch twin (`media_ingest_admission_twin`
@@ -86,20 +87,24 @@ def media_admission_rejects(
     (both shaped like `dhash_bands` output), return the one-column
     (media_id) relation of batch rows to REJECT — a verified
     Hamming <= max_hamming match among stored rows, or among lower-id
-    rows of the same batch (leader-keeps). Equi-join on (band, bucket)
-    with the carried hashes verified inline: 4 two-int rows per image
-    cross the shuffle, never payloads, never the all-pairs square."""
+    rows of the same batch (leader-keeps). Equi-join on ``keys`` —
+    (band, bucket) for the single-plane image gate, (plane, band,
+    bucket) for the unified gate, where the plane key makes
+    cross-modality collisions structurally impossible — with the
+    carried hashes verified inline: 4 two-int rows per item cross the
+    shuffle, never payloads, never the all-pairs square."""
+    keys = list(keys)
     a = batch_bands.select(
         F.col("media_id").alias("i"), F.col("hash_hi").alias("hi_i"),
-        F.col("hash_lo").alias("lo_i"), "band", "bucket",
+        F.col("hash_lo").alias("lo_i"), *keys,
     )
     b = batch_bands.select(
         F.col("media_id").alias("j"), F.col("hash_hi").alias("hi_j"),
-        F.col("hash_lo").alias("lo_j"), "band", "bucket",
+        F.col("hash_lo").alias("lo_j"), *keys,
     )
     ham = _hamming(F.col("hi_i"), F.col("lo_i"), F.col("hi_j"), F.col("lo_j"))
     within = (
-        a.join(b, ["band", "bucket"])
+        a.join(b, keys)
         .filter((F.col("i") < F.col("j")) & (ham <= max_hamming))
         .select("j")
     )
@@ -107,9 +112,9 @@ def media_admission_rejects(
         s = stored_bands.select(
             F.col("media_id").alias("i"),
             F.col("hash_hi").alias("hi_i"),
-            F.col("hash_lo").alias("lo_i"), "band", "bucket",
+            F.col("hash_lo").alias("lo_i"), *keys,
         )
-        cross = s.join(b, ["band", "bucket"]).filter(ham <= max_hamming).select("j")
+        cross = s.join(b, keys).filter(ham <= max_hamming).select("j")
         rejected = cross.unionByName(within).distinct()
     else:
         rejected = within.distinct()
@@ -292,6 +297,206 @@ def start_dedup_media_ingest(
         ingest_media_batch(df, store_path, **dedup_kwargs)
         if compact_every and (epoch + 1) % compact_every == 0:
             compact_media_store(df.sparkSession, store_path, compact_target_files)
+
+    writer = stream_media.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Unified multi-plane media gate (round 9): one store deduping images,
+# videos AND audio, each through its own signature, sharing the banded
+# admission machinery. The plane rides the band rows and the join key,
+# so an image and an audio clip that happen to land on the same 64 bits
+# can never reject each other — cross-modality isolation is structural,
+# not probabilistic.
+# ---------------------------------------------------------------------------
+
+_ANY_BAND_COLS = ("media_id", "plane", "band", "bucket", "hash_hi", "hash_lo")
+_ANY_KEYS = ("plane", "band", "bucket")
+
+
+def media_signatures(batch: DataFrame) -> DataFrame:
+    """Per-plane near-dup signatures for a mixed media batch, unified
+    into the shared (media_id, plane, hash_hi, hash_lo, decode_ok)
+    relation: orientation-normalized dHash for images
+    (`image_dhash_oriented`), temporal dHash for MP4 videos
+    (`video_temporal_dhash`), multi-bin Goertzel fingerprint for audio
+    (`audio_goertzel_fingerprint`). Each operator already pushes its
+    own media_type filter down before its Python stage, so a row's
+    payload crosses the Arrow boundary exactly once, in its own
+    plane's pass. Rows matching no plane (e.g. a webm video) are
+    simply absent — the caller treats them like undecodable evidence
+    (admitted docs-only, never indexed)."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        video_temporal_dhash,
+    )
+
+    cols = ["media_id", "hash_hi", "hash_lo", "decode_ok"]
+    img = image_dhash_oriented(batch).select(*cols).withColumn(
+        "plane", F.lit("image")
+    )
+    vid = video_temporal_dhash(batch).select(*cols).withColumn(
+        "plane", F.lit("video")
+    )
+    aud = audio_goertzel_fingerprint(batch).select(*cols).withColumn(
+        "plane", F.lit("audio")
+    )
+    return img.unionByName(vid).unionByName(aud)
+
+
+def _any_bands(signatures: DataFrame) -> DataFrame:
+    """`dhash_bands` with the plane carried through (band per plane,
+    not across the union — the plane column survives the explode via a
+    media_id-keyed rejoin-free select)."""
+    return (
+        dhash_bands(signatures.select("media_id", "hash_hi", "hash_lo",
+                                      "decode_ok"))
+        .join(signatures.select("media_id", "plane"), "media_id")
+        .select(*_ANY_BAND_COLS)
+    )
+
+
+def repair_any_media_band_index(spark: SparkSession, store_path: str) -> int:
+    """`repair_media_band_index` for the unified store: decodable docs
+    rows missing from bands/ are re-signatured through ALL planes and
+    re-indexed. Same cheap-path/crash-heal contract."""
+    docs_path = os.path.join(store_path, "docs")
+    bands_path = os.path.join(store_path, "bands")
+    if not os.path.isdir(docs_path):
+        return 0
+    docs = spark.read.parquet(docs_path)
+    cand = docs.filter(F.col("decode_ok")).select("media_id")
+    if os.path.isdir(bands_path):
+        band_ids = spark.read.parquet(bands_path).select("media_id").distinct()
+        orphans = cand.join(band_ids, "media_id", "left_anti")
+    else:
+        orphans = cand
+    orphans = orphans.localCheckpoint(eager=True)
+    if orphans.isEmpty():
+        return 0
+    orphan_docs = docs.join(orphans, "media_id", "left_semi")
+    repaired = _any_bands(media_signatures(orphan_docs)).localCheckpoint(
+        eager=True
+    )
+    n = repaired.count()
+    repaired.write.mode("append").partitionBy("plane", "band").parquet(
+        bands_path
+    )
+    return n
+
+
+def ingest_any_media_batch(
+    batch_df: DataFrame,
+    store_path: str,
+    max_hamming: int = 3,
+) -> None:
+    """Process ONE mixed media micro-batch through the unified gate:
+    per-plane signatures (image dHash / video temporal dHash / audio
+    Goertzel fingerprint), ONE plane-keyed band join against the store
+    index and the batch itself, admit leaders and genuinely-new items,
+    append accepted blobs + their plane-tagged band rows. Designed for
+    foreachBatch; replay is a no-op and heals a crash-orphaned index
+    first. Rows with no verifiable signature — undecodable payloads,
+    too-short clips, formats outside the codec set — are admitted
+    docs-only with decode_ok false/null (dedup cannot gate on evidence
+    it cannot read; the quality tier owns rejecting them), exactly the
+    image gate's undecodable policy generalized.
+
+    Store layout: docs/ as the image gate plus the same decode_ok
+    discipline; bands/ hive-partitioned by (plane, band) so each
+    plane's postings stay physically clustered and a batch of one
+    modality scans only its own plane's directories."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 16-bit banding is lossless only "
+            "for max_hamming <= 3 (pigeonhole over 4 bands)"
+        )
+    from pyspark import StorageLevel
+
+    spark = batch_df.sparkSession
+    docs_path = os.path.join(store_path, "docs")
+    bands_path = os.path.join(store_path, "bands")
+
+    batch = batch_df.select(*_DOC_COLS).dropDuplicates(["media_id"])
+    _check_store_integrity(store_path)
+    repair_any_media_band_index(spark, store_path)
+    stored = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
+    if stored is not None:
+        batch = batch.join(stored.select("media_id"), "media_id", "left_anti")
+    batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = None
+    try:
+        if batch.isEmpty():
+            return
+
+        sigs = media_signatures(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        b_bands = _any_bands(sigs)
+        stored_bands = (
+            spark.read.parquet(bands_path).select(*_ANY_BAND_COLS)
+            if os.path.isdir(bands_path)
+            else None
+        )
+        rejected = media_admission_rejects(
+            stored_bands, b_bands, max_hamming, keys=_ANY_KEYS
+        )
+
+        accepted = (
+            batch.join(rejected, "media_id", "left_anti")
+            .join(sigs.select("media_id", "decode_ok"), "media_id", "left")
+            .localCheckpoint(eager=True)
+        )
+        accepted_bands = (
+            _any_bands(sigs)
+            .join(accepted.select("media_id"), "media_id", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        accepted.write.mode("append").parquet(docs_path)
+        (
+            accepted_bands.write.mode("append")
+            .partitionBy("plane", "band")
+            .parquet(bands_path)
+        )
+    finally:
+        if sigs is not None:
+            sigs.unpersist()
+        batch.unpersist()
+
+
+def compact_any_media_store(
+    spark: SparkSession, store_path: str, target_files: int = 1
+) -> dict[str, int]:
+    """`compact_store` with the unified plane-tagged band shape and
+    (plane, band) hive layout."""
+    return compact_store(
+        spark, store_path, target_files,
+        band_cols=_ANY_BAND_COLS, partition_cols=("plane", "band"),
+    )
+
+
+def start_dedup_any_media_ingest(
+    stream_media: DataFrame,
+    store_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+    compact_target_files: int = 8,
+    **dedup_kwargs,
+):
+    """Wire a mixed media stream into the unified near-dup-gated store
+    via foreachBatch(ingest_any_media_batch). Same serial-callback
+    compaction contract as the single-plane gates."""
+
+    def process(df: DataFrame, epoch: int) -> None:
+        ingest_any_media_batch(df, store_path, **dedup_kwargs)
+        if compact_every and (epoch + 1) % compact_every == 0:
+            compact_any_media_store(
+                df.sparkSession, store_path, compact_target_files
+            )
 
     writer = stream_media.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path

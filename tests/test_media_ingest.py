@@ -205,3 +205,183 @@ def test_media_store_halfcompacted_refusal_and_recovery(spark, tmp_path):
     assert _stored_ids(spark, store) == {0, 8, 16}
     rewritten = compact_media_store(spark, store)
     assert rewritten == {"docs": 3, "bands": 12}
+
+
+def _mixed_rows(spark, img_ids=(), vid_ids=(), aud_ids=()):
+    """Mixed-modality batch: image rows from the oriented-dHash fixture,
+    video rows from the temporal-hash fixture remapped +1000, audio
+    rows from the fingerprint fixture remapped +2000 (one id space)."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_fp_df,
+        checked_video_dedup_df,
+    )
+
+    parts = []
+    if img_ids:
+        base = checked_oriented_dhash_df(spark, n=34)
+        parts.append(base.filter(base["media_id"].isin(list(img_ids))))
+    if vid_ids:
+        vid = checked_video_dedup_df(spark).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+        parts.append(vid.filter(vid["media_id"].isin(list(vid_ids))))
+    if aud_ids:
+        aud = checked_audio_fp_df(spark).withColumn(
+            "media_id", F.col("media_id") + 2000
+        )
+        parts.append(aud.filter(aud["media_id"].isin(list(aud_ids))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_any_media_ingest_three_planes_e2e(spark, tmp_path):
+    """The unified gate dedups all three modalities through ONE store:
+    wave 2's rotated image re-upload, brightness-re-encoded video and
+    volume-doubled + stereo-twin audio are all rejected against wave
+    1's store; an unstored image rotation pair resolves by
+    leader-keeps; genuinely new video content is admitted; evidence-
+    less rows (undecodable audio, too-short video) are admitted
+    docs-only. Replay is a no-op."""
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+    )
+
+    store = str(tmp_path / "store")
+    # wave 1: image base1 (id 0), video base0 (1000), audio base0
+    # (2000), plus evidence-less rows: garbage audio 2016, short video 1017
+    ingest_any_media_batch(
+        _mixed_rows(spark, img_ids=[0], vid_ids=[1000, 1017],
+                    aud_ids=[2000, 2016]), store,
+    )
+    assert _stored_ids(spark, store) == {0, 1000, 1017, 2000, 2016}
+    bands = spark.read.parquet(store + "/bands")
+    by_plane = {
+        (r["plane"], r["media_id"]) for r in bands.collect()
+    }
+    assert {p for p, _ in by_plane} == {"image", "video", "audio"}
+    assert {m for _, m in by_plane} == {0, 1000, 2000}  # evidence-less unindexed
+
+    # wave 2
+    wave2 = _mixed_rows(
+        spark,
+        img_ids=[5, 18, 19],        # 5: rotation of stored 0; 18/19: unstored base pair
+        vid_ids=[1001, 1003],       # 1001: brightness twin of 1000; 1003: new content
+        aud_ids=[2001, 2018],       # 2001: volume-doubled 2000; 2018: stereo twin of 2000
+    )
+    ingest_any_media_batch(wave2, store)
+    assert _stored_ids(spark, store) == {
+        0, 1000, 1017, 2000, 2016, 18, 1003,
+    }
+
+    ingest_any_media_batch(wave2, store)  # replay: no-op
+    assert spark.read.parquet(store + "/docs").count() == 7
+
+
+def test_any_media_cross_plane_isolation(spark):
+    """An image and an audio clip landing on the SAME 64-bit hash must
+    never reject each other: with the plane in the join key the
+    decision is empty; without it (the single-plane key, wrong tool
+    for a mixed store) the same rows would collide — proving the
+    plane key is what carries the isolation."""
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_admission_rejects,
+    )
+
+    def bands(mid, plane):
+        rows = [(mid, plane, b, 7 * b + 1, 1234567, 7654321)
+                for b in range(4)]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, plane string, band int, bucket long, "
+            "hash_hi long, hash_lo long",
+        )
+
+    stored = bands(1, "image")
+    batch = bands(2, "audio")
+    isolated = media_admission_rejects(
+        stored, batch, keys=("plane", "band", "bucket")
+    )
+    assert isolated.count() == 0
+    collided = media_admission_rejects(stored, batch)  # plane-less key
+    assert {r["media_id"] for r in collided.collect()} == {2}
+
+
+def test_any_media_ingest_repairs_and_compacts(spark, tmp_path):
+    """Crash state (bands/ lost after docs append) heals on the next
+    ingest across ALL planes — a brightness-re-encoded video re-upload
+    is still rejected — and compaction bounds files per (plane, band)
+    partition without changing admissions."""
+    import shutil
+
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        compact_any_media_store,
+        ingest_any_media_batch,
+        repair_any_media_band_index,
+    )
+
+    store = str(tmp_path / "store")
+    ingest_any_media_batch(
+        _mixed_rows(spark, img_ids=[0], vid_ids=[1000], aud_ids=[2000]),
+        store,
+    )
+    shutil.rmtree(store + "/bands")
+
+    ingest_any_media_batch(_mixed_rows(spark, vid_ids=[1001]), store)
+    assert _stored_ids(spark, store) == {0, 1000, 2000}  # 1001 rejected post-repair
+    assert repair_any_media_band_index(spark, store) == 0  # healthy now
+
+    rewritten = compact_any_media_store(spark, store)
+    assert rewritten["docs"] == 3 and rewritten["bands"] == 12
+    for plane_dir in os.listdir(store + "/bands"):
+        if not plane_dir.startswith("plane="):
+            continue
+        for band_dir in os.listdir(os.path.join(store, "bands", plane_dir)):
+            if band_dir.startswith("band="):
+                fs = [f for f in os.listdir(
+                    os.path.join(store, "bands", plane_dir, band_dir))
+                    if f.endswith(".parquet")]
+                assert len(fs) <= 1
+    # admissions invariant post-compaction
+    ingest_any_media_batch(_mixed_rows(spark, aud_ids=[2001]), store)
+    assert _stored_ids(spark, store) == {0, 1000, 2000}
+
+
+def test_any_media_streaming_e2e(spark, tmp_path):
+    """start_dedup_any_media_ingest drains a mixed-modality stream with
+    inline compaction; a second wave against the compacted store still
+    rejects one re-upload per plane while admitting new content."""
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        start_dedup_any_media_ingest,
+    )
+
+    src_dir = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    _mixed_rows(spark, img_ids=[0], vid_ids=[1000], aud_ids=[2000]).write.parquet(
+        src_dir, mode="append"
+    )
+    stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src_dir)
+    q = start_dedup_any_media_ingest(stream, store, ckpt, compact_every=1,
+                                     compact_target_files=1)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    # wave 2: one rotated/re-encoded twin per plane + one new video
+    _mixed_rows(spark, img_ids=[5], vid_ids=[1001, 1003],
+                aud_ids=[2001]).write.parquet(src_dir, mode="append")
+    stream2 = spark.readStream.schema(MEDIA_SCHEMA).parquet(src_dir)
+    q2 = start_dedup_any_media_ingest(stream2, store, ckpt, compact_every=1,
+                                      compact_target_files=1)
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    assert _stored_ids(spark, store) == {0, 1000, 2000, 1003}
