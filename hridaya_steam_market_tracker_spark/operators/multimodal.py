@@ -1446,20 +1446,23 @@ def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def dhash_bands(hashes: DataFrame) -> DataFrame:
+def dhash_bands(hashes: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Split each decodable 64-bit dHash into its four 16-bit
     (band, bucket) rows, carrying the full hash halves so candidates
     can be exact-verified with two bit_count(XOR)s and no second
     lookup — the blocking relation shared by `dhash_near_pairs` and
     the streaming media-ingest band index
     (streaming/media_ingest.py). 4 two-int rows per image cross the
-    shuffle; never payload bytes, never the all-pairs square."""
+    shuffle; never payload bytes, never the all-pairs square.
+    ``carry`` names extra input columns to ride the explode (the
+    unified media gate's plane tag) — a scan-stage projection, never
+    a join back."""
     b16 = F.lit(65536).cast("long")
     h = hashes.filter(F.col("decode_ok")).select(
-        "media_id", "hash_hi", "hash_lo"
+        "media_id", "hash_hi", "hash_lo", *carry
     )
     return h.select(
-        "media_id", "hash_hi", "hash_lo",
+        "media_id", "hash_hi", "hash_lo", *carry,
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), F.shiftright("hash_hi", 16).alias("bucket")),
@@ -1468,7 +1471,7 @@ def dhash_bands(hashes: DataFrame) -> DataFrame:
                 F.struct(F.lit(3).alias("band"), F.pmod("hash_lo", b16).cast("long").alias("bucket")),
             )
         ).alias("b"),
-    ).select("media_id", "hash_hi", "hash_lo", "b.band", "b.bucket")
+    ).select("media_id", "hash_hi", "hash_lo", *carry, "b.band", "b.bucket")
 
 
 def checked_dhash_df(spark, n: int = 17) -> DataFrame:

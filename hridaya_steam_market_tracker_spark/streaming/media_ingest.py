@@ -350,15 +350,9 @@ def media_signatures(batch: DataFrame) -> DataFrame:
 
 
 def _any_bands(signatures: DataFrame) -> DataFrame:
-    """`dhash_bands` with the plane carried through (band per plane,
-    not across the union — the plane column survives the explode via a
-    media_id-keyed rejoin-free select)."""
-    return (
-        dhash_bands(signatures.select("media_id", "hash_hi", "hash_lo",
-                                      "decode_ok"))
-        .join(signatures.select("media_id", "plane"), "media_id")
-        .select(*_ANY_BAND_COLS)
-    )
+    """`dhash_bands` with the plane tag riding the explode (a
+    scan-stage projection — no join back, no extra shuffle)."""
+    return dhash_bands(signatures, carry=("plane",)).select(*_ANY_BAND_COLS)
 
 
 def repair_any_media_band_index(spark: SparkSession, store_path: str) -> int:

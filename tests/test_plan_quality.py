@@ -471,3 +471,39 @@ def test_sample_first_names_all_registered(registry):
     assert missing == [], f"stale _SAMPLE_FIRST entries: {missing}"
     assert len(_SAMPLE_FIRST) <= 50
     assert list(registry)[: len(_SAMPLE_FIRST)] == list(_SAMPLE_FIRST)
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # decode (MapInPandas) -> media_id window + groupBy + the
+        # id-only honest-failure join
+        ("multimodal_video_temporal_hash_checked", 2),
+        # the whole fingerprint happens inside one Arrow pass
+        ("multimodal_audio_fingerprint_checked", 0),
+        # one plane: batch bands self-join + store join + the
+        # admit-list anti/left joins
+        ("media_ingest_admission_twin", 6),
+        # three planes (the plane tag rides the band explode — no
+        # join-back per plane; regression from 22 shuffles if someone
+        # reintroduces the media_id rejoin in _any_bands)
+        ("any_media_ingest_admission_twin", 14),
+    ],
+)
+def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):
+    """The round-9 media near-dup tier must stay banded-join shaped:
+    Arrow mapInPandas for codecs is the design, but row-level Python
+    (EvalPython) and cartesian pair spaces never appear, and the
+    shuffle counts are pinned so the 100 TB shape can't silently
+    regress."""
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )
+    assert shuffles <= max_shuffles
