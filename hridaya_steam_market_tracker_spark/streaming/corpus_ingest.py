@@ -94,6 +94,55 @@ def _check_store_integrity(store_path: str) -> None:
             )
 
 
+def repair_band_index(
+    spark: SparkSession,
+    store_path: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+) -> int:
+    """Re-index any docs/ rows missing from bands/ — the crash state a
+    failure between `ingest_batch`'s two appends leaves behind
+    (admitted docs permanently unindexed; replay anti-joins them away
+    as already-stored, so their near-dups are admitted forever). Every
+    text doc should have band rows, so orphan detection is one
+    id-column anti-join per batch; only actual orphans are re-shingled.
+    The media plane's `repair_media_band_index` is the same contract
+    with a decode_ok restriction. Signature params MUST match the
+    ingest's, or the repaired rows land in a different bucket space.
+    Returns band rows written."""
+    docs_path = os.path.join(store_path, "docs")
+    bands_path = os.path.join(store_path, "bands")
+    if not os.path.isdir(docs_path):
+        return 0
+    docs = spark.read.parquet(docs_path)
+    cand = docs.select("doc_id")
+    if os.path.isdir(bands_path):
+        band_ids = spark.read.parquet(bands_path).select("doc_id").distinct()
+        orphans = cand.join(band_ids, "doc_id", "left_anti")
+    else:
+        orphans = cand
+    # Cut lineage BEFORE the bands append refreshes bands_path (the
+    # module's localCheckpoint lesson — the orphan set reads it).
+    orphans = orphans.localCheckpoint(eager=True)
+    if orphans.isEmpty():
+        return 0
+    orphan_docs = docs.join(orphans, "doc_id", "left_semi")
+    repaired = banded_buckets(
+        signatures_from_sets(
+            _spread(orphan_docs, "doc_id").select(
+                "doc_id", shingles(F.col("text"), n).alias("sh")
+            ),
+            num_hashes,
+        ),
+        num_hashes,
+        bands,
+    ).localCheckpoint(eager=True)
+    cnt = repaired.count()
+    repaired.write.mode("append").partitionBy("band").parquet(bands_path)
+    return cnt
+
+
 def ingest_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -104,7 +153,8 @@ def ingest_batch(
 ) -> None:
     """Process ONE micro-batch: dedup against the store and within the
     batch, then append accepted docs + their bands. Designed for
-    foreachBatch; calling it twice with the same batch is a no-op."""
+    foreachBatch; calling it twice with the same batch is a no-op (and
+    heals a crash-orphaned band index first — see repair_band_index)."""
     from pyspark import StorageLevel
 
     spark = batch_df.sparkSession
@@ -113,6 +163,7 @@ def ingest_batch(
 
     batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
     _check_store_integrity(store_path)
+    repair_band_index(spark, store_path, num_hashes, bands, n)
     # isdir, not try/except around the read: a real read failure on an
     # existing store must fail the batch, never alias to "empty store".
     stored_docs = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None

@@ -703,3 +703,43 @@ def test_dedup_ingest_inline_compaction_cadence(spark, tmp_path):
         q2.stop()
     stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
     assert stored == {0, 1, 2, 3, 51}
+
+
+def test_corpus_ingest_repairs_crash_orphaned_band_index(spark, tmp_path):
+    """The text plane's docs-then-bands crash window, healed: a crash
+    between the two appends leaves admitted docs unindexed, and replay
+    used to anti-join them away forever (their near-dups were then
+    admitted). Every batch now starts by re-shingling docs rows missing
+    from bands/, so the next ingest rejects a near-dup of the orphaned
+    doc and the stores re-converge."""
+    import shutil
+
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        ingest_batch,
+        repair_band_index,
+    )
+
+    def doc(seed, tweak=None):
+        words = [f"w{seed}x{k}" for k in range(12)]
+        if tweak is not None:
+            words[-1] = f"tw{tweak}"
+        return " ".join(words)
+
+    store = str(tmp_path / "store")
+    wave1 = spark.createDataFrame(
+        [(0, doc(0)), (1, doc(1))], "doc_id long, text string"
+    )
+    ingest_batch(wave1, store)
+    shutil.rmtree(store + "/bands")  # crash state: docs written, bands not
+
+    # near-dup of orphaned doc 0 — without repair it would be admitted
+    wave2 = spark.createDataFrame(
+        [(10, doc(0, tweak=7)), (11, doc(11))], "doc_id long, text string"
+    )
+    ingest_batch(wave2, store)
+    stored = {r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()}
+    assert stored == {0, 1, 11}
+    band_ids = {r["doc_id"] for r in spark.read.parquet(store + "/bands").collect()}
+    assert band_ids == stored  # index re-converged with the docs store
+
+    assert repair_band_index(spark, store) == 0  # healthy: cheap no-op
