@@ -797,6 +797,8 @@ def _pixel_codec():
             stride = w * channels
             if len(raw) != h * (stride + 1):
                 raise ValueError("truncated PNG raster")
+            import numpy as np
+
             prev = bytearray(stride)
             flat = bytearray()
             p = 0
@@ -804,17 +806,28 @@ def _pixel_codec():
                 ftype = raw[p]
                 line = bytearray(raw[p + 1 : p + 1 + stride])
                 p += 1 + stride
-                if ftype == 1:  # Sub
-                    for i in range(channels, stride):
-                        line[i] = (line[i] + line[i - channels]) & 0xFF
-                elif ftype == 2:  # Up
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif ftype == 3:  # Average
+                if ftype == 1:  # Sub — vectorized (round 9): the
+                    # defiltered byte is the running sum of raw bytes at
+                    # the same channel offset, and uint8 cumsum wraps
+                    # mod 256 — exactly the (x + left) & 0xFF recurrence.
+                    arr = np.frombuffer(bytes(line), dtype=np.uint8).copy()
+                    arr = arr.reshape(w, channels)
+                    np.cumsum(arr, axis=0, dtype=np.uint8, out=arr)
+                    line = bytearray(arr.tobytes())
+                elif ftype == 2:  # Up — vectorized: depends only on the
+                    # PREVIOUS row's defiltered bytes, a pure lane-wise
+                    # wrapping add.
+                    arr = (
+                        np.frombuffer(bytes(line), dtype=np.uint8)
+                        + np.frombuffer(bytes(prev), dtype=np.uint8)
+                    )  # uint8 + uint8 wraps mod 256
+                    line = bytearray(arr.tobytes())
+                elif ftype == 3:  # Average — serial: the left operand is
+                    # the current row's DEfiltered byte.
                     for i in range(stride):
                         a = line[i - channels] if i >= channels else 0
                         line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif ftype == 4:  # Paeth
+                elif ftype == 4:  # Paeth — serial, same reason.
                     for i in range(stride):
                         a = line[i - channels] if i >= channels else 0
                         b = prev[i]

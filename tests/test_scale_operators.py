@@ -2054,3 +2054,74 @@ def test_vectorized_codec_kernels_match_scalar_references(spark):
     assert grow["goertzel_power"] == round(power, 6)
     assert grow["total_power"] == round(total, 6)
     assert grow["band_ratio"] == round(2.0 * power / (n * total), 6)
+
+
+def test_png_defilter_vectorization_matches_scalar_reference():
+    """Round-9 PNG defilter vectorization guard (Sub via uint8 cumsum,
+    Up via lane-wise wrapping add): hand-built PNGs whose IDAT uses
+    every filter type 0-4 in rotation must decode to the bytes the
+    scalar recurrences produce — computed here independently from the
+    same raw stream."""
+    import random
+    import struct
+    import zlib
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _pixel_codec,
+    )
+
+    decode, _ = _pixel_codec()
+    rnd = random.Random(99)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    w, h, ch = 23, 17, 3
+    stride = w * ch
+    raw = bytearray()
+    raw_rows = []
+    for y in range(h):
+        row = bytes(rnd.randrange(256) for _ in range(stride))
+        ftype = y % 5
+        raw += bytes([ftype]) + row
+        raw_rows.append((ftype, row))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+    got_w, got_h, got = decode(png, "png")
+    assert (got_w, got_h) == (w, h)
+
+    # independent scalar defilter (the pre-round-9 recurrences)
+    prev = bytearray(stride)
+    want = bytearray()
+    for ftype, row in raw_rows:
+        line = bytearray(row)
+        if ftype == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        want += line
+        prev = line
+    assert got == bytes(want)
