@@ -1748,6 +1748,126 @@ def synthetic_image_corpus(spark, n: int, dup_every: int = 4) -> DataFrame:
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
 
+def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame:
+    """Rehearsal-scale MIXED corpus for the unified media gate
+    (`streaming/media_ingest.py:ingest_any_media_batch`): media_id i
+    cycles modality i % 3 — image / video / audio — and within each
+    modality every ``dup_every``-th item is the near-dup twin class
+    that plane's signature exists to reject: a ROTATED re-upload
+    (image, real eXIf orientation), a BRIGHTNESS-re-encoded copy
+    (video, +4 gray on every frame), a VOLUME-DOUBLED copy (audio,
+    2x samples). Deterministic in ``n``; every payload is real bytes
+    through the package codecs."""
+    import io
+    import struct
+    import wave
+    import zlib
+
+    _, encode = _pixel_codec()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 36, 32
+
+    def gray_rows(seed: int) -> list[list[int]]:
+        a, b, c = 2 + seed % 9, 3 + seed % 11, (13 * seed) % 200
+        return [[(x * a + y * b + c) % 200 for x in range(w)] for y in range(h)]
+
+    def stored_rows(rows: list[list[int]], o: int) -> list[list[int]]:
+        if o == 2:
+            return [r[::-1] for r in rows]
+        if o == 3:
+            return [r[::-1] for r in rows][::-1]
+        if o == 4:
+            return rows[::-1]
+        if o == 5:
+            return [list(r) for r in zip(*rows)]
+        if o == 6:
+            return [list(r) for r in zip(*rows)][::-1]
+        if o == 7:
+            return [list(r)[::-1] for r in zip(*rows)][::-1]
+        return [list(r)[::-1] for r in zip(*rows)]  # o == 8
+
+    def image_payload(seed: int, twin: bool) -> bytearray:
+        if twin:  # rotated re-upload of the PREVIOUS image's pixels
+            o = 2 + seed % 7
+            rows = stored_rows(gray_rows(seed - 1), o)
+        else:
+            o, rows = 1, gray_rows(seed)
+        sh, sw = len(rows), len(rows[0])  # transposing orientations swap dims
+        rgb = bytes(v for r in rows for v in r for _ in range(3))
+        payload = bytearray(encode(sw, sh, rgb, "png"))
+        if o != 1:
+            tiff = _tiff_exif_bytes(
+                o, f"2024:03:{1 + seed % 27:02d} 12:00:00",
+                motorola=bool(seed % 2),
+            )
+            payload = payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
+        return payload
+
+    def video_gray(seed: int, j: int) -> int:
+        # quadratic AND linear coefficients vary with the seed (13x97
+        # combinations) so distinct seeds give temporally-distinct
+        # clips, not constant-offset copies whose diff signs collide
+        return (
+            j * j * (7 + seed % 13) + j * (29 + seed % 97) + 151 * seed
+        ) % 251
+
+    def video_payload(seed: int, twin: bool) -> bytearray:
+        base = seed - 1 if twin else seed
+        off = 4 if twin else 0
+        frames = [
+            encode(8, 6, bytes([video_gray(base, j) + off]) * (3 * 8 * 6), "jpg")
+            for j in range(65)
+        ]
+        return bytearray(
+            synth_mp4(base, 65, 600, with_stss=False,
+                      frame_payloads=frames, codec=b"mjpa")
+        )
+
+    def audio_payload(seed: int, twin: bool) -> bytearray:
+        base = seed - 1 if twin else seed
+        scale = 2 if twin else 1
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            # quadratic + linear + offset all seed-varying (17x211x1025
+            # combinations): distinct seeds are spectrally distinct, so
+            # only the PLANTED volume twins collide
+            wf.writeframes(b"".join(
+                struct.pack(
+                    "<h",
+                    scale * ((((t * t * (13 + base % 17)
+                                + t * (29 + base % 211)
+                                + 31 * base) % 1025) - 512)),
+                )
+                for t in range(2048)
+            ))
+        return bytearray(buf.getvalue())
+
+    rows_out = []
+    for i in range(n):
+        modality = i % 3
+        k = i // 3  # index within the modality
+        twin = bool(dup_every) and k % dup_every == dup_every - 1 and k > 0
+        if modality == 0:
+            payload = image_payload(k, twin)
+            rows_out.append((i, "image", "png", payload, None, None, None))
+        elif modality == 1:
+            payload = video_payload(k, twin)
+            rows_out.append((i, "video", "mp4", payload, None, None, None))
+        else:
+            payload = audio_payload(k, twin)
+            rows_out.append((i, "audio", "wav", payload, None, None, None))
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per
     sampled timestamp (the decode itself is the stub above). Native

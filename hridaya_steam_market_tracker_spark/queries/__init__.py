@@ -81,6 +81,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'multimodal_video_temporal_hash_checked',
     'multimodal_audio_features',
     'multimodal_audio_features_checked',
+    'multimodal_feature_extract',
+    'multimodal_feature_extract_checked',
+    'multimodal_resize_checked',
     'vocab_growth_curve',
     'winsorize_stream_values',
     'dedup_minhash_lsh',
@@ -89,8 +92,10 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'containment_pairs',
     'multimodal_avc1_sps_params_checked',
     'multimodal_avcc_config_sps_checked',
+    'multimodal_dhash_near_pairs_checked',
     'multimodal_hevc_sps_params_checked',
     'multimodal_hvcc_config_sps_checked',
+    'multimodal_image_dhash_checked',
     'source_prefix_boilerplate',
     'multimodal_image_exif_checked',
     'strip_then_span_stats',
@@ -98,11 +103,11 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'multimodal_dhash_oriented_checked',
     'multimodal_dhash_oriented_near_pairs_checked',
     'multimodal_image_dedup_keep_list',
+    'multimodal_mjpeg_decode_checked',
+    'multimodal_mp4_frame_index_checked',
+    'multimodal_mp4_frame_sample_checked',
     'blob_decompress_stats_checked',
-    'multimodal_feature_extract',
-    'multimodal_feature_extract_checked',
     'multimodal_frame_sample_checked',
-    'multimodal_resize_checked',
     'warc_record_index_checked',
     'ann_lsh_multiprobe_topk',
     'ann_lsh_topk',
@@ -118,11 +123,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'corpus_curation_rollup',
     'curation_pipeline_kept_docs',
     'd11_distinct_collect_per_stream',
-    'd2_count_enabled',
-    'd3_windowed_union_count',
-    'd4_last_ingest_union_max',
-    'd9_feasibility_gate',
-    'dedup_clusters',
 )
 
 

@@ -458,6 +458,72 @@ def streaming_media_rehearsal(spark, out_dir: str, rep: int,
     }))
 
 
+def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
+                                  n_batches: int = 10) -> None:
+    """Scale the UNIFIED media gate: a rep-scaled MIXED corpus (media_id
+    cycles image/video/audio; within each modality every 4th item is
+    that plane's twin class — rotated re-upload / brightness re-encode /
+    volume doubling) in n_batches hash-sliced micro-batches against one
+    growing plane-partitioned store, then compaction and one replayed
+    batch. Claims under test: (a) admission cost tracks the band index,
+    never stored payload bytes, same as the single-plane gate; (b) the
+    three planes share one store without cross-plane interference —
+    admissions per modality match the planted twin structure."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        synthetic_mixed_media_corpus,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        compact_any_media_store,
+        ingest_any_media_batch,
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    corpus_path = os.path.join(out_dir, "mixed_media_corpus.parquet")
+    n = 120 * rep
+    synthetic_mixed_media_corpus(spark, n).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
+    media = spark.read.parquet(corpus_path)
+    store = os.path.join(out_dir, "any_media_store")
+    if os.path.isdir(store):
+        shutil.rmtree(store)
+
+    times = []
+    for b in range(n_batches):
+        batch = media.filter(F.pmod(F.col("media_id"), F.lit(n_batches)) == b)
+        t0 = time.perf_counter()
+        ingest_any_media_batch(batch, store)
+        times.append(round(time.perf_counter() - t0, 2))
+        print(json.dumps({"tier": "streaming-any-media", "batch": b,
+                          "sec": times[-1]}))
+    docs = spark.read.parquet(os.path.join(store, "docs"))
+    per_type = {r["media_type"]: r["n"] for r in
+                docs.groupBy("media_type").agg(F.count("*").alias("n")).collect()}
+    t0 = time.perf_counter()
+    compact_any_media_store(spark, store, target_files=4)
+    compact_sec = round(time.perf_counter() - t0, 2)
+    batch = media.filter(
+        F.pmod(F.col("media_id"), F.lit(n_batches)) == n_batches - 1
+    )
+    t0 = time.perf_counter()
+    ingest_any_media_batch(batch, store)
+    replay_sec = round(time.perf_counter() - t0, 2)
+    print(json.dumps({
+        "metric": "streaming_any_media_rehearsal", "rep": rep, "items": n,
+        "admitted_per_type": per_type,
+        "admitted": sum(per_type.values()),
+        "rejected": n - sum(per_type.values()),
+        "batch_sec": times,
+        "first5_avg": round(sum(times[:5]) / max(len(times[:5]), 1), 2),
+        "last5_avg": round(sum(times[-5:]) / max(len(times[-5:]), 1), 2),
+        "compact_sec": compact_sec, "replayed_batch_sec": replay_sec,
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=10)
@@ -468,14 +534,16 @@ def main() -> None:
     ap.add_argument(
         "--tier", default="text",
         choices=["text", "media", "streaming", "boilerplate",
-                 "streaming-media"],
+                 "streaming-media", "streaming-any-media"],
         help="text = scaled-fixture catalog queries (the original sf1 "
         "rehearsal); media = codec-tier mapInPandas ops with worker RSS "
         "sampling; streaming = corpus_ingest micro-batch cost curve; "
         "boilerplate = banner-injected corpus, span/containment heavies "
         "WITH vs WITHOUT strip_source_prefix in front; streaming-media "
         "= media_ingest micro-batch cost curve over a synthetic image "
-        "corpus with planted rotated re-uploads",
+        "corpus with planted rotated re-uploads; streaming-any-media = the "
+        "UNIFIED gate over a mixed image/video/audio corpus with one "
+        "planted twin class per modality",
     )
     args = ap.parse_args()
 
@@ -485,6 +553,9 @@ def main() -> None:
         return
     if args.tier == "streaming-media":
         streaming_media_rehearsal(spark, args.out, args.rep)
+        return
+    if args.tier == "streaming-any-media":
+        streaming_any_media_rehearsal(spark, args.out, args.rep)
         return
     generate(spark, args.sf_dir, args.out, args.rep)
     if args.tier == "streaming":
