@@ -746,14 +746,22 @@ def _pixel_codec():
             stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
             if len(payload) < data_off + stride * h:
                 raise ValueError("truncated BMP raster")
-            out = bytearray(3 * w * h)
-            for row in range(h):
-                src = data_off + (row if top_down else h - 1 - row) * stride
-                for x in range(w):
-                    b, g, r = payload[src + 3 * x : src + 3 * x + 3]
-                    o = 3 * (row * w + x)
-                    out[o], out[o + 1], out[o + 2] = r, g, b
-            return w, h, bytes(out)
+            # Round 9: numpy row gather + channel reverse (BGR -> RGB)
+            # — a pure byte permutation, byte-identical to the old
+            # per-pixel loop.
+            import numpy as np
+
+            arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+            src_rows = (
+                np.arange(h) if top_down else (h - 1 - np.arange(h))
+            )
+            idx = (
+                data_off
+                + src_rows[:, None] * stride
+                + np.arange(w * 3)[None, :]
+            )
+            px = arr[idx].reshape(h, w, 3)[:, :, ::-1]
+            return w, h, np.ascontiguousarray(px).tobytes()
         if fmt == "png":
             # Pure-stdlib PNG decoder (RFC 2083): zlib IDAT inflate +
             # scanline un-filtering. Supports bit depth 8, color types
@@ -841,25 +849,25 @@ def _pixel_codec():
                 prev = line
             if color == 2:
                 return w, h, bytes(flat)
-            rgb = bytearray(3 * w * h)
+            # Round 9: channel expansion vectorized — pure byte
+            # selects/repeats, byte-identical to the per-pixel loops.
+            fa = np.frombuffer(bytes(flat), dtype=np.uint8)
             if color == 6:
-                for i in range(w * h):
-                    rgb[3 * i : 3 * i + 3] = flat[4 * i : 4 * i + 3]
+                px = fa.reshape(-1, 4)[:, :3]
             elif color == 0:
-                for i in range(w * h):
-                    rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = flat[i]
+                px = np.repeat(fa, 3)
             elif color == 4:
-                for i in range(w * h):
-                    rgb[3 * i] = rgb[3 * i + 1] = rgb[3 * i + 2] = flat[2 * i]
+                px = np.repeat(fa.reshape(-1, 2)[:, 0], 3)
             else:  # color == 3, palette
                 if plte is None:
                     raise ValueError("palette PNG missing PLTE")
-                for i in range(w * h):
-                    off = flat[i] * 3
-                    if off + 3 > len(plte):
-                        raise ValueError("PNG palette index out of range")
-                    rgb[3 * i : 3 * i + 3] = plte[off : off + 3]
-            return w, h, bytes(rgb)
+                if fa.size and int(fa.max()) * 3 + 3 > len(plte):
+                    raise ValueError("PNG palette index out of range")
+                pal = np.frombuffer(
+                    bytes(plte[: (len(plte) // 3) * 3]), dtype=np.uint8
+                ).reshape(-1, 3)
+                px = pal[fa]
+            return w, h, np.ascontiguousarray(px).tobytes()
         if fmt == "gif":
             if payload[:6] not in (b"GIF87a", b"GIF89a"):
                 raise ValueError("not a GIF")
@@ -911,13 +919,17 @@ def _pixel_codec():
                         for src_i, dest_r in enumerate(order):
                             rows[dest_r] = idxs[src_i * w : (src_i + 1) * w]
                         idxs = [x for row in rows for x in row]  # type: ignore[union-attr]
-                    rgb = bytearray(3 * w * h)
-                    for i, idx in enumerate(idxs[: w * h]):
-                        off = idx * 3
-                        if off + 3 > len(ct):
-                            raise ValueError("GIF palette index out of range")
-                        rgb[3 * i : 3 * i + 3] = ct[off : off + 3]
-                    return w, h, bytes(rgb)
+                    # Round 9: palette mapping vectorized (LZW itself is
+                    # genuinely serial) — byte-identical fancy take.
+                    import numpy as np
+
+                    ia = np.asarray(idxs[: w * h], dtype=np.int64)
+                    if ia.size and int(ia.max()) * 3 + 3 > len(ct):
+                        raise ValueError("GIF palette index out of range")
+                    pal = np.frombuffer(
+                        bytes(ct[: (len(ct) // 3) * 3]), dtype=np.uint8
+                    ).reshape(-1, 3)
+                    return w, h, np.ascontiguousarray(pal[ia]).tobytes()
                 elif b0 == 0x3B:
                     break
                 else:
