@@ -579,6 +579,55 @@ def winnow_near_pairs(
     )
 
 
+def winnow_containment_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_containment: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """Directional containment over a winnowing fingerprint relation
+    ((id, fp) as `winnow_fingerprints` emits): pairs whose shared
+    fingerprint count covers >= min_containment of the SMALLER side's
+    fingerprint set — the quote/excerpt/subclip-inclusion signal
+    symmetric overlap counts miss (a 30-frame clip inside an 80-frame
+    video shares most of ITS fingerprints but few of the host's).
+    Works unchanged for text excerpts and for videos tokenized by
+    `video_frame_token_text` (operators/multimodal.py). Same
+    document-frequency cutoff as `winnow_near_pairs`: a fingerprint in
+    > max_df ids is boilerplate and cannot evidence a pairwise
+    relation. Output (i, j, n_shared, containment), i < j."""
+    counts = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp", "left_semi")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("i"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("j"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    ni = counts.select(F.col(id_col).alias("i"), F.col("n").alias("n_i"))
+    nj = counts.select(F.col(id_col).alias("j"), F.col("n").alias("n_j"))
+    return (
+        shared.join(ni, "i")
+        .join(nj, "j")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared") / F.least("n_i", "n_j").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("i", "j", "n_shared", "containment")
+    )
+
+
 def positional_grams(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:

@@ -2464,6 +2464,80 @@ def video_temporal_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def video_frame_token_text(media: DataFrame) -> DataFrame:
+    """Per-video frame-token document: each decodable frame becomes the
+    integer token round(mean_intensity * 255), space-joined in
+    frame_idx order — the representation that lets the TEXT near-dup
+    machinery run on videos unchanged. Composed with
+    `winnow_fingerprints` (operators/dedup.py) this yields subclip
+    detection: winnowing guarantees any shared run of >= k+w-1 FRAMES
+    between two videos shares a selected fingerprint, so a clip
+    embedded inside a longer video surfaces through the same inverted
+    index text reuse detection uses — the alignment-free complement to
+    `video_temporal_dhash`, whose whole-clip signature cannot see
+    subsequences. One groupBy on media_id after the shared
+    decode_mp4_frames pass; constant-gray frames make the token exact
+    (mean = v/255, so round(mean*255) recovers v bit-for-bit)."""
+    frames = decode_mp4_frames(media).filter(F.col("decode_ok"))
+    seq = frames.groupBy("media_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "frame_idx",
+                    F.round(F.col("mean_intensity") * 255).cast("int").alias("tok"),
+                )
+            )
+        ).alias("s")
+    )
+    return seq.select(
+        "media_id",
+        F.array_join(
+            F.transform("s", lambda x: x["tok"].cast("string")), " "
+        ).alias("text"),
+    )
+
+
+def checked_video_clip_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable video CLIP-containment table: for each base b,
+    id 2b is an 80-frame MJPEG video with closed-form constant-gray
+    frames g(b, j) = (j*j*(7 + b%5) + j*(31 + 3*b) + 5 + 11*b) % 251,
+    and id 2b+1 is the 30-frame SUBCLIP of frames 20..49 — the
+    embedded-clip duplicate class the whole-clip temporal hash cannot
+    see. id 2*n_bases is an unparseable digest payload (absent from
+    fingerprints — honest failure)."""
+    _, encode = _pixel_codec()
+    w, h = 8, 6
+
+    def g(b: int, j: int) -> int:
+        return (j * j * (7 + b % 5) + j * (31 + 3 * b) + 5 + 11 * b) % 251
+
+    def clip(i: int, vals: list[int]) -> bytes:
+        frames = [encode(w, h, bytes([v]) * (3 * w * h), "jpg") for v in vals]
+        return synth_mp4(
+            i, len(frames), 600, with_stss=False,
+            frame_payloads=frames, codec=b"mjpa",
+        )
+
+    rows = []
+    for b in range(n_bases):
+        full = [g(b, j) for j in range(80)]
+        rows.append(
+            (2 * b, "video", "mp4", bytearray(clip(2 * b, full)),
+             None, None, None)
+        )
+        rows.append(
+            (2 * b + 1, "video", "mp4",
+             bytearray(clip(2 * b + 1, full[20:50])), None, None, None)
+        )
+    bad = 2 * n_bases
+    rows.append(
+        (bad, "video", "mp4",
+         bytearray(hashlib.md5(f"vclip{bad}".encode()).digest() * 4),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def checked_video_dedup_df(spark, n_bases: int = 4) -> DataFrame:
     """Oracle-checkable video near-dup table: 4*n_bases MJPEG-in-MP4
     videos of 65 constant-gray frames whose per-frame level is closed

@@ -77,7 +77,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'media_ingest_admission_twin',
     'multimodal_audio_dedup_keep_list',
     'multimodal_audio_fingerprint_checked',
+    'multimodal_video_clip_fingerprints',
     'multimodal_video_dedup_keep_list',
+    'multimodal_video_subclip_pairs',
     'multimodal_video_temporal_hash_checked',
     'multimodal_audio_features',
     'multimodal_audio_features_checked',
@@ -121,8 +123,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'c7_hwm_delta_ingest',
     'c8_set_equality_verify',
     'corpus_curation_rollup',
-    'curation_pipeline_kept_docs',
-    'd11_distinct_collect_per_stream',
 )
 
 

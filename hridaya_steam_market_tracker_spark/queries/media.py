@@ -1734,6 +1734,133 @@ def any_media_ingest_admission_twin(
     )
 
 
+# DuckDB twin of operators.dedup._h60(gram, seed=0), shared with the
+# text winnow oracles (queries/curation_ext.py).
+_VH60_SQL = "('0x' || substr(md5('0:' || {g}), 1, 15))::BIGINT"
+
+_VIDEO_CLIP_WINNOW_CTE = f"""
+    vals AS (
+      SELECT i, j,
+        CASE WHEN i % 2 = 0
+          THEN (j*j*(7 + (i//2) % 5) + j*(31 + 3*(i//2))
+                + 5 + 11*(i//2)) % 251
+          ELSE ((j+20)*(j+20)*(7 + (i//2) % 5) + (j+20)*(31 + 3*(i//2))
+                + 5 + 11*(i//2)) % 251
+        END AS v
+      FROM generate_series(0, 7) gi(i), generate_series(0, 79) gj(j)
+      WHERE i % 2 = 0 OR j < 30
+    ),
+    d AS (SELECT i AS media_id, list(CAST(v AS VARCHAR) ORDER BY j) AS w
+          FROM vals GROUP BY i),
+    g AS (SELECT media_id,
+                 [{_VH60_SQL.format(g="array_to_string(w[k:k+2], ' ')")}
+                  for k in range(1, len(w) - 1)] AS h
+          FROM d WHERE len(w) >= 3),
+    win AS (SELECT media_id,
+                   CASE WHEN len(h) >= 4
+                        THEN list_distinct([list_min(h[k:k+3])
+                                            for k in range(1, len(h) - 2)])
+                        ELSE [list_min(h)] END AS fps
+            FROM g)
+"""
+
+
+@register(
+    "multimodal_video_clip_fingerprints",
+    oracle="WITH "
+    + _VIDEO_CLIP_WINNOW_CTE
+    + """
+    SELECT media_id, fp FROM win, unnest(fps) AS t(fp)
+    """,
+    doc=(
+        "Winnowing fingerprints over VIDEO frame-token sequences: each "
+        "decodable frame becomes the integer token round(mean*255) "
+        "(exact for constant-gray MJPEG), and the TEXT winnowing "
+        "operator runs unchanged — 3-frame grams, window 4, 60-bit md5 "
+        "hashes the oracle recomputes bit-for-bit. The SIGMOD'03 "
+        "guarantee transfers: any shared run of >= 6 frames between "
+        "two videos shares a selected fingerprint, which is what makes "
+        "subclip detection joinable. The unparseable honesty row "
+        "fingerprints nothing."
+    ),
+)
+def multimodal_video_clip_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_clip_df,
+        video_frame_token_text,
+    )
+
+    toks = video_frame_token_text(checked_video_clip_df(spark))
+    return winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
+
+
+@register(
+    "multimodal_video_subclip_pairs",
+    oracle="WITH "
+    + _VIDEO_CLIP_WINNOW_CTE
+    + """,
+    fps AS (SELECT media_id, fp FROM win, unnest(fps) AS t(fp)),
+    cnt AS (SELECT media_id, count(*) AS n FROM fps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM fps
+           WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT CAST(sh.i AS BIGINT) AS i, CAST(sh.j AS BIGINT) AS j,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "VIDEO SUBCLIP detection, value-checked end to end: a 30-frame "
+        "clip embedded inside each 80-frame base surfaces through the "
+        "fingerprint inverted index with directional containment "
+        "scoring (shared / smaller side's fingerprint count) — the "
+        "embedded-duplicate class the whole-clip temporal hash is "
+        "structurally blind to (alignment destroys its bit positions), "
+        "and the video analog of text excerpt detection. Composition "
+        "of decode -> frame tokens -> winnowing -> "
+        "winnow_containment_pairs, each tier independently oracled; "
+        "unrelated bases share no fingerprints and produce no rows."
+    ),
+)
+def multimodal_video_subclip_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_clip_df,
+        video_frame_token_text,
+    )
+
+    toks = video_frame_token_text(checked_video_clip_df(spark))
+    # Lazy stage boundary (the r8 strip->span lesson): the containment
+    # join fans the fingerprint relation out four ways (both join
+    # sides + both count sides), and without the cut each branch would
+    # re-run the mapInPandas DECODE — the one genuinely expensive
+    # stage. The checkpoint materializes fingerprints once, at first
+    # execution, inside any timer.
+    fps = winnow_fingerprints(
+        toks, id_col="media_id", k=3, w=4
+    ).localCheckpoint(eager=False)
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""

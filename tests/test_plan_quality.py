@@ -507,3 +507,33 @@ def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):
         and "Reused" not in line
     )
     assert shuffles <= max_shuffles
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # decode (MapInPandas) -> one media_id groupBy; winnowing
+        # selection is scan-stage array algebra (zero extra shuffles)
+        ("multimodal_video_clip_fingerprints", 1),
+        # COLD plan: the containment join fans the fingerprint relation
+        # out four ways (both join sides + both count sides), so the
+        # pre-execution lineage shows each branch's groupBy. A LAZY
+        # localCheckpoint at the fps boundary collapses them to ONE
+        # decode at first execution (measured 3.7x: 1.28 -> 0.35 s) but
+        # is invisible to the cold plan string this gate reads — the
+        # budget pins the cold shape; the checkpoint is the runtime fix.
+        ("multimodal_video_subclip_pairs", 13),
+    ],
+)
+def test_video_subclip_tier_shuffle_budget(spark, registry, name, max_shuffles):
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )
+    assert shuffles <= max_shuffles

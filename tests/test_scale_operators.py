@@ -2125,3 +2125,42 @@ def test_png_defilter_vectorization_matches_scalar_reference():
         want += line
         prev = line
     assert got == bytes(want)
+
+
+def test_video_subclip_detection_covers_temporal_hash_blind_spot(spark):
+    """The embedded-clip duplicate class: a 30-frame clip cut from an
+    80-frame host. The whole-clip temporal hash is structurally blind
+    to it (the subclip is below the 65-frame signature length, and
+    even a longer cut would shift every bit position), while the
+    winnowing frame-token path surfaces exactly the four planted
+    (host, subclip) pairs — at full containment, with zero
+    cross-base false pairs."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_clip_df,
+        video_frame_token_text,
+        video_temporal_dhash,
+    )
+
+    media = checked_video_clip_df(spark)
+
+    # the temporal hash cannot band any subclip (n_bits < 64)...
+    trows = {r["media_id"]: r for r in video_temporal_dhash(media).collect()}
+    for b in range(4):
+        assert trows[2 * b]["decode_ok"]  # hosts band fine
+        assert not trows[2 * b + 1]["decode_ok"]
+        assert trows[2 * b + 1]["n_bits"] == 29
+
+    # ...while the winnowing path finds exactly the planted pairs
+    fps = winnow_fingerprints(
+        video_frame_token_text(media), id_col="media_id", k=3, w=4
+    )
+    pairs = {
+        (r["i"], r["j"]): r["containment"]
+        for r in winnow_containment_pairs(fps, id_col="media_id").collect()
+    }
+    assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(4)}
+    assert all(c == 1.0 for c in pairs.values())
