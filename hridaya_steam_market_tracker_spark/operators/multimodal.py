@@ -4122,6 +4122,123 @@ def audio_goertzel_fingerprint(
     ).mapInPandas(op, schema=AUDIO_FP_SCHEMA)
 
 
+AUDIO_TOKEN_SCHEMA = "media_id long, text string"
+
+
+def audio_window_token_text(media: DataFrame, window: int = 128) -> DataFrame:
+    """Per-clip window-token document: every full 128-sample window of
+    channel 0 becomes the token "E0_E1_E2_E3" — its four exact-integer
+    Goertzel band powers (fs/6, fs/4, fs/3, fs/2, the
+    `audio_goertzel_fingerprint` probes) joined by underscores — and
+    the tokens space-join in window order. A window-aligned excerpt of
+    a stored clip has byte-identical windows, hence identical tokens,
+    so the TEXT winnowing machinery detects audio EXCERPTS exactly the
+    way it detects video subclips (`video_frame_token_text`) and text
+    quotes: any shared run of >= k+w-1 windows shares a selected
+    fingerprint. Alignment contract: the excerpt class is
+    window-aligned cuts (the deterministic tier's analog of
+    hop-quantized commercial audio fingerprinting); arbitrary-offset
+    robustness would need overlapping windows — a documented seam.
+    Undecodable clips are absent (honest failure); numpy-vectorized
+    across windows like the fingerprint op."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        def tokens_of(payload: bytes, fmt: str | None) -> str:
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                nf = wf.getnframes()
+                ch = wf.getnchannels()
+                raw = wf.readframes(nf)
+            chan0 = np.frombuffer(raw, dtype="<i2")[::ch].astype(np.int64)
+            nw = chan0.size // window
+            if nw == 0:
+                raise ValueError("shorter than one window")
+            X = chan0[: nw * window].reshape(nw, window)
+            E = np.empty((nw, 4), dtype=np.int64)
+            for k, c in enumerate(_FP_COEFFS):
+                s1 = np.zeros(nw, dtype=np.int64)
+                s2 = np.zeros(nw, dtype=np.int64)
+                for t in range(window):
+                    s0 = X[:, t] + c * s1 - s2
+                    s2, s1 = s1, s0
+                E[:, k] = s1 * s1 + s2 * s2 - c * s1 * s2
+            return " ".join(
+                "_".join(str(int(v)) for v in row) for row in E
+            )
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    recs.append((mid, tokens_of(bytes(payload or b""), fmt)))
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
+                    continue  # absent, like a filtered decode_ok=false row
+            yield pd.DataFrame.from_records(
+                recs, columns=["media_id", "text"]
+            )
+
+    return media.filter(F.col("media_type") == "audio").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=AUDIO_TOKEN_SCHEMA)
+
+
+def checked_audio_clip_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable audio EXCERPT table: for each base b, id 2b is
+    a 4,096-sample host (32 windows) with closed-form samples
+    x(b, t) = ((t*t*(11 + b%7) + t*(37 + b%101) + 17*b) % 1025) - 512,
+    and id 2b+1 is the window-ALIGNED excerpt of samples
+    1024..2559 (windows 8..19 — 12 windows). id 2*n_bases is an
+    undecodable 'mp3' digest blob (absent from tokens)."""
+    import io
+    import struct
+    import wave
+
+    def x(b: int, t: int) -> int:
+        return ((t * t * (11 + b % 7) + t * (37 + b % 101) + 17 * b)
+                % 1025) - 512
+
+    def wav(samples: list[int]) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    rows = []
+    for b in range(n_bases):
+        host = [x(b, t) for t in range(4096)]
+        rows.append((2 * b, "audio", "wav", bytearray(wav(host)),
+                     None, None, None))
+        rows.append((2 * b + 1, "audio", "wav",
+                     bytearray(wav(host[1024:2560])), None, None, None))
+    bad = 2 * n_bases
+    rows.append(
+        (bad, "audio", "mp3",
+         bytearray(hashlib.md5(f"aclip{bad}".encode()).digest() * 4),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def checked_audio_fp_df(spark, n_bases: int = 4) -> DataFrame:
     """Oracle-checkable audio near-dup table: 4*n_bases 2048-sample
     16-bit WAVs with closed-form integer samples, id i = 4*b + variant:

@@ -75,7 +75,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 _SAMPLE_FIRST: tuple[str, ...] = (
     'any_media_ingest_admission_twin',
     'media_ingest_admission_twin',
+    'multimodal_audio_clip_fingerprints',
     'multimodal_audio_dedup_keep_list',
+    'multimodal_audio_excerpt_pairs',
     'multimodal_audio_fingerprint_checked',
     'multimodal_video_clip_fingerprints',
     'multimodal_video_dedup_keep_list',
@@ -121,8 +123,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     'c5_anti_unresolved',
     'c6_exists_semi',
     'c7_hwm_delta_ingest',
-    'c8_set_equality_verify',
-    'corpus_curation_rollup',
 )
 
 

@@ -1861,6 +1861,158 @@ def multimodal_video_subclip_pairs(
     )
 
 
+_AUDIO_CLIP_WINNOW_CTE = f"""
+    xs AS (
+      SELECT i, t,
+        CASE WHEN i % 2 = 0
+          THEN ((t*t*(11 + (i//2) % 7) + t*(37 + (i//2) % 101)
+                 + 17*(i//2)) % 1025) - 512
+          ELSE (((t+1024)*(t+1024)*(11 + (i//2) % 7)
+                 + (t+1024)*(37 + (i//2) % 101)
+                 + 17*(i//2)) % 1025) - 512
+        END AS v
+      FROM generate_series(0, 7) gi(i), generate_series(0, 4095) gt(t)
+      WHERE i % 2 = 0 OR t < 1536
+    ),
+    e AS (
+      SELECT i, t // 128 AS wn, k.k,
+        sum(v * CASE k.k
+            WHEN 0 THEN CASE (127 - t % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (127 - t % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (127 - t % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (128 - t % 128)
+                 * (CASE WHEN (127 - t % 128) % 2 = 0 THEN 1 ELSE -1 END)
+          END) AS s1,
+        sum(CASE WHEN t % 128 <= 126 THEN v * CASE k.k
+            WHEN 0 THEN CASE (126 - t % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (126 - t % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (126 - t % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (127 - t % 128)
+                 * (CASE WHEN (126 - t % 128) % 2 = 0 THEN 1 ELSE -1 END)
+          END ELSE 0 END) AS s2
+      FROM xs, (VALUES (0), (1), (2), (3)) k(k)
+      GROUP BY i, t // 128, k.k
+    ),
+    tok AS (
+      SELECT i, wn,
+             array_to_string(
+               list(CAST(s1*s1 + s2*s2
+                    - (CASE k WHEN 0 THEN 1 WHEN 1 THEN 0
+                       WHEN 2 THEN -1 ELSE -2 END) * s1 * s2 AS VARCHAR)
+                    ORDER BY k), '_') AS t_str
+      FROM e GROUP BY i, wn
+    ),
+    d AS (SELECT i AS media_id, list(t_str ORDER BY wn) AS w
+          FROM tok GROUP BY i),
+    g AS (SELECT media_id,
+                 [{_VH60_SQL.format(g="array_to_string(w[k:k+2], ' ')")}
+                  for k in range(1, len(w) - 1)] AS h
+          FROM d WHERE len(w) >= 3),
+    win AS (SELECT media_id,
+                   CASE WHEN len(h) >= 4
+                        THEN list_distinct([list_min(h[k:k+3])
+                                            for k in range(1, len(h) - 2)])
+                        ELSE [list_min(h)] END AS fps
+            FROM g)
+"""
+
+
+@register(
+    "multimodal_audio_clip_fingerprints",
+    oracle="WITH "
+    + _AUDIO_CLIP_WINNOW_CTE
+    + """
+    SELECT media_id, fp FROM win, unnest(fps) AS t(fp)
+    """,
+    doc=(
+        "Winnowing fingerprints over AUDIO window-token sequences: "
+        "every 128-sample window of channel 0 becomes the token "
+        "E0_E1_E2_E3 (its four exact-integer Goertzel band powers), "
+        "and the TEXT winnowing operator runs unchanged — the oracle "
+        "recomputes every power as a weighted integer sum AND every "
+        "60-bit gram hash bit-for-bit. A window-aligned excerpt of a "
+        "stored clip has byte-identical windows hence identical "
+        "tokens, so shared runs of >= 6 windows are guaranteed a "
+        "shared fingerprint. The mp3 honesty row fingerprints nothing."
+    ),
+)
+def multimodal_audio_clip_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_window_token_text,
+        checked_audio_clip_df,
+    )
+
+    toks = audio_window_token_text(checked_audio_clip_df(spark))
+    return winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
+
+
+@register(
+    "multimodal_audio_excerpt_pairs",
+    oracle="WITH "
+    + _AUDIO_CLIP_WINNOW_CTE
+    + """,
+    fps AS (SELECT media_id, fp FROM win, unnest(fps) AS t(fp)),
+    cnt AS (SELECT media_id, count(*) AS n FROM fps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM fps
+           WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT CAST(sh.i AS BIGINT) AS i, CAST(sh.j AS BIGINT) AS j,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "AUDIO EXCERPT detection, value-checked end to end: a 12-window "
+        "excerpt cut window-aligned from each 32-window host surfaces "
+        "through the fingerprint inverted index with directional "
+        "containment scoring — the audio member of the excerpt/subclip/"
+        "quote family (containment_pairs for text, "
+        "multimodal_video_subclip_pairs for video), completing the "
+        "embedded-duplicate plane across all three modalities. "
+        "Unrelated hosts share no fingerprints and produce no rows."
+    ),
+)
+def multimodal_audio_excerpt_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_window_token_text,
+        checked_audio_clip_df,
+    )
+
+    toks = audio_window_token_text(checked_audio_clip_df(spark))
+    fps = winnow_fingerprints(
+        toks, id_col="media_id", k=3, w=4
+    ).localCheckpoint(eager=False)
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""

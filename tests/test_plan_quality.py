@@ -537,3 +537,28 @@ def test_video_subclip_tier_shuffle_budget(spark, registry, name, max_shuffles):
         and "Reused" not in line
     )
     assert shuffles <= max_shuffles
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles"),
+    [
+        # tokens come straight out of the Arrow pass; one groupBy-free
+        # winnowing selection (scan-stage array algebra)
+        ("multimodal_audio_clip_fingerprints", 0),
+        # cold-plan fan-out like the video twin (lazy checkpoint
+        # collapses it at execution)
+        ("multimodal_audio_excerpt_pairs", 13),
+    ],
+)
+def test_audio_excerpt_tier_shuffle_budget(spark, registry, name, max_shuffles):
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )
+    assert shuffles <= max_shuffles

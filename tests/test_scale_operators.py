@@ -2164,3 +2164,40 @@ def test_video_subclip_detection_covers_temporal_hash_blind_spot(spark):
     }
     assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(4)}
     assert all(c == 1.0 for c in pairs.values())
+
+
+def test_audio_excerpt_detection_covers_fingerprint_blind_spot(spark):
+    """The audio member of the embedded-duplicate family: a 12-window
+    excerpt cut window-aligned from a 32-window host. The whole-clip
+    Goertzel fingerprint cannot band it (12 windows < the 16 the
+    64-bit signature needs, and any cut shifts window-bit positions),
+    while the winnowing window-token path surfaces exactly the four
+    planted (host, excerpt) pairs at full containment."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        audio_window_token_text,
+        checked_audio_clip_df,
+    )
+
+    media = checked_audio_clip_df(spark)
+
+    frows = {r["media_id"]: r
+             for r in audio_goertzel_fingerprint(media).collect()}
+    for b in range(4):
+        assert frows[2 * b]["decode_ok"]
+        assert not frows[2 * b + 1]["decode_ok"]
+        assert frows[2 * b + 1]["n_bits"] == 48  # 12 windows * 4 bits
+
+    fps = winnow_fingerprints(
+        audio_window_token_text(media), id_col="media_id", k=3, w=4
+    )
+    pairs = {
+        (r["i"], r["j"]): r["containment"]
+        for r in winnow_containment_pairs(fps, id_col="media_id").collect()
+    }
+    assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(4)}
+    assert all(c == 1.0 for c in pairs.values())
