@@ -78,12 +78,16 @@ def _swap_dir(tmp: str, live: str) -> None:
     shutil.rmtree(old)
 
 
-def _check_store_integrity(store_path: str) -> None:
+def _check_store_integrity(
+    store_path: str, subdirs: tuple[str, ...] = ("docs", "bands")
+) -> None:
     """Fail loudly on the one half-compacted state rename-aside can
     leave: a ``.compact.tmp`` (the fully-written compacted store) present
     without its live counterpart. Recovery is a single rename, which must
-    be a deliberate operator action — never an implicit 'store is empty'."""
-    for sub in ("docs", "bands"):
+    be a deliberate operator action — never an implicit 'store is empty'.
+    ``subdirs`` lists the store components (the excerpt-aware media gate
+    adds ``wfps``)."""
+    for sub in subdirs:
         live = os.path.join(store_path, sub)
         tmp = live + ".compact.tmp"
         if os.path.isdir(tmp) and not os.path.isdir(live):

@@ -256,11 +256,16 @@ def ingest_media_batch(
             .localCheckpoint(eager=True)
         )
         accepted.write.mode("append").parquet(docs_path)
-        (
-            accepted_bands.write.mode("append")
-            .partitionBy("band")
-            .parquet(bands_path)
-        )
+        # Never append an EMPTY frame: it creates a directory holding
+        # only _SUCCESS, which a later batch's read fails on with
+        # UNABLE_TO_INFER_SCHEMA (e.g. a first batch of solely
+        # undecodable blobs has docs rows but zero band rows).
+        if not accepted_bands.isEmpty():
+            (
+                accepted_bands.write.mode("append")
+                .partitionBy("band")
+                .parquet(bands_path)
+            )
     finally:
         if hashes is not None:
             hashes.unpersist()
@@ -388,6 +393,7 @@ def ingest_any_media_batch(
     batch_df: DataFrame,
     store_path: str,
     max_hamming: int = 3,
+    excerpt_tau: float | None = None,
 ) -> None:
     """Process ONE mixed media micro-batch through the unified gate:
     per-plane signatures (image dHash / video temporal dHash / audio
@@ -404,7 +410,18 @@ def ingest_any_media_batch(
     Store layout: docs/ as the image gate plus the same decode_ok
     discipline; bands/ hive-partitioned by (plane, band) so each
     plane's postings stay physically clustered and a batch of one
-    modality scans only its own plane's directories."""
+    modality scans only its own plane's directories.
+
+    ``excerpt_tau`` (optional) additionally rejects a batch item whose
+    winnowing-fingerprint CONTENT is >= tau already stored — a
+    window-aligned audio excerpt or video subclip of a stored item, the
+    class the whole-item hashes are structurally blind to — maintaining
+    a third store component wfps/ (hive-partitioned by plane; fp=NULL
+    presence rows for unfingerprintable items). Directional: a new host
+    containing a stored clip is admitted. Use the same setting for a
+    store's whole lifetime: batches ingested without it leave wfps/
+    unwritten, and the repair pass would re-fingerprint them on the
+    next excerpt-aware batch."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 16-bit banding is lossless only "
@@ -417,13 +434,20 @@ def ingest_any_media_batch(
     bands_path = os.path.join(store_path, "bands")
 
     batch = batch_df.select(*_DOC_COLS).dropDuplicates(["media_id"])
-    _check_store_integrity(store_path)
+    _check_store_integrity(
+        store_path,
+        ("docs", "bands", "wfps") if excerpt_tau is not None
+        else ("docs", "bands"),
+    )
     repair_any_media_band_index(spark, store_path)
+    if excerpt_tau is not None:
+        repair_media_wfps_index(spark, store_path)
     stored = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
     if stored is not None:
         batch = batch.join(stored.select("media_id"), "media_id", "left_anti")
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = None
+    batch_wfps = None
     try:
         if batch.isEmpty():
             return
@@ -438,6 +462,19 @@ def ingest_any_media_batch(
         rejected = media_admission_rejects(
             stored_bands, b_bands, max_hamming, keys=_ANY_KEYS
         )
+        if excerpt_tau is not None:
+            wfps_path = os.path.join(store_path, "wfps")
+            batch_wfps = media_winnow_fps(batch).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            stored_wfps = (
+                spark.read.parquet(wfps_path).select(*_WFP_COLS)
+                if os.path.isdir(wfps_path)
+                else None
+            )
+            rejected = rejected.unionByName(
+                media_excerpt_rejects(stored_wfps, batch_wfps, excerpt_tau)
+            ).distinct()
 
         accepted = (
             batch.join(rejected, "media_id", "left_anti")
@@ -449,15 +486,31 @@ def ingest_any_media_batch(
             .join(accepted.select("media_id"), "media_id", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if excerpt_tau is not None:
+            accepted_wfps = batch_wfps.join(
+                accepted.select("media_id"), "media_id", "left_semi"
+            ).localCheckpoint(eager=True)
         accepted.write.mode("append").parquet(docs_path)
-        (
-            accepted_bands.write.mode("append")
-            .partitionBy("plane", "band")
-            .parquet(bands_path)
-        )
+        # Empty-append guard (see ingest_media_batch): a batch of only
+        # unbandable items (e.g. one too-short clip) must not create an
+        # unreadable schema-less bands/ or wfps/ directory.
+        if not accepted_bands.isEmpty():
+            (
+                accepted_bands.write.mode("append")
+                .partitionBy("plane", "band")
+                .parquet(bands_path)
+            )
+        if excerpt_tau is not None and not accepted_wfps.isEmpty():
+            (
+                accepted_wfps.write.mode("append")
+                .partitionBy("plane")
+                .parquet(wfps_path)
+            )
     finally:
         if sigs is not None:
             sigs.unpersist()
+        if excerpt_tau is not None and batch_wfps is not None:
+            batch_wfps.unpersist()
         batch.unpersist()
 
 
@@ -465,11 +518,37 @@ def compact_any_media_store(
     spark: SparkSession, store_path: str, target_files: int = 1
 ) -> dict[str, int]:
     """`compact_store` with the unified plane-tagged band shape and
-    (plane, band) hive layout."""
-    return compact_store(
+    (plane, band) hive layout; an excerpt-aware store's wfps/ component
+    is rewritten with the same rename-aside swap."""
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        _swap_dir,
+    )
+
+    _check_store_integrity(store_path, ("docs", "bands", "wfps"))
+    out = compact_store(
         spark, store_path, target_files,
         band_cols=_ANY_BAND_COLS, partition_cols=("plane", "band"),
     )
+    wfps_path = os.path.join(store_path, "wfps")
+    if os.path.isdir(wfps_path):
+        wf = spark.read.parquet(wfps_path).select(*_WFP_COLS)
+        n = wf.count()
+        tmp = wfps_path + ".compact.tmp"
+        (
+            wf.repartition(
+                F.col("plane"),
+                F.pmod(
+                    F.hash(F.coalesce("fp", "media_id")), F.lit(target_files)
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("plane")
+            .parquet(tmp)
+        )
+        _swap_dir(tmp, wfps_path)
+        spark.catalog.refreshByPath(wfps_path)
+        out["wfps"] = n
+    return out
 
 
 def start_dedup_any_media_ingest(
@@ -498,3 +577,109 @@ def start_dedup_any_media_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Excerpt-aware admission (round 9): the banded hash gate rejects
+# whole-item near-dups; with ``excerpt_tau`` set, the unified gate ALSO
+# rejects a new item most of whose CONTENT is already stored — a
+# window-aligned audio excerpt or a video subclip of a stored item —
+# via a winnowing fingerprint index (the same machinery the batch
+# subclip/excerpt queries value-check). Directional by design: a new
+# HOST containing a stored clip is admitted (most of its fingerprints
+# are new); a new clip contained in a stored host is redundant.
+# ---------------------------------------------------------------------------
+
+_WFP_COLS = ("media_id", "plane", "fp")
+
+
+def media_winnow_fps(batch: DataFrame) -> DataFrame:
+    """(media_id, plane, fp) winnowing fingerprints for the sequence
+    planes (video frame tokens, audio window tokens; images have no
+    sequence). EVERY video/audio row in the batch gets at least one
+    output row: items whose sequence yields no fingerprint (undecodable,
+    or shorter than one k-gram) carry a single fp=NULL presence row, so
+    the index distinguishes 'indexed, nothing to match' from 'orphaned'
+    — NULL never equi-joins, so presence rows can never evidence a
+    rejection."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_window_token_text,
+        video_frame_token_text,
+    )
+
+    toks = video_frame_token_text(batch).unionByName(
+        audio_window_token_text(batch)
+    )
+    fps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
+    ids = batch.filter(
+        F.col("media_type").isin("video", "audio")
+    ).select("media_id", F.col("media_type").alias("plane"))
+    return ids.join(fps, "media_id", "left").select(*_WFP_COLS)
+
+
+def media_excerpt_rejects(
+    stored_wfps: DataFrame | None,
+    batch_wfps: DataFrame,
+    tau: float,
+) -> DataFrame:
+    """Batch items to REJECT as stored-content excerpts: the fraction
+    of a batch item's fingerprints already present — in the store, or
+    in lower-id items of the same batch (leader-keeps) — reaches
+    ``tau``. Plane rides the join key; a shared fingerprint counts
+    once however many stored items carry it (distinct before the
+    count), so containment is a pure batch-side fraction."""
+    bf = batch_wfps.filter(F.col("fp").isNotNull())
+    n = bf.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    b = bf.select(F.col("media_id").alias("j"), "plane", "fp")
+    a = bf.select(F.col("media_id").alias("i"), "plane", "fp")
+    matched = (
+        a.join(b, ["plane", "fp"])
+        .filter(F.col("i") < F.col("j"))
+        .select("j", "fp")
+    )
+    if stored_wfps is not None:
+        s = stored_wfps.filter(F.col("fp").isNotNull()).select(
+            F.col("media_id").alias("i"), "plane", "fp"
+        )
+        matched = matched.unionByName(
+            s.join(b, ["plane", "fp"]).select("j", "fp")
+        )
+    shared = matched.distinct().groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    return (
+        shared.join(n.withColumnRenamed("media_id", "j"), "j")
+        .filter(F.col("n_shared") / F.col("n_fp") >= tau)
+        .select(F.col("j").alias("media_id"))
+    )
+
+
+def repair_media_wfps_index(spark: SparkSession, store_path: str) -> int:
+    """Re-index video/audio docs rows missing from wfps/ — the
+    excerpt index's analog of `repair_any_media_band_index`, with the
+    fp=NULL presence rows making 'nothing to fingerprint' a recorded
+    state instead of a perpetual orphan."""
+    docs_path = os.path.join(store_path, "docs")
+    wfps_path = os.path.join(store_path, "wfps")
+    if not os.path.isdir(docs_path):
+        return 0
+    docs = spark.read.parquet(docs_path)
+    cand = docs.filter(
+        F.col("media_type").isin("video", "audio")
+    ).select("media_id")
+    if os.path.isdir(wfps_path):
+        have = spark.read.parquet(wfps_path).select("media_id").distinct()
+        orphans = cand.join(have, "media_id", "left_anti")
+    else:
+        orphans = cand
+    orphans = orphans.localCheckpoint(eager=True)
+    if orphans.isEmpty():
+        return 0
+    orphan_docs = docs.join(orphans, "media_id", "left_semi")
+    repaired = media_winnow_fps(orphan_docs).localCheckpoint(eager=True)
+    cnt = repaired.count()
+    repaired.write.mode("append").partitionBy("plane").parquet(wfps_path)
+    return cnt

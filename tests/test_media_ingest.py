@@ -385,3 +385,99 @@ def test_any_media_streaming_e2e(spark, tmp_path):
     finally:
         q2.stop()
     assert _stored_ids(spark, store) == {0, 1000, 2000, 1003}
+
+
+def _clip_rows(spark, vid_ids=(), aud_ids=()):
+    """Excerpt-family fixtures remapped into one id space: video clip
+    table +1000, audio clip table +2000."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_clip_df,
+        checked_video_clip_df,
+    )
+
+    parts = []
+    if vid_ids:
+        vid = checked_video_clip_df(spark).withColumn(
+            "media_id", F.col("media_id") + 1000
+        )
+        parts.append(vid.filter(vid["media_id"].isin(list(vid_ids))))
+    if aud_ids:
+        aud = checked_audio_clip_df(spark).withColumn(
+            "media_id", F.col("media_id") + 2000
+        )
+        parts.append(aud.filter(aud["media_id"].isin(list(aud_ids))))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_any_media_excerpt_aware_admission(spark, tmp_path):
+    """With excerpt_tau set, the unified gate rejects a video SUBCLIP
+    and an audio EXCERPT of stored items — the class the whole-item
+    hashes are structurally blind to (the plain gate admits both) —
+    while unrelated content is admitted, and the policy is
+    DIRECTIONAL: a new host containing a stored clip is admitted."""
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+    )
+
+    # blindness control: the plain gate admits the subclip + excerpt
+    plain = str(tmp_path / "plain")
+    ingest_any_media_batch(_clip_rows(spark, [1000], [2000]), plain)
+    ingest_any_media_batch(_clip_rows(spark, [1001], [2001]), plain)
+    assert _stored_ids(spark, plain) == {1000, 2000, 1001, 2001}
+
+    # excerpt-aware: both rejected; unrelated base-1 host admitted
+    store = str(tmp_path / "store")
+    ingest_any_media_batch(
+        _clip_rows(spark, [1000], [2000]), store, excerpt_tau=0.8
+    )
+    ingest_any_media_batch(
+        _clip_rows(spark, [1001, 1002], [2001]), store, excerpt_tau=0.8
+    )
+    assert _stored_ids(spark, store) == {1000, 2000, 1002}
+    wfps_planes = {
+        r["plane"]
+        for r in spark.read.parquet(store + "/wfps").collect()
+    }
+    assert wfps_planes == {"video", "audio"}
+
+    # directionality: store a subclip first, then ingest its host
+    store2 = str(tmp_path / "store2")
+    ingest_any_media_batch(_clip_rows(spark, [1003]), store2, excerpt_tau=0.8)
+    ingest_any_media_batch(_clip_rows(spark, [1002]), store2, excerpt_tau=0.8)
+    assert _stored_ids(spark, store2) == {1003, 1002}
+
+
+def test_any_media_excerpt_index_repair_replay_compaction(spark, tmp_path):
+    """The wfps/ index heals like the band index (a crash-lost index is
+    rebuilt on the next batch and the excerpt is still rejected),
+    replay is a no-op, and compaction rewrites all three components
+    without changing admissions."""
+    import shutil
+
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        compact_any_media_store,
+        ingest_any_media_batch,
+        repair_media_wfps_index,
+    )
+
+    store = str(tmp_path / "store")
+    wave1 = _clip_rows(spark, [1000], [2000])
+    ingest_any_media_batch(wave1, store, excerpt_tau=0.8)
+    shutil.rmtree(store + "/wfps")  # crash state: docs written, wfps not
+
+    ingest_any_media_batch(_clip_rows(spark, [1001]), store, excerpt_tau=0.8)
+    assert _stored_ids(spark, store) == {1000, 2000}  # rejected post-repair
+    assert repair_media_wfps_index(spark, store) == 0  # healthy no-op
+
+    ingest_any_media_batch(wave1, store, excerpt_tau=0.8)  # replay no-op
+    assert spark.read.parquet(store + "/docs").count() == 2
+
+    out = compact_any_media_store(spark, store)
+    assert out["docs"] == 2 and "wfps" in out
+    ingest_any_media_batch(_clip_rows(spark, [2001]), store, excerpt_tau=0.8)
+    assert _stored_ids(spark, store) == {1000, 2000}  # still rejected
