@@ -65,13 +65,12 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # `python tools/sample_order.py`.
 # Round-9 composition: derived from COMMITTED correctness records (the
 # round-8 structural fix — a driver-dropped untracked record can no
-# longer flip the gate red without a builder commit). 25 flagged lead:
-# the six never-sampled round-9 queries (video/audio near-dup tiers +
-# the two admission twins), the two r04-era rows (vocab_growth_curve,
-# winsorize_stream_values), the NAL/SPS/EXIF/dhash + audio cohort whose
-# transitive fingerprints changed in the r8 factory refactor and the
-# r9 kernel vectorization, and the span/strip family from the r8
-# localCheckpoint fix; the r04-era raw scans fill the remaining slots.
+# longer flip the gate red without a builder commit). Flagged queries
+# lead: the ten never-sampled round-9 queries (video/audio near-dup
+# tiers, subclip/excerpt detection, three admission twins), the two
+# r04-era rows, and the multimodal cohort whose transitive
+# fingerprints changed in the r9 kernel/codec vectorization; the
+# span/strip family and r04-era raw scans fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
     'any_media_ingest_admission_twin',
     'media_ingest_admission_twin',
