@@ -920,7 +920,11 @@ def _pixel_codec():
                             rows[dest_r] = idxs[src_i * w : (src_i + 1) * w]
                         idxs = [x for row in rows for x in row]  # type: ignore[union-attr]
                     # Round 9: palette mapping vectorized (LZW itself is
-                    # genuinely serial) — byte-identical fancy take.
+                    # genuinely serial) — byte-identical fancy take: the
+                    # truncated-raster raise above guarantees idxs holds
+                    # >= w*h entries before the take, exactly as it did
+                    # for the scalar loop (pinned by
+                    # test_gif_truncated_stream_and_short_palette_raise).
                     import numpy as np
 
                     ia = np.asarray(idxs[: w * h], dtype=np.int64)
@@ -1376,6 +1380,37 @@ def _orientation_transform():
     return upright
 
 
+def _orientation_reader():
+    """EXIF Orientation (tag 0x0112) of a stored payload — the shared
+    metadata tier of every upright-normalizing image operator
+    (`image_dhash_oriented`, `image_tile_tokens`): jpeg/png container
+    walk -> TIFF parse -> orientation 1-8. A missing EXIF block, a
+    non-EXIF container (bmp/ppm/gif) or a CORRUPT metadata walk all
+    fall back to orientation 1 — metadata damage must never drop an
+    image from dedup. Self-contained closure (capture-by-value
+    posture, like `_pixel_codec`)."""
+    parse_tiff_exif, walk_jpeg, walk_png = _exif_walks()
+
+    def orientation_of(data: bytes, fmt: str | None) -> int:
+        import struct
+
+        try:
+            if fmt == "jpeg":
+                tiff, _ = walk_jpeg(data)
+            elif fmt == "png":
+                tiff, _ = walk_png(data)
+            else:
+                return 1
+            if tiff is None:
+                return 1
+            ori, _ = parse_tiff_exif(tiff)
+            return ori if ori is not None and 1 <= ori <= 8 else 1
+        except (ValueError, struct.error, UnicodeDecodeError, IndexError):
+            return 1
+
+    return orientation_of
+
+
 def image_dhash(media: DataFrame, grid_w: int = 9, grid_h: int = 8) -> DataFrame:
     """Perceptual difference hash (dHash) over REAL decoded pixels —
     the image-side analog of the text near-dup tier: two images whose
@@ -1567,27 +1602,10 @@ def image_dhash_oriented(
     Undecodable pixels keep the NULL-hash failure row."""
     pixel_decode, _ = _pixel_codec()
     dhash_bits = _dhash_kernel(grid_w, grid_h)
-    parse_tiff_exif, walk_jpeg, walk_png = _exif_walks()
     upright = _orientation_transform()
+    orientation_of = _orientation_reader()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        def orientation_of(data: bytes, fmt: str | None) -> int:
-            try:
-                if fmt == "jpeg":
-                    tiff, _ = walk_jpeg(data)
-                elif fmt == "png":
-                    tiff, _ = walk_png(data)
-                else:
-                    return 1
-                if tiff is None:
-                    return 1
-                ori, _ = parse_tiff_exif(tiff)
-                return ori if ori is not None and 1 <= ori <= 8 else 1
-            except (ValueError, struct.error, UnicodeDecodeError, IndexError):
-                return 1
-
         for pdf in batches:
             recs = []
             for mid, payload, fmt in zip(
@@ -1757,6 +1775,180 @@ def synthetic_image_corpus(spark, n: int, dup_every: int = 4) -> DataFrame:
             )
             payload = payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
         rows_out.append((i, "image", "png", payload, None, None, None))
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
+
+
+IMAGE_TILE_SCHEMA = (
+    "media_id long, tile_x int, tile_y int, tok long, decode_ok boolean"
+)
+
+
+def image_tile_tokens(media: DataFrame, tile: int = 8) -> DataFrame:
+    """Per-tile content tokens over the EXIF-upright decoded raster —
+    the image's joinable content plane for CROP containment, the
+    image analog of `video_frame_token_text`'s frame sequence. The
+    upright raster is cut into ``tile`` x ``tile`` pixel cells (full
+    tiles only; ragged right/bottom edges drop, the dHash grid's
+    floor-truncation rule), and each tile's token is the
+    position-weighted byte sum  sum(byte[k] * (k+1)) mod 2^31  over
+    its 3*tile*tile RGB bytes in row-major order — integer-exact, so
+    a DuckDB oracle recomputes every token bit-for-bit from
+    closed-form fixtures. A tile-ALIGNED crop of a stored image
+    reproduces its covered host tiles token-for-token, which is what
+    turns crop detection into the same containment join the text /
+    video / audio excerpt planes use instead of a keypoint problem.
+    Alignment honesty: an arbitrary-offset crop shifts the grid and
+    shares no tiles — the same alignment contract as the
+    window-aligned audio-excerpt and frame-aligned video-subclip
+    planes. Undecodable payloads and images smaller than one tile
+    keep a single NULL-token row (decode_ok false / true).
+
+    Scale shape: one Arrow-batched scan (decode + EXIF walk + numpy
+    tile reduction fused, like `image_dhash_oriented`); tokens are
+    ~ (W*H)/tile^2 longs per image — payload bytes never cross an
+    exchange."""
+    pixel_decode, _ = _pixel_codec()
+    upright = _orientation_transform()
+    orientation_of = _orientation_reader()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        wgt = np.arange(1, 3 * tile * tile + 1, dtype=np.int64)
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload or b"")
+                try:
+                    ori = orientation_of(data, fmt)
+                    w, h, rgb = pixel_decode(data, fmt)
+                    w, h, rgb = upright(w, h, rgb, ori)
+                except (NotImplementedError, ValueError, IndexError):
+                    recs.append((mid, None, None, None, False))
+                    continue
+                tw, th = w // tile, h // tile
+                if tw == 0 or th == 0:
+                    recs.append((mid, None, None, None, True))
+                    continue
+                toks = (
+                    np.frombuffer(bytes(rgb), dtype=np.uint8)
+                    .reshape(h, w, 3)[: th * tile, : tw * tile]
+                    .reshape(th, tile, tw, tile, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(th, tw, 3 * tile * tile)
+                    .astype(np.int64)
+                    @ wgt
+                ) % (1 << 31)
+                recs.extend(
+                    (mid, tx, ty, int(toks[ty, tx]), True)
+                    for ty in range(th)
+                    for tx in range(tw)
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=["media_id", "tile_x", "tile_y", "tok", "decode_ok"],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "format", "payload")
+        .mapInPandas(op, schema=IMAGE_TILE_SCHEMA)
+    )
+
+
+def image_tile_fingerprints(media: DataFrame, tile: int = 8) -> DataFrame:
+    """(media_id, fp): distinct 60-bit fingerprints of an image's tile
+    tokens — the (id, fp) inverted-index form `winnow_containment_pairs`
+    (operators/dedup.py) and the streaming excerpt gate consume
+    directly, closing the cropped-image hole in the embedded-duplicate
+    family (text excerpt / video subclip / audio excerpt / image
+    crop). Unlike the sequence planes there is no winnowing window —
+    tiles are a SET, not a sequence (a crop is a sub-grid, not a
+    contiguous run of the host's raster order), so every full tile
+    fingerprints and a tile-aligned crop's containment in its host is
+    exactly 1.0. Same md5-derived 60-bit recipe as the text winnowing
+    fingerprints (`_h60`, seed 0): DuckDB recomputes every fp
+    bit-for-bit. Constant-background boilerplate tiles are handled
+    where text boilerplate is — the containment consumers' document-
+    frequency cap."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import _h60
+
+    toks = image_tile_tokens(media, tile)
+    return (
+        toks.filter(F.col("decode_ok") & F.col("tok").isNotNull())
+        .select(
+            "media_id", _h60(F.col("tok").cast("string"), 0).alias("fp")
+        )
+        .dropDuplicates(["media_id", "fp"])
+    )
+
+
+def checked_image_crop_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable image CROP-containment table: for each base b,
+    id 2b is a 64x48 gray PNG with closed-form pixels
+    v(b, x, y) = (x*x*(3 + b%5) + y*y*(7 + b%3) + x*y + 13*b) % 251,
+    and id 2b+1 is its 32x24 tile-ALIGNED CROP at offset (16, 8) —
+    the re-upload class the whole-image dHash is structurally blind
+    to (cropping shifts the global resize grid) and the sequence
+    planes never see (images have no token sequence). id 2*n_bases is
+    an unparseable digest blob (absent from fingerprints — honest
+    failure); id 2*n_bases + 1 is the SAME crop of base 0 stored
+    camera-ROTATED (real PNG eXIf chunk, orientation 6), whose
+    upright tile tokens must equal id 1's exactly — the tile plane
+    inherits the rotate-before-hash rule."""
+    import hashlib
+    import struct
+    import zlib
+
+    _, encode = _pixel_codec()
+    w, h = 64, 48
+    cw, ch, x0, y0 = 32, 24, 16, 8
+
+    def v(b: int, x: int, y: int) -> int:
+        return (
+            x * x * (3 + b % 5) + y * y * (7 + b % 3) + x * y + 13 * b
+        ) % 251
+
+    def png_of(rows: list[list[int]]) -> bytearray:
+        sh, sw = len(rows), len(rows[0])
+        rgb = bytes(p for r in rows for p in r for _ in range(3))
+        return bytearray(encode(sw, sh, rgb, "png"))
+
+    def crop_rows(b: int) -> list[list[int]]:
+        return [
+            [v(b, x0 + x, y0 + y) for x in range(cw)] for y in range(ch)
+        ]
+
+    rows_out = []
+    for b in range(n_bases):
+        host = [[v(b, x, y) for x in range(w)] for y in range(h)]
+        rows_out.append((2 * b, "image", "png", png_of(host), w, h, None))
+        rows_out.append(
+            (2 * b + 1, "image", "png", png_of(crop_rows(b)), cw, ch, None)
+        )
+    rows_out.append(
+        (2 * n_bases, "image", "png",
+         bytearray(hashlib.md5(b"crop-honesty").digest() * 4),
+         None, None, None)
+    )
+    # Rotated storage of base 0's crop: stored = rot90ccw(upright)
+    # (forward camera transform for EXIF orientation 6), real eXIf.
+    stored = [list(r) for r in zip(*crop_rows(0))][::-1]
+    payload = png_of(stored)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    tiff = _tiff_exif_bytes(6, "2024:04:01 00:00:00", motorola=False)
+    payload = payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
+    rows_out.append(
+        (2 * n_bases + 1, "image", "png", payload, cw, ch, None)
+    )
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
 

@@ -72,56 +72,56 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # fingerprints changed in the r9 kernel/codec vectorization; the
 # span/strip family and r04-era raw scans fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    'any_media_ingest_admission_twin',
-    'media_ingest_admission_twin',
-    'multimodal_audio_clip_fingerprints',
-    'multimodal_audio_dedup_keep_list',
-    'multimodal_audio_excerpt_pairs',
-    'multimodal_audio_fingerprint_checked',
-    'multimodal_video_clip_fingerprints',
-    'multimodal_video_dedup_keep_list',
-    'multimodal_video_subclip_pairs',
-    'multimodal_video_temporal_hash_checked',
-    'multimodal_audio_features',
-    'multimodal_audio_features_checked',
-    'multimodal_feature_extract',
-    'multimodal_feature_extract_checked',
-    'multimodal_resize_checked',
-    'vocab_growth_curve',
-    'winsorize_stream_values',
-    'dedup_minhash_lsh',
-    'multimodal_avc1_nal_index_checked',
-    'multimodal_hevc_nal_index_checked',
-    'containment_pairs',
-    'multimodal_avc1_sps_params_checked',
-    'multimodal_avcc_config_sps_checked',
-    'multimodal_dhash_near_pairs_checked',
-    'multimodal_hevc_sps_params_checked',
-    'multimodal_hvcc_config_sps_checked',
-    'multimodal_image_dhash_checked',
-    'source_prefix_boilerplate',
-    'multimodal_image_exif_checked',
-    'strip_then_span_stats',
-    'multimodal_audio_goertzel_checked',
-    'multimodal_dhash_oriented_checked',
-    'multimodal_dhash_oriented_near_pairs_checked',
-    'multimodal_image_dedup_keep_list',
-    'multimodal_mjpeg_decode_checked',
-    'multimodal_mp4_frame_index_checked',
-    'multimodal_mp4_frame_sample_checked',
-    'blob_decompress_stats_checked',
-    'multimodal_frame_sample_checked',
-    'warc_record_index_checked',
-    'ann_lsh_multiprobe_topk',
-    'ann_lsh_topk',
-    'b5_sanity_invariants',
-    'c1_broadcast_enrich',
-    'c2_manifest_resolve_join',
-    'c3_spike_above_global_avg',
-    'c4_reconcile_diff',
-    'c5_anti_unresolved',
-    'c6_exists_semi',
-    'c7_hwm_delta_ingest',
+    "multimodal_image_crop_pairs",
+    "multimodal_image_tile_fingerprints",
+    "any_media_ingest_admission_twin",
+    "media_ingest_admission_twin",
+    "multimodal_audio_clip_fingerprints",
+    "multimodal_audio_excerpt_pairs",
+    "multimodal_dhash_oriented_checked",
+    "multimodal_dhash_oriented_near_pairs_checked",
+    "multimodal_image_dedup_keep_list",
+    "multimodal_image_exif_checked",
+    "multimodal_video_dedup_keep_list",
+    "c8_set_equality_verify",
+    "corpus_curation_rollup",
+    "curation_pipeline_kept_docs",
+    "d11_distinct_collect_per_stream",
+    "d2_count_enabled",
+    "d3_windowed_union_count",
+    "d4_last_ingest_union_max",
+    "d9_feasibility_gate",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental_delta",
+    "e6_urgency_overdue",
+    "f1_union_all_per_stream_meta",
+    "f3_payload_dup_check",
+    "g1_parse_steam_price",
+    "g2_minor_units_conversion",
+    "g3_parse_volume",
+    "g4_extract_currency",
+    "g5_activity_price_currency",
+    "h1_parse_steam_datetime",
+    "i1_json_extract",
+    "i3_json_payload_build",
+    "i5_spread_per_key_day",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "range_join_views_before_purchase",
+    "sessionize_events",
+    "simhash_near_pairs",
+    "simhash_signatures",
+    "text_quality_stats",
+    "value_histogram",
+    "value_percentiles_per_stream",
+    "x1_rollup_region_nation",
+    "x2_cube_flag_status",
+    "x3_pivot_status_by_segment",
+    "x4_above_customer_avg_orders",
+    "x5_grouping_sets_events",
+    "ann_cosine_topk",
+    "ann_pq_sign_topk",
 )
 
 

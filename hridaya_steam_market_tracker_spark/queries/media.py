@@ -2013,6 +2013,133 @@ def multimodal_audio_excerpt_pairs(
     )
 
 
+# Tile tokens of checked_image_crop_df recomputed closed-form: pixel
+# v(b,x,y) (crop rows shift by the (16,8) offset), 8x8 tiles, token =
+# position-weighted byte sum (each gray pixel contributes v*(9k+6), k =
+# its row-major index within the tile), fp = the shared 60-bit md5
+# recipe. id 9 (the camera-rotated storage of base 0's crop) uprights
+# to id 1's raster exactly, so its tokens are id 1's.
+_IMAGE_CROP_TILE_CTE = f"""
+    px AS (
+      SELECT i, x, y,
+        CASE WHEN i % 2 = 0
+          THEN (x*x*(3 + (i//2) % 5) + y*y*(7 + (i//2) % 3) + x*y
+                + 13*(i//2)) % 251
+          ELSE ((x+16)*(x+16)*(3 + (i//2) % 5)
+                + (y+8)*(y+8)*(7 + (i//2) % 3) + (x+16)*(y+8)
+                + 13*(i//2)) % 251
+        END AS v
+      FROM generate_series(0, 7) gi(i),
+           generate_series(0, 63) gx(x),
+           generate_series(0, 47) gy(y)
+      WHERE i % 2 = 0 OR (x < 32 AND y < 24)
+    ),
+    tok AS (
+      SELECT i AS media_id, x // 8 AS tx, y // 8 AS ty,
+             sum(v * (9 * ((y % 8) * 8 + (x % 8)) + 6)) % 2147483648 AS t
+      FROM px GROUP BY 1, 2, 3
+    ),
+    tok9 AS (
+      SELECT media_id, t FROM tok
+      UNION ALL
+      SELECT 9, t FROM tok WHERE media_id = 1
+    ),
+    ifps AS (
+      SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,
+             {_VH60_SQL.format(g="CAST(t AS VARCHAR)")} AS fp
+      FROM tok9
+    )
+"""
+
+
+@register(
+    "multimodal_image_tile_fingerprints",
+    oracle="WITH "
+    + _IMAGE_CROP_TILE_CTE
+    + """
+    SELECT media_id, fp FROM ifps
+    """,
+    doc=(
+        "Tile-content fingerprints over REALLY-decoded, EXIF-upright "
+        "image rasters: each full 8x8 tile becomes the integer token "
+        "sum(byte*(k+1)) mod 2^31 and the shared 60-bit md5 fp the "
+        "oracle recomputes bit-for-bit — the image's content plane "
+        "for CROP containment (images have no token sequence, so "
+        "this is the analog of video frame tokens, set-valued). The "
+        "camera-rotated crop (id 9, real eXIf orientation 6) must "
+        "fingerprint identically to its upright twin (id 1) — the "
+        "rotate-before-hash rule transfers to tiles; the undecodable "
+        "honesty row fingerprints nothing."
+    ),
+)
+def multimodal_image_tile_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_crop_df,
+        image_tile_fingerprints,
+    )
+
+    return image_tile_fingerprints(checked_image_crop_df(spark))
+
+
+@register(
+    "multimodal_image_crop_pairs",
+    oracle="WITH "
+    + _IMAGE_CROP_TILE_CTE
+    + """,
+    cnt AS (SELECT media_id, count(*) AS n FROM ifps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM ifps
+           WHERE fp IN (SELECT fp FROM ifps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT sh.i, sh.j, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "CROPPED-IMAGE containment, value-checked end to end: a 32x24 "
+        "tile-aligned crop planted inside each 64x48 base surfaces "
+        "through the tile-fingerprint inverted index with directional "
+        "containment scoring (shared / smaller side's fingerprint "
+        "count) at exactly 1.0 — the re-upload class the whole-image "
+        "dHash is structurally blind to (cropping shifts the global "
+        "resize grid: measured host-vs-crop Hamming 32-40 of 64) — "
+        "closing the embedded-duplicate matrix across text / video / "
+        "audio / image. The camera-rotated crop pairs with BOTH its "
+        "host and its upright twin; unrelated bases share no "
+        "fingerprints and produce no rows. Same df-capped "
+        "winnow_containment_pairs join as every other plane."
+    ),
+)
+def multimodal_image_crop_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_crop_df,
+        image_tile_fingerprints,
+    )
+
+    # Lazy stage boundary (the subclip-pairs lesson): the containment
+    # join fans the fingerprint relation out four ways; the checkpoint
+    # materializes the decode-stage fingerprints once.
+    fps = image_tile_fingerprints(checked_image_crop_df(spark)).localCheckpoint(
+        eager=False
+    )
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""

@@ -49,11 +49,21 @@ def write_partitioned(
     )
 
 
-def _check_partition_integrity(path: str) -> None:
+def _check_partition_integrity(path: str, repair: bool = False) -> None:
     """Guard every crash state `compact_partition`'s rename-aside can
     leave, so readers get either clean results or a guided error —
     never a raw ``date.fromisoformat`` crash on a ``date=X.compact.*``
-    entry (those start with ``date=`` too). Per state:
+    entry (those start with ``date=`` too).
+
+    ``repair`` gates the destructive arm and is set ONLY by the writer
+    (`compact_partition` start): deleting a superseded ``.compact.*``
+    dir from a READ path would let a reader running concurrently with
+    a live compaction rmtree the writer's in-flight tmp and fail that
+    compaction at its rename — readers must stay read-only (they skip
+    ``.compact.*`` entries anyway), while the single WRITER deleting
+    its own predecessor's leftovers is safe by the single-writer
+    contract. Both modes still RAISE on the dangerous states (an
+    orphan that may be the only surviving copy). Per state:
 
     * ``.compact.tmp`` WITHOUT live (crash between tmp write-out and
       the swap completing): the tmp dir may be the only surviving
@@ -63,11 +73,13 @@ def _check_partition_integrity(path: str) -> None:
       copy is the only data left — refuse with the rename that
       restores it.
     * ``.compact.tmp`` ALONGSIDE live (crash before the first rename):
-      live is complete and authoritative; the stale tmp is removed.
+      live is complete and authoritative; the stale tmp is removed by
+      the writer (readers skip it).
     * ``.compact.old`` ALONGSIDE live (crash between the second rename
       and the rmtree, or a partial rmtree): live is the compacted
-      result; the superseded old copy is removed — finishing the
-      interrupted swap, exactly what the next compaction would do.
+      result; the superseded old copy is removed by the writer —
+      finishing the interrupted swap, exactly what the next compaction
+      would do (readers skip it).
     """
     if not os.path.isdir(path):
         return
@@ -78,7 +90,8 @@ def _check_partition_integrity(path: str) -> None:
             live = os.path.join(path, entry[: -len(suffix)])
             orphan = os.path.join(path, entry)
             if os.path.isdir(live):
-                shutil.rmtree(orphan)  # live is authoritative; finish the swap
+                if repair:  # live is authoritative; the WRITER finishes the swap
+                    shutil.rmtree(orphan)
             elif suffix == ".compact.tmp":
                 raise RuntimeError(
                     f"half-compacted partition: {orphan!r} exists without "
@@ -160,7 +173,7 @@ def compact_partition(
     partially deleted live dir. Refuses loudly (rather than clobbering
     the only surviving copy) if the table already holds a
     half-compacted partition from a previous crash."""
-    _check_partition_integrity(path)
+    _check_partition_integrity(path, repair=True)
     part_dir = os.path.join(path, f"{PARTITION_COL}={part.isoformat()}")
     df = spark.read.parquet(part_dir)
     n = df.count()

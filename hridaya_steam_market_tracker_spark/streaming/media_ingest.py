@@ -134,18 +134,27 @@ def repair_media_band_index(spark: SparkSession, store_path: str) -> int:
     "stored payloads are never re-read on admission" property holds
     for every non-crash batch. Returns the number of rows repaired.
 
-    Stores written before decode_ok landed lack the flag; those fall
-    back to treating every docs id as a repair candidate (undecodable
+    Stores written before decode_ok landed lack the flag; docs/ is
+    read with ``mergeSchema`` so a mixed store (legacy footers plus
+    new-format appends) deterministically exposes the column with NULL
+    for legacy rows — never an arbitrary-footer schema where legacy
+    rows silently vanish from repair. A NULL flag means "unknown": the
+    row is a repair candidate and the re-hash decides (undecodable
     legacy rows then re-decode on each batch until the store is
     rewritten — compact after upgrading to re-establish the cheap
-    path)."""
+    path). Only IMAGE rows are candidates: non-image rows admitted via
+    ``non_image='admit'`` carry a NULL flag by design and never belong
+    in bands/, so they must not become perpetual re-decode orphans."""
     docs_path = os.path.join(store_path, "docs")
     bands_path = os.path.join(store_path, "bands")
     if not os.path.isdir(docs_path):
         return 0
-    docs = spark.read.parquet(docs_path)
+    docs = spark.read.option("mergeSchema", "true").parquet(docs_path)
+    imgs = docs.filter(F.col("media_type") == "image")
     cand = (
-        docs.filter(F.col("decode_ok")) if "decode_ok" in docs.columns else docs
+        imgs.filter(F.col("decode_ok") | F.col("decode_ok").isNull())
+        if "decode_ok" in docs.columns
+        else imgs
     ).select("media_id")
     if os.path.isdir(bands_path):
         band_ids = spark.read.parquet(bands_path).select("media_id").distinct()
@@ -323,6 +332,61 @@ def start_dedup_media_ingest(
 _ANY_BAND_COLS = ("media_id", "plane", "band", "bucket", "hash_hi", "hash_lo")
 _ANY_KEYS = ("plane", "band", "bucket")
 
+_GATE_MODE_MARKER = "_GATE_MODE"
+
+
+def set_any_media_gate_mode(store_path: str, excerpt: bool) -> None:
+    """Deliberately (re)declare a unified store's admission mode —
+    the explicit act `_check_gate_mode`'s refusal demands before a
+    store may switch between plain and excerpt-aware ingest. After
+    switching a store TO excerpt mode, the next excerpt-aware batch's
+    repair pass re-fingerprints every stored item into wfps/ (one
+    payload re-read per stored row — the documented upgrade cost)."""
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, _GATE_MODE_MARKER), "w") as f:
+        f.write("excerpt" if excerpt else "plain")
+
+
+def _check_gate_mode(store_path: str, excerpt: bool) -> None:
+    """Enforce the excerpt-tier lifetime contract the round-9
+    docstring could only request: a store is EITHER plain (wfps/
+    never maintained) OR excerpt-aware, for its whole life, unless
+    the operator switches it deliberately. Mixed-mode ingest is the
+    silent half-state this module refuses everywhere else — plain
+    batches into an excerpt store leave the index stale AND stop
+    rejecting excerpts; excerpt batches into a plain store quietly
+    pay a full-store re-fingerprint in repair. Marker-less stores
+    (pre-round-10) are grandfathered by INFERENCE from the one
+    durable fact on disk — wfps/ exists iff the store ever ingested
+    excerpt-aware — then the marker is written so the inference
+    happens once."""
+    mode = "excerpt" if excerpt else "plain"
+    marker = os.path.join(store_path, _GATE_MODE_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            stored_mode = f.read().strip()
+    elif os.path.isdir(os.path.join(store_path, "docs")):
+        stored_mode = (
+            "excerpt"
+            if os.path.isdir(os.path.join(store_path, "wfps"))
+            else "plain"
+        )
+    else:
+        set_any_media_gate_mode(store_path, excerpt)
+        return
+    if stored_mode != mode:
+        raise ValueError(
+            f"store {store_path!r} was ingested in {stored_mode!r} mode "
+            f"but this batch requests {mode!r}: mixed-mode ingest "
+            "silently weakens the gate (stale wfps/, unrejected "
+            "excerpts). Keep excerpt_tau consistent for the store's "
+            "lifetime, or switch deliberately with "
+            f"set_any_media_gate_mode({store_path!r}, "
+            f"excerpt={excerpt})."
+        )
+    if not os.path.isfile(marker):
+        set_any_media_gate_mode(store_path, excerpt)
+
 
 def media_signatures(batch: DataFrame) -> DataFrame:
     """Per-plane near-dup signatures for a mixed media batch, unified
@@ -335,23 +399,33 @@ def media_signatures(batch: DataFrame) -> DataFrame:
     payload crosses the Arrow boundary exactly once, in its own
     plane's pass. Rows matching no plane (e.g. a webm video) are
     simply absent — the caller treats them like undecodable evidence
-    (admitted docs-only, never indexed)."""
-    from hridaya_steam_market_tracker_spark.operators.multimodal import (
-        audio_goertzel_fingerprint,
-        video_temporal_dhash,
-    )
+    (admitted docs-only, never indexed).
+
+    Plane disjointness is STRUCTURAL, not an implicit contract on the
+    operators' internal filters: each operator receives only the rows
+    whose media_type IS its plane (one value per row, so the slices
+    cannot overlap), and a future operator whose internal filter
+    overlapped an existing plane still could not double-sign a row
+    into two planes. Catalyst collapses the redundant double filter,
+    so the guard costs nothing."""
+    from hridaya_steam_market_tracker_spark.operators import multimodal as mm
 
     cols = ["media_id", "hash_hi", "hash_lo", "decode_ok"]
-    img = image_dhash_oriented(batch).select(*cols).withColumn(
-        "plane", F.lit("image")
+    planes = (
+        ("image", mm.image_dhash_oriented),
+        ("video", mm.video_temporal_dhash),
+        ("audio", mm.audio_goertzel_fingerprint),
     )
-    vid = video_temporal_dhash(batch).select(*cols).withColumn(
-        "plane", F.lit("video")
-    )
-    aud = audio_goertzel_fingerprint(batch).select(*cols).withColumn(
-        "plane", F.lit("audio")
-    )
-    return img.unionByName(vid).unionByName(aud)
+    parts = [
+        op(batch.filter(F.col("media_type") == plane))
+        .select(*cols)
+        .withColumn("plane", F.lit(plane))
+        for plane, op in planes
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _any_bands(signatures: DataFrame) -> DataFrame:
@@ -363,12 +437,14 @@ def _any_bands(signatures: DataFrame) -> DataFrame:
 def repair_any_media_band_index(spark: SparkSession, store_path: str) -> int:
     """`repair_media_band_index` for the unified store: decodable docs
     rows missing from bands/ are re-signatured through ALL planes and
-    re-indexed. Same cheap-path/crash-heal contract."""
+    re-indexed. Same cheap-path/crash-heal contract (and the same
+    ``mergeSchema`` read: schema inference from an arbitrary footer of
+    a mixed-schema docs/ must never silently drop the flag column)."""
     docs_path = os.path.join(store_path, "docs")
     bands_path = os.path.join(store_path, "bands")
     if not os.path.isdir(docs_path):
         return 0
-    docs = spark.read.parquet(docs_path)
+    docs = spark.read.option("mergeSchema", "true").parquet(docs_path)
     cand = docs.filter(F.col("decode_ok")).select("media_id")
     if os.path.isdir(bands_path):
         band_ids = spark.read.parquet(bands_path).select("media_id").distinct()
@@ -394,6 +470,7 @@ def ingest_any_media_batch(
     store_path: str,
     max_hamming: int = 3,
     excerpt_tau: float | None = None,
+    excerpt_max_df: int = 50,
 ) -> None:
     """Process ONE mixed media micro-batch through the unified gate:
     per-plane signatures (image dHash / video temporal dHash / audio
@@ -413,15 +490,18 @@ def ingest_any_media_batch(
     modality scans only its own plane's directories.
 
     ``excerpt_tau`` (optional) additionally rejects a batch item whose
-    winnowing-fingerprint CONTENT is >= tau already stored — a
-    window-aligned audio excerpt or video subclip of a stored item, the
-    class the whole-item hashes are structurally blind to — maintaining
-    a third store component wfps/ (hive-partitioned by plane; fp=NULL
-    presence rows for unfingerprintable items). Directional: a new host
-    containing a stored clip is admitted. Use the same setting for a
-    store's whole lifetime: batches ingested without it leave wfps/
-    unwritten, and the repair pass would re-fingerprint them on the
-    next excerpt-aware batch."""
+    content fingerprints are >= tau already stored — a window-aligned
+    audio excerpt, a video subclip, or a tile-aligned image CROP of a
+    stored item, the classes the whole-item hashes are structurally
+    blind to — maintaining a third store component wfps/
+    (hive-partitioned by plane; fp=NULL presence rows for
+    unfingerprintable items). Directional: a new host
+    containing a stored clip is admitted. The setting is a
+    store-LIFETIME contract, ENFORCED: a ``_GATE_MODE`` marker records
+    the store's mode at first ingest and a mixed-mode batch refuses
+    loudly (`_check_gate_mode`) instead of silently weakening the gate;
+    switch deliberately with `set_any_media_gate_mode`, after which
+    the repair pass re-fingerprints stored items once."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 16-bit banding is lossless only "
@@ -439,6 +519,7 @@ def ingest_any_media_batch(
         ("docs", "bands", "wfps") if excerpt_tau is not None
         else ("docs", "bands"),
     )
+    _check_gate_mode(store_path, excerpt_tau is not None)
     repair_any_media_band_index(spark, store_path)
     if excerpt_tau is not None:
         repair_media_wfps_index(spark, store_path)
@@ -473,7 +554,9 @@ def ingest_any_media_batch(
                 else None
             )
             rejected = rejected.unionByName(
-                media_excerpt_rejects(stored_wfps, batch_wfps, excerpt_tau)
+                media_excerpt_rejects(
+                    stored_wfps, batch_wfps, excerpt_tau, excerpt_max_df
+                )
             ).distinct()
 
         accepted = (
@@ -580,42 +663,51 @@ def start_dedup_any_media_ingest(
 
 
 # ---------------------------------------------------------------------------
-# Excerpt-aware admission (round 9): the banded hash gate rejects
-# whole-item near-dups; with ``excerpt_tau`` set, the unified gate ALSO
-# rejects a new item most of whose CONTENT is already stored — a
-# window-aligned audio excerpt or a video subclip of a stored item —
-# via a winnowing fingerprint index (the same machinery the batch
-# subclip/excerpt queries value-check). Directional by design: a new
-# HOST containing a stored clip is admitted (most of its fingerprints
-# are new); a new clip contained in a stored host is redundant.
+# Excerpt-aware admission (round 9; image crops round 10): the banded
+# hash gate rejects whole-item near-dups; with ``excerpt_tau`` set, the
+# unified gate ALSO rejects a new item most of whose CONTENT is already
+# stored — a window-aligned audio excerpt, a video subclip, or a
+# tile-aligned image crop of a stored item — via a content-fingerprint
+# index (the same machinery the batch subclip/excerpt/crop queries
+# value-check). Directional by design: a new HOST containing a stored
+# clip is admitted (most of its fingerprints are new); a new clip
+# contained in a stored host is redundant.
 # ---------------------------------------------------------------------------
 
 _WFP_COLS = ("media_id", "plane", "fp")
 
 
 def media_winnow_fps(batch: DataFrame) -> DataFrame:
-    """(media_id, plane, fp) winnowing fingerprints for the sequence
-    planes (video frame tokens, audio window tokens; images have no
-    sequence). EVERY video/audio row in the batch gets at least one
-    output row: items whose sequence yields no fingerprint (undecodable,
-    or shorter than one k-gram) carry a single fp=NULL presence row, so
-    the index distinguishes 'indexed, nothing to match' from 'orphaned'
-    — NULL never equi-joins, so presence rows can never evidence a
+    """(media_id, plane, fp) content fingerprints for the containment
+    planes: winnowing fingerprints over the sequence planes (video
+    frame tokens, audio window tokens) plus TILE fingerprints for
+    images (`image_tile_fingerprints` — images have no sequence, so
+    their content plane is the set of 8x8-tile tokens of the
+    EXIF-upright raster; a tile-aligned CROP of a stored image is then
+    rejected exactly like a video subclip). EVERY image/video/audio
+    row in the batch gets at least one output row: items whose content
+    yields no fingerprint (undecodable, shorter than one k-gram,
+    smaller than one tile) carry a single fp=NULL presence row, so the
+    index distinguishes 'indexed, nothing to match' from 'orphaned' —
+    NULL never equi-joins, so presence rows can never evidence a
     rejection."""
     from hridaya_steam_market_tracker_spark.operators.dedup import (
         winnow_fingerprints,
     )
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
         audio_window_token_text,
+        image_tile_fingerprints,
         video_frame_token_text,
     )
 
     toks = video_frame_token_text(batch).unionByName(
         audio_window_token_text(batch)
     )
-    fps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
+    fps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4).unionByName(
+        image_tile_fingerprints(batch)
+    )
     ids = batch.filter(
-        F.col("media_type").isin("video", "audio")
+        F.col("media_type").isin("image", "video", "audio")
     ).select("media_id", F.col("media_type").alias("plane"))
     return ids.join(fps, "media_id", "left").select(*_WFP_COLS)
 
@@ -624,15 +716,38 @@ def media_excerpt_rejects(
     stored_wfps: DataFrame | None,
     batch_wfps: DataFrame,
     tau: float,
+    max_df: int = 50,
 ) -> DataFrame:
     """Batch items to REJECT as stored-content excerpts: the fraction
     of a batch item's fingerprints already present — in the store, or
     in lower-id items of the same batch (leader-keeps) — reaches
     ``tau``. Plane rides the join key; a shared fingerprint counts
     once however many stored items carry it (distinct before the
-    count), so containment is a pure batch-side fraction."""
+    count), so containment is a pure batch-side fraction.
+
+    Same document-frequency cutoff as the oracled batch twin
+    `winnow_containment_pairs` (operators/dedup.py): a fingerprint
+    carried by > ``max_df`` items across store+batch is boilerplate —
+    runs of silent audio windows, black frames — and cannot EVIDENCE
+    a match (it stays in the ``n_fp`` denominator, exactly as the
+    batch op keeps boilerplate in the min-side count), so
+    common-content items are not falsely rejected and the gate's
+    semantics track the oracle-checked batch path. The df prune also
+    bounds join fan-out per fingerprint at 100 TB store sizes."""
     bf = batch_wfps.filter(F.col("fp").isNotNull())
     n = bf.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pop = bf.select("plane", "fp")
+    if stored_wfps is not None:
+        pop = pop.unionByName(
+            stored_wfps.filter(F.col("fp").isNotNull()).select("plane", "fp")
+        )
+    rare = (
+        pop.groupBy("plane", "fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("plane", "fp")
+    )
+    bf = bf.join(rare, ["plane", "fp"], "left_semi")
     b = bf.select(F.col("media_id").alias("j"), "plane", "fp")
     a = bf.select(F.col("media_id").alias("i"), "plane", "fp")
     matched = (
@@ -641,8 +756,10 @@ def media_excerpt_rejects(
         .select("j", "fp")
     )
     if stored_wfps is not None:
-        s = stored_wfps.filter(F.col("fp").isNotNull()).select(
-            F.col("media_id").alias("i"), "plane", "fp"
+        s = (
+            stored_wfps.filter(F.col("fp").isNotNull())
+            .join(rare, ["plane", "fp"], "left_semi")
+            .select(F.col("media_id").alias("i"), "plane", "fp")
         )
         matched = matched.unionByName(
             s.join(b, ["plane", "fp"]).select("j", "fp")
@@ -658,17 +775,19 @@ def media_excerpt_rejects(
 
 
 def repair_media_wfps_index(spark: SparkSession, store_path: str) -> int:
-    """Re-index video/audio docs rows missing from wfps/ — the
+    """Re-index image/video/audio docs rows missing from wfps/ — the
     excerpt index's analog of `repair_any_media_band_index`, with the
     fp=NULL presence rows making 'nothing to fingerprint' a recorded
-    state instead of a perpetual orphan."""
+    state instead of a perpetual orphan. Also how a pre-crop-plane
+    store upgrades: its image rows have no wfps rows, so the first
+    excerpt-aware batch re-fingerprints them here, once."""
     docs_path = os.path.join(store_path, "docs")
     wfps_path = os.path.join(store_path, "wfps")
     if not os.path.isdir(docs_path):
         return 0
-    docs = spark.read.parquet(docs_path)
+    docs = spark.read.option("mergeSchema", "true").parquet(docs_path)
     cand = docs.filter(
-        F.col("media_type").isin("video", "audio")
+        F.col("media_type").isin("image", "video", "audio")
     ).select("media_id")
     if os.path.isdir(wfps_path):
         have = spark.read.parquet(wfps_path).select("media_id").distinct()

@@ -481,3 +481,228 @@ def test_any_media_excerpt_index_repair_replay_compaction(spark, tmp_path):
     assert out["docs"] == 2 and "wfps" in out
     ingest_any_media_batch(_clip_rows(spark, [2001]), store, excerpt_tau=0.8)
     assert _stored_ids(spark, store) == {1000, 2000}  # still rejected
+
+
+def test_legacy_mixed_schema_store_repair_heals_orphans(spark, tmp_path):
+    """The repair fallback must survive a MIXED-schema docs/ — a
+    pre-decode_ok store that has since received one new-format append.
+    Without mergeSchema, spark.read.parquet infers from an arbitrary
+    footer: legacy rows could read decode_ok=NULL and be silently
+    excluded from repair (the exact orphan class repair exists to
+    heal), so a rotated re-upload of a crash-orphaned legacy image
+    would be admitted forever. decode_ok IS NULL now means "unknown —
+    re-hash decides"."""
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+
+    # Legacy-era store: docs WITHOUT decode_ok, and id 0's band rows
+    # lost to a legacy-era crash (no bands/ at all). id 33 is the
+    # undecodable blob — a NULL-flag candidate whose re-hash yields
+    # nothing, every batch, until the store is rewritten (documented
+    # legacy cost; must not crash or admit anything).
+    legacy = _rows(spark, [0, 33]).select(
+        "media_id", "media_type", "format", "payload"
+    )
+    legacy.write.parquet(store + "/docs")
+
+    # New-format append lands -> docs/ now holds mixed parquet footers.
+    ingest_media_batch(_rows(spark, [16]), store)
+
+    # id 5 = base 1 under EXIF orientation 6, a rotated re-upload of
+    # the LEGACY id 0. Repair must have re-indexed id 0 for this to be
+    # rejected.
+    ingest_media_batch(_rows(spark, [5]), store)
+    assert _stored_ids(spark, store) == {0, 33, 16}
+    band_ids = {
+        r["media_id"] for r in spark.read.parquet(store + "/bands").collect()
+    }
+    assert band_ids == {0, 16}
+
+    # Re-running repair appends nothing new (id 33 stays a candidate
+    # but produces zero band rows — the documented legacy re-decode).
+    assert repair_media_band_index(spark, store) == 0
+
+
+def test_media_excerpt_rejects_df_cap_matches_batch_twin(spark):
+    """media_excerpt_rejects applies the SAME document-frequency
+    cutoff as its oracled batch twin winnow_containment_pairs:
+    boilerplate fingerprints (runs of silent windows / black frames
+    shared across > max_df items) stay in the denominator but cannot
+    EVIDENCE containment, so common-content items are not falsely
+    rejected at the streaming gate."""
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_excerpt_rejects,
+    )
+
+    boiler = 1  # fp carried by 60 stored items (df=61 with the batch)
+    stored = spark.createDataFrame(
+        [(i, "audio", boiler) for i in range(60)]
+        + [(999, "audio", fp) for fp in (2, 3, 4)],
+        "media_id long, plane string, fp long",
+    )
+    batch = spark.createDataFrame(
+        [(5000, "audio", fp) for fp in (boiler, 2, 3, 4, 5)],
+        "media_id long, plane string, fp long",
+    )
+
+    # Uncapped (max_df high): 4/5 fps stored -> rejected at tau=0.8.
+    hit = media_excerpt_rejects(stored, batch, 0.8, max_df=1000).collect()
+    assert {r["media_id"] for r in hit} == {5000}
+
+    # Default cap 50 (= winnow_containment_pairs): the boilerplate fp
+    # is pruned from evidence but kept in the denominator -> 3/5 < 0.8.
+    assert media_excerpt_rejects(stored, batch, 0.8).collect() == []
+
+
+def test_any_media_crop_aware_admission(spark, tmp_path):
+    """With excerpt_tau set, the unified gate rejects a tile-aligned
+    CROP of a stored image — measured host-vs-crop dHash Hamming is
+    32-40 of 64, so the plain band gate is structurally blind to it
+    (blindness control below) — closing the embedded-duplicate family
+    for the image plane. Directional: a new HOST containing a stored
+    crop is admitted. The camera-ROTATED crop (real eXIf) is rejected
+    too: the tile plane inherits the rotate-before-hash rule."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+    )
+
+    rows = checked_image_crop_df(spark)
+
+    def pick(*ids):
+        return rows.filter(rows["media_id"].isin(list(ids)))
+
+    # blindness control: the plain gate admits the crop
+    plain = str(tmp_path / "plain")
+    ingest_any_media_batch(pick(0), plain)
+    ingest_any_media_batch(pick(1), plain)
+    assert _stored_ids(spark, plain) == {0, 1}
+
+    # crop-aware: upright crop AND rotated crop rejected; unrelated
+    # host (base 1) admitted; undecodable honesty row admitted
+    # docs-only with a NULL presence wfps row
+    store = str(tmp_path / "store")
+    ingest_any_media_batch(pick(0), store, excerpt_tau=0.8)
+    ingest_any_media_batch(pick(1, 9, 2, 8), store, excerpt_tau=0.8)
+    assert _stored_ids(spark, store) == {0, 2, 8}
+    wfps = spark.read.parquet(store + "/wfps").collect()
+    assert {r["plane"] for r in wfps} == {"image"}
+    assert {r["media_id"] for r in wfps if r["fp"] is None} == {8}
+
+    # directionality: store the crop first, then ingest its host —
+    # most of the host's tiles are new, so it is admitted
+    store2 = str(tmp_path / "store2")
+    ingest_any_media_batch(pick(1), store2, excerpt_tau=0.8)
+    ingest_any_media_batch(pick(0), store2, excerpt_tau=0.8)
+    assert _stored_ids(spark, store2) == {1, 0}
+
+
+def test_any_media_crop_plane_upgrade_via_repair(spark, tmp_path):
+    """A store whose image rows were ingested BEFORE the crop plane
+    (no image wfps rows — simulated by deleting wfps/) heals on the
+    next excerpt-aware batch: repair re-fingerprints the stored image
+    once, and its crop is still rejected."""
+    import shutil
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+        repair_media_wfps_index,
+    )
+
+    rows = checked_image_crop_df(spark)
+    store = str(tmp_path / "store")
+    ingest_any_media_batch(
+        rows.filter(rows["media_id"] == 0), store, excerpt_tau=0.8
+    )
+    shutil.rmtree(store + "/wfps")  # pre-crop-plane / crash state
+
+    ingest_any_media_batch(
+        rows.filter(rows["media_id"] == 1), store, excerpt_tau=0.8
+    )
+    assert _stored_ids(spark, store) == {0}  # crop rejected post-repair
+    assert repair_media_wfps_index(spark, store) == 0  # healthy no-op
+
+
+def test_any_media_gate_mode_lifetime_contract(spark, tmp_path):
+    """excerpt_tau is a store-LIFETIME setting, now enforced by the
+    _GATE_MODE marker: mixed-mode ingest refuses loudly (a plain batch
+    into an excerpt store silently stops rejecting excerpts and lets
+    wfps/ go stale; the reverse quietly pays a full-store
+    re-fingerprint), marker-less pre-round-10 stores are inferred once
+    from wfps/ existence, and set_any_media_gate_mode is the
+    deliberate switch after which repair upgrades the store."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+        set_any_media_gate_mode,
+    )
+
+    rows = checked_image_crop_df(spark)
+
+    def pick(*ids):
+        return rows.filter(rows["media_id"].isin(list(ids)))
+
+    # excerpt store refuses a plain batch
+    store = str(tmp_path / "store")
+    ingest_any_media_batch(pick(0), store, excerpt_tau=0.8)
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(pick(2), store)
+    assert _stored_ids(spark, store) == {0}  # refused before any write
+
+    # plain store refuses an excerpt batch; the deliberate switch +
+    # repair-driven upgrade then rejects the stored image's crop
+    plain = str(tmp_path / "plain")
+    ingest_any_media_batch(pick(0), plain)
+    with pytest.raises(ValueError, match="set_any_media_gate_mode"):
+        ingest_any_media_batch(pick(1), plain, excerpt_tau=0.8)
+    set_any_media_gate_mode(plain, excerpt=True)
+    ingest_any_media_batch(pick(1), plain, excerpt_tau=0.8)
+    assert _stored_ids(spark, plain) == {0}  # crop rejected post-upgrade
+
+    # grandfathering: a marker-less store infers its mode from wfps/
+    os.remove(os.path.join(store, "_GATE_MODE"))
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(pick(2), store)  # inferred excerpt
+    ingest_any_media_batch(pick(2), store, excerpt_tau=0.8)
+    assert _stored_ids(spark, store) == {0, 2}
+    with open(os.path.join(store, "_GATE_MODE")) as f:
+        assert f.read() == "excerpt"  # inference recorded once
+
+
+def test_media_signatures_plane_disjointness(spark, monkeypatch):
+    """Plane disjointness is structural: each plane operator receives
+    ONLY its media_type's rows, so even an operator whose internal
+    filter overlapped another plane (simulated: an audio operator that
+    signs every row it is handed) cannot double-sign a media_id into
+    two planes."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators import multimodal as mm
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_signatures,
+    )
+
+    def greedy_audio_sig(df):
+        # Deliberately ignores media_type: signs EVERYTHING it receives.
+        return df.select(
+            "media_id",
+            F.lit(7).alias("hash_hi"),
+            F.lit(7).alias("hash_lo"),
+            F.lit(True).alias("decode_ok"),
+        )
+
+    monkeypatch.setattr(mm, "audio_goertzel_fingerprint", greedy_audio_sig)
+    batch = _mixed_rows(spark, img_ids=[0], vid_ids=[1000], aud_ids=[2000])
+    sigs = media_signatures(batch).collect()
+    planes = {}
+    for r in sigs:
+        planes.setdefault(r["media_id"], []).append(r["plane"])
+    assert all(len(v) == 1 for v in planes.values()), planes
+    assert planes[2000] == ["audio"] and planes[0] == ["image"]

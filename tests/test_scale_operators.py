@@ -1345,6 +1345,84 @@ def test_gif_codec_roundtrip_and_lzw_edge_cases(spark):
         decode(b"GIF89a" + struct.pack("<HH", 1, 1) + bytes((0, 0, 0)) + b"\x99", "gif")
 
 
+def test_gif_truncated_stream_and_short_palette_raise(spark):
+    """Regression for the vectorized palette gather (round 9): a GIF
+    whose LZW stream yields FEWER than w*h indices has ALWAYS raised
+    ValueError('truncated GIF raster') BEFORE the palette take — in
+    the original scalar loop and in the numpy fancy-take alike — so
+    vectorization changed no admission decision for this corruption
+    class (the take never sees a short index list). A palette too
+    short for the decoded indices likewise raises in both versions
+    (per-index bound check then; max-index bound check now — same
+    inputs fail)."""
+    import struct
+
+    import pytest as _pytest
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _pixel_codec,
+    )
+
+    decode, _ = _pixel_codec()
+
+    def pack(codes_with_width):
+        acc = nbits = 0
+        out = bytearray()
+        for code, width in codes_with_width:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    def wrap(w, h, stream, palette):
+        blocks = bytearray()
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            blocks += bytes((len(chunk),)) + chunk
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", w, h)
+            + bytes((0x87, 0, 0))
+            + palette.ljust(3 * 256, b"\x00")
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes((0,))
+            + b"\x08" + bytes(blocks) + b"\x00\x3b"
+        )
+
+    palette = bytes(range(6))
+
+    # 3 indices for a 2x2 raster: truncated -> raises, never padded
+    short = pack([(256, 9), (0, 9), (1, 9), (0, 9), (257, 9)])
+    with _pytest.raises(ValueError, match="truncated GIF raster"):
+        decode(wrap(2, 2, short, palette), "gif")
+
+    # full raster but an index beyond the DECLARED color table (2
+    # entries, 6 bytes — no padding) -> raises
+    def wrap_small_ct(w, h, stream, palette):
+        blocks = bytearray()
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            blocks += bytes((len(chunk),)) + chunk
+        return (
+            b"GIF89a"
+            + struct.pack("<HH", w, h)
+            + bytes((0x80, 0, 0))  # GCT flag, size bits 0 -> 2 entries
+            + palette
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes((0,))
+            + b"\x08" + bytes(blocks) + b"\x00\x3b"
+        )
+
+    oob = pack([(256, 9), (0, 9), (1, 9), (0, 9), (9, 9), (257, 9)])
+    with _pytest.raises(ValueError, match="palette index out of range"):
+        decode(wrap_small_ct(2, 2, oob, bytes(6)), "gif")
+
+
 def test_mjpeg_frame_decode_end_to_end(spark):
     """decode_mp4_frames must demux the container, slice TRUE frame
     byte ranges, and decode real JPEG frames exactly (constant-gray

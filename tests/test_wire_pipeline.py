@@ -219,10 +219,14 @@ def test_compaction_orphan_states_cleaned_or_guided(spark, tmp_path):
     raw date.fromisoformat ValueError (both start with 'date='):
 
     * ``date=X.compact.old`` ALONGSIDE live (crash between the second
-      rename and the rmtree) — live is the compacted result; readers
-      finish the interrupted swap by removing the superseded copy.
+      rename and the rmtree) — live is the compacted result; READERS
+      skip the superseded copy WITHOUT deleting it (a reader racing a
+      live compaction must never rmtree the writer's in-flight tmp);
+      the next WRITER (compact_partition) finishes the interrupted
+      swap.
     * ``date=X.compact.tmp`` ALONGSIDE live (crash before the first
-      rename) — live is authoritative; the stale tmp is removed.
+      rename) — live is authoritative; readers skip the stale tmp,
+      the next writer removes it.
     * ``date=X.compact.old`` WITHOUT live or tmp — the pre-compaction
       copy is the only data left: refuse with the restoring rename.
     """
@@ -240,16 +244,29 @@ def test_compaction_orphan_states_cleaned_or_guided(spark, tmp_path):
     write_partitioned(spark.createDataFrame(rows), sink)
     live = os.path.join(sink, "date=2024-01-02")
 
-    # old alongside live: cleaned, table reads whole
+    # old alongside live: reader skips it READ-ONLY; writer cleans it
     shutil.copytree(live, live + ".compact.old")
     assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
-    assert not os.path.isdir(live + ".compact.old")
+    assert os.path.isdir(live + ".compact.old")  # reader left it alone
+    compact_partition(spark, sink, datetime.date(2024, 1, 1))
+    assert not os.path.isdir(live + ".compact.old")  # writer finished the swap
 
-    # tmp alongside live: cleaned, table reads whole
+    # tmp alongside live: reader skips it READ-ONLY; writer cleans it.
+    # During the crash-orphan window a partition-value-filtered read
+    # (how every in-package reader scans these tables) stays exact —
+    # the orphan dir's inferred value '2024-01-02.compact.tmp' matches
+    # no real date string.
     shutil.copytree(live, live + ".compact.tmp")
     assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
+    assert os.path.isdir(live + ".compact.tmp")  # reader left it alone
+    assert (
+        spark.read.parquet(sink)
+        .filter(F.col("date").isin(["2024-01-01", "2024-01-02"]))
+        .count()
+        == 10
+    )
+    compact_partition(spark, sink, datetime.date(2024, 1, 1))
     assert not os.path.isdir(live + ".compact.tmp")
-    assert spark.read.parquet(sink).count() == 10
 
     # old without live or tmp: guided refusal naming the restoring rename
     os.rename(live, live + ".compact.old")
@@ -264,8 +281,10 @@ def test_compaction_orphan_states_cleaned_or_guided(spark, tmp_path):
     with pytest.raises(RuntimeError, match=r"compact\.tmp' exists without"):
         list_partitions(sink)
     os.rename(live + ".compact.tmp", live)
-    # the leftover old is then cleaned on the next read
+    # the leftover old is skipped by reads and cleaned by the next writer
     assert [p.isoformat() for p in list_partitions(sink)] == ["2024-01-01", "2024-01-02"]
+    assert os.path.isdir(live + ".compact.old")
+    compact_partition(spark, sink, datetime.date(2024, 1, 1))
     assert not os.path.isdir(live + ".compact.old")
     assert spark.read.parquet(sink).count() == 10
 
