@@ -60,6 +60,91 @@ FEATURE_SCHEMA = (
 _FEAT_DIM = 8
 
 
+def _jpeg_dct_kernels():
+    """Self-contained JPEG DCT machinery shared by the codec closures
+    and the vectorization identity tests: the zigzag scan order, the
+    separable cosine kernel, the scalar 8x8 (I)DCT pair, and the
+    round-10 BATCHED inverse DCT. `_idct2_batch` vectorizes over
+    BLOCKS but keeps the per-element accumulation in `_idct2`'s exact
+    sequence (one fused add per frequency index u, then v), so every
+    float operation happens in the scalar twin's order and the result
+    is bit-identical by construction — asserted, not assumed, in
+    tests/test_scale_operators.py. Capture-by-value posture: callers
+    bind the returned closures, so executors need no package import."""
+    import math
+
+    # Zigzag scan order (ITU-T T.81 figure 5): scan position k -> natural
+    # 8x8 index. Derived, not transcribed, so it cannot be mistyped.
+    _zz: list[int] = []
+    for _s in range(15):
+        _rng = (
+            range(min(_s, 7), max(0, _s - 7) - 1, -1)
+            if _s % 2 == 0
+            else range(max(0, _s - 7), min(_s, 7) + 1)
+        )
+        for _r in _rng:
+            _zz.append(_r * 8 + (_s - _r))
+
+    # cos((2x+1)u*pi/16) * C(u)/2 — the separable (I)DCT kernel.
+    _dct_k = [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+    def _idct2(coef: list[float]) -> list[float]:
+        """2D inverse DCT of one 8x8 block (natural order, row-major
+        [v*8+u] frequency layout), separable two-pass."""
+        tmp = [0.0] * 64
+        for v in range(8):
+            row = coef[8 * v : 8 * v + 8]
+            for x in range(8):
+                tmp[8 * v + x] = sum(_dct_k[u][x] * row[u] for u in range(8))
+        out = [0.0] * 64
+        for x in range(8):
+            col = [tmp[8 * v + x] for v in range(8)]
+            for y in range(8):
+                out[8 * y + x] = sum(_dct_k[v][y] * col[v] for v in range(8))
+        return out
+
+    def _fdct2(pix: list[float]) -> list[float]:
+        """2D forward DCT (exact transpose of _idct2's flow)."""
+        tmp = [0.0] * 64
+        for y in range(8):
+            row = pix[8 * y : 8 * y + 8]
+            for u in range(8):
+                tmp[8 * y + u] = sum(_dct_k[u][x] * row[x] for x in range(8))
+        out = [0.0] * 64
+        for u in range(8):
+            col = [tmp[8 * y + u] for y in range(8)]
+            for v in range(8):
+                out[8 * v + u] = sum(_dct_k[v][y] * col[y] for y in range(8))
+        return out
+
+    def _idct2_batch(coef):
+        """`_idct2` over an (n, 8, 8) float64 coefficient array ->
+        (n, 8, 8) pixels. Accumulates with one vectorized add per
+        frequency index, in the scalar sum()'s order (0 + t0 + t1 +
+        ...), so every element's float sequence is identical to the
+        scalar twin's and the output is bit-identical — the same
+        order-preserving recipe as the round-9 kernel vectorizations."""
+        import numpy as np
+
+        k = np.asarray(_dct_k)  # k[u][x]
+        tmp = np.zeros_like(coef)  # tmp[b, v, x]
+        for u in range(8):
+            tmp += k[u][None, None, :] * coef[:, :, u, None]
+        out = np.zeros_like(coef)  # out[b, y, x]
+        for v in range(8):
+            out += k[v][None, :, None] * tmp[:, v, None, :]
+        return out
+
+    return _zz, _dct_k, _idct2, _fdct2, _idct2_batch
+
+
 def _pixel_codec():
     """Build self-contained (decode, encode) closures for the real
     pure-stdlib raster codecs.
@@ -127,58 +212,7 @@ def _pixel_codec():
                     return out
         return out
 
-    import math
-
-    # Zigzag scan order (ITU-T T.81 figure 5): scan position k -> natural
-    # 8x8 index. Derived, not transcribed, so it cannot be mistyped.
-    _zz: list[int] = []
-    for _s in range(15):
-        _rng = (
-            range(min(_s, 7), max(0, _s - 7) - 1, -1)
-            if _s % 2 == 0
-            else range(max(0, _s - 7), min(_s, 7) + 1)
-        )
-        for _r in _rng:
-            _zz.append(_r * 8 + (_s - _r))
-
-    # cos((2x+1)u*pi/16) * C(u)/2 — the separable (I)DCT kernel.
-    _dct_k = [
-        [
-            (math.sqrt(0.5) if u == 0 else 1.0) / 2.0
-            * math.cos((2 * x + 1) * u * math.pi / 16.0)
-            for x in range(8)
-        ]
-        for u in range(8)
-    ]
-
-    def _idct2(coef: list[float]) -> list[float]:
-        """2D inverse DCT of one 8x8 block (natural order, row-major
-        [v*8+u] frequency layout), separable two-pass."""
-        tmp = [0.0] * 64
-        for v in range(8):
-            row = coef[8 * v : 8 * v + 8]
-            for x in range(8):
-                tmp[8 * v + x] = sum(_dct_k[u][x] * row[u] for u in range(8))
-        out = [0.0] * 64
-        for x in range(8):
-            col = [tmp[8 * v + x] for v in range(8)]
-            for y in range(8):
-                out[8 * y + x] = sum(_dct_k[v][y] * col[v] for v in range(8))
-        return out
-
-    def _fdct2(pix: list[float]) -> list[float]:
-        """2D forward DCT (exact transpose of _idct2's flow)."""
-        tmp = [0.0] * 64
-        for y in range(8):
-            row = pix[8 * y : 8 * y + 8]
-            for u in range(8):
-                tmp[8 * y + u] = sum(_dct_k[u][x] * row[x] for x in range(8))
-        out = [0.0] * 64
-        for u in range(8):
-            col = [tmp[8 * y + u] for y in range(8)]
-            for v in range(8):
-                out[8 * v + u] = sum(_dct_k[v][y] * col[y] for y in range(8))
-        return out
+    _zz, _dct_k, _idct2, _fdct2, _idct2_batch = _jpeg_dct_kernels()
 
     def jpeg_decode(payload: bytes) -> tuple[int, int, bytes]:
         """DCT JFIF decoder (ITU-T T.81), baseline sequential (SOF0/1)
@@ -337,6 +371,34 @@ def _pixel_codec():
             )
         preds = {s[0]: 0 for s in scan}
         mcu_count = 0
+        # Entropy decode is genuinely serial (each Huffman code's start
+        # depends on the previous), but the IDCT is not: blocks queue
+        # here (zigzag ints + destination) and flush through the
+        # bit-identical `_idct2_batch` in bounded chunks, so the float
+        # math vectorizes without buffering a whole 100-megapixel
+        # image's coefficients.
+        pend_zz: list[list[int]] = []
+        pend_dst: list[tuple[list[int], int, int, int]] = []
+
+        def flush_blocks() -> None:
+            import numpy as np
+
+            if not pend_zz:
+                return
+            zz_arr = np.asarray(pend_zz, dtype=np.float64)
+            nat = np.zeros_like(zz_arr)
+            nat[:, _zz] = zz_arr  # the scalar nat[_zz[k]] = zz[k] scatter
+            pix = _idct2_batch(nat.reshape(-1, 8, 8))
+            vals = np.clip(
+                np.rint(pix).astype(np.int64) + 128, 0, 255
+            )
+            for (plane, pw, ox, oy), blk in zip(pend_dst, vals):
+                for yy in range(8):
+                    row_off = (oy + yy) * pw + ox
+                    plane[row_off : row_off + 8] = blk[yy].tolist()
+            pend_zz.clear()
+            pend_dst.clear()
+
         for my in range(mcuy):
             for mx in range(mcux):
                 if dri and mcu_count and mcu_count % dri == 0:
@@ -376,55 +438,61 @@ def _pixel_codec():
                                     raise ValueError("JPEG AC index overflow")
                                 zzvals[k] = receive_extend(s) * q[k]
                                 k += 1
-                            nat = [0.0] * 64
-                            for k in range(64):
-                                nat[_zz[k]] = float(zzvals[k])
-                            pix = _idct2(nat)
-                            ox = (mx * ch + bx) * 8
-                            oy = (my * cv + by) * 8
-                            for yy in range(8):
-                                row_off = (oy + yy) * pw + ox
-                                for xx in range(8):
-                                    v = int(round(pix[8 * yy + xx])) + 128
-                                    plane[row_off + xx] = (
-                                        0 if v < 0 else (255 if v > 255 else v)
-                                    )
+                            pend_zz.append(zzvals)
+                            pend_dst.append(
+                                (plane, pw,
+                                 (mx * ch + bx) * 8, (my * cv + by) * 8)
+                            )
+                            if len(pend_zz) >= 4096:
+                                flush_blocks()
                 mcu_count += 1
+        flush_blocks()
         return _jpeg_finish(
             planes, [s[0] for s in scan], by_id, hmax, vmax, w_img, h_img
         )
 
     def _jpeg_finish(planes, comp_ids, by_id, hmax, vmax, w_img, h_img):
         """Shared tail: upsample component planes (replication) and
-        convert to RGB (JFIF YCbCr) or expand grayscale."""
-        out = bytearray(3 * w_img * h_img)
+        convert to RGB (JFIF YCbCr) or expand grayscale. Round 10: the
+        per-pixel loop became numpy gathers + one elementwise
+        expression per channel, evaluating the SAME float tree the
+        scalar loop did (1.402*cr then yv+..., left-associated
+        subtractions, half-even rounding, clamp after) so every byte
+        is identical — pinned by the in-test scalar reference in
+        tests/test_scale_operators.py and by the checked JPEG
+        oracles."""
+        import numpy as np
+
         if len(comp_ids) == 1:
             plane, pw = planes[comp_ids[0]]
-            for y in range(h_img):
-                for x in range(w_img):
-                    g = plane[y * pw + x]
-                    o = 3 * (y * w_img + x)
-                    out[o] = out[o + 1] = out[o + 2] = g
-            return w_img, h_img, bytes(out)
+            pl = (
+                np.asarray(plane, dtype=np.uint8)
+                .reshape(-1, pw)[:h_img, :w_img]
+            )
+            return (
+                w_img, h_img,
+                np.repeat(pl.reshape(-1), 3).tobytes(),
+            )
         if len(comp_ids) != 3:
             raise NotImplementedError("only 1- or 3-component JPEG supported")
         y_id, cb_id, cr_id = comp_ids
-        for y in range(h_img):
-            for x in range(w_img):
-                vals = []
-                for cid in (y_id, cb_id, cr_id):
-                    _, ch, cv, _tq = by_id[cid]
-                    plane, pw = planes[cid]
-                    vals.append(plane[(y * cv // vmax) * pw + (x * ch // hmax)])
-                yy, cb, cr = float(vals[0]), vals[1] - 128.0, vals[2] - 128.0
-                r = int(round(yy + 1.402 * cr))
-                g = int(round(yy - 0.344136 * cb - 0.714136 * cr))
-                b = int(round(yy + 1.772 * cb))
-                o = 3 * (y * w_img + x)
-                out[o] = 0 if r < 0 else (255 if r > 255 else r)
-                out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
-                out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
-        return w_img, h_img, bytes(out)
+
+        def comp_grid(cid):
+            _, ch, cv, _tq = by_id[cid]
+            plane, pw = planes[cid]
+            ys = (np.arange(h_img, dtype=np.int64) * cv) // vmax
+            xs = (np.arange(w_img, dtype=np.int64) * ch) // hmax
+            a = np.asarray(plane, dtype=np.float64).reshape(-1, pw)
+            return a[ys][:, xs]
+
+        yv = comp_grid(y_id)
+        cb = comp_grid(cb_id) - 128.0
+        cr = comp_grid(cr_id) - 128.0
+        r = np.rint(yv + 1.402 * cr)
+        g = np.rint(yv - 0.344136 * cb - 0.714136 * cr)
+        b = np.rint(yv + 1.772 * cb)
+        rgb = np.clip(np.stack((r, g, b), axis=-1), 0, 255).astype(np.uint8)
+        return w_img, h_img, rgb.tobytes()
 
     def _jpeg_prog_geom(frame):
         """Per-component block geometry: MCU-padded store grid plus the
@@ -660,7 +728,13 @@ def _pixel_codec():
 
     def _jpeg_prog_reconstruct(frame, qt, store):
         """Dequantize + IDCT the accumulated coefficient store and run
-        the shared upsample/color-convert tail."""
+        the shared upsample/color-convert tail. The store already holds
+        every block's zigzag ints, so the whole component batches
+        through the bit-identical `_idct2_batch` in bounded chunks
+        (dequantize int*int before the float conversion, exactly as
+        the scalar loop did — products < 2^24, exact either way)."""
+        import numpy as np
+
         w_img, h_img, comps = frame
         by_id = {c[0]: c for c in comps}
         hmax, vmax, _mcux, _mcuy, geom = _jpeg_prog_geom(frame)
@@ -668,24 +742,31 @@ def _pixel_codec():
         for cid, _ch, _cv, tq in comps:
             if tq not in qt:
                 raise ValueError("JPEG frame references missing DQT")
-            q = qt[tq]
+            q = np.asarray(qt[tq], dtype=np.int64)
             g = geom[cid]
-            pw = g["bw"] * 8
-            plane = [0] * (pw * g["bh"] * 8)
-            for by in range(g["bh"]):
-                for bx in range(g["bw"]):
-                    blk = store["coef"][cid][by * g["bw"] + bx]
-                    nat = [0.0] * 64
-                    for k in range(64):
-                        nat[_zz[k]] = float(blk[k] * q[k])
-                    pix = _idct2(nat)
+            bw, bh = g["bw"], g["bh"]
+            pw = bw * 8
+            plane = [0] * (pw * bh * 8)
+            nblocks = bw * bh
+            for lo in range(0, nblocks, 4096):
+                hi = min(lo + 4096, nblocks)
+                zz_arr = (
+                    np.asarray(
+                        store["coef"][cid][lo:hi], dtype=np.int64
+                    )
+                    * q[None, :]
+                ).astype(np.float64)
+                nat = np.zeros_like(zz_arr)
+                nat[:, _zz] = zz_arr
+                pix = _idct2_batch(nat.reshape(-1, 8, 8))
+                vals = np.clip(
+                    np.rint(pix).astype(np.int64) + 128, 0, 255
+                )
+                for n, blk in enumerate(vals, start=lo):
+                    by, bx = divmod(n, bw)
                     for yy in range(8):
                         row_off = (by * 8 + yy) * pw + bx * 8
-                        for xx in range(8):
-                            v = int(round(pix[8 * yy + xx])) + 128
-                            plane[row_off + xx] = (
-                                0 if v < 0 else (255 if v > 255 else v)
-                            )
+                        plane[row_off : row_off + 8] = blk[yy].tolist()
             planes[cid] = (plane, pw)
         return _jpeg_finish(
             planes, store["comp_order"], by_id, hmax, vmax, w_img, h_img
@@ -1948,6 +2029,59 @@ def checked_image_crop_df(spark, n_bases: int = 4) -> DataFrame:
     payload = payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
     rows_out.append(
         (2 * n_bases + 1, "image", "png", payload, cw, ch, None)
+    )
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
+
+
+def checked_jpeg_ac_df(spark, n: int = 16) -> DataFrame:
+    """Oracle-checkable JPEG table with NONZERO AC energy — the path
+    every prior checked fixture left unpinned (constant-gray blocks
+    quantize to DC-only streams, so the Huffman AC decode, run-length
+    skips, ZRL and the off-DC IDCT basis never faced a value check).
+    Each 16x16 gray image is built per 8x8 block (bx, by) from the
+    u=4 DCT basis sign pattern sgn = (+,-,-,+,+,-,-,+):
+
+        v(x, y) = m + a*sgn(x%8) + c*sgn(y%8) + d*sgn(x%8)*sgn(y%8)
+        m = 100 + 3i + 5bx + 7by;  a = 10 + i%5 + 2bx
+        c = 12 + i%7 + 3by;        d = 5 + i%3
+
+    whose 2-D DCT is EXACTLY four coefficients — DC = 8(m-128),
+    (u=4,v=0) = 8a, (u=0,v=4) = 8c, (u=4,v=4) = 8d — all even, so the
+    encoder's DC/1, AC/2 quantizers are lossless and the decoded bytes
+    equal the closed form bit-for-bit (verified: exact round-trip for
+    all 16 ids). In zigzag order the three AC terms sit at k = 10, 14
+    and 39, exercising run-length gaps of 9 and 3, a ZRL (16-zero
+    skip) and the final EOB; a decoder that dropped or misplaced ANY
+    AC coefficient would shift whole sign-patterns and break the
+    position-weighted tile tokens the oracle recomputes. id ``n`` is
+    an unparseable digest blob (honest failure)."""
+    import hashlib
+
+    _, encode = _pixel_codec()
+    sgn = (1, -1, -1, 1, 1, -1, -1, 1)
+    rows_out = []
+    for i in range(n):
+        px = []
+        for y in range(16):
+            for x in range(16):
+                bx, by = x // 8, y // 8
+                m = 100 + 3 * i + 5 * bx + 7 * by
+                a = 10 + i % 5 + 2 * bx
+                c = 12 + i % 7 + 3 * by
+                d = 5 + i % 3
+                px.append(
+                    m + a * sgn[x % 8] + c * sgn[y % 8]
+                    + d * sgn[x % 8] * sgn[y % 8]
+                )
+        rgb = bytes(v for v in px for _ in range(3))
+        rows_out.append(
+            (i, "image", "jpg", bytearray(encode(16, 16, rgb, "jpg")),
+             16, 16, None)
+        )
+    rows_out.append(
+        (n, "image", "jpg",
+         bytearray(hashlib.md5(b"jpeg-ac-honesty").digest() * 4),
+         None, None, None)
     )
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 

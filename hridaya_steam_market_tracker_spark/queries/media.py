@@ -2141,6 +2141,58 @@ def multimodal_image_crop_pairs(
 
 
 @register(
+    "multimodal_jpeg_ac_decode_checked",
+    oracle=f"""
+    WITH px AS (
+      SELECT i, x, y,
+        (100 + 3*i + 5*(x//8) + 7*(y//8))
+        + (10 + i % 5 + 2*(x//8))
+          * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        + (12 + i % 7 + 3*(y//8))
+          * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        + (5 + i % 3)
+          * (CASE WHEN (x % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+          * (CASE WHEN (y % 8) IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+        AS v
+      FROM generate_series(0, 15) gi(i),
+           generate_series(0, 15) gx(x),
+           generate_series(0, 15) gy(y)
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(x // 8 AS INTEGER) AS tile_x,
+           CAST(y // 8 AS INTEGER) AS tile_y,
+           sum(v * (9 * ((y % 8) * 8 + (x % 8)) + 6)) % 2147483648 AS tok,
+           TRUE AS decode_ok
+    FROM px GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 16, NULL, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED JPEG decode with NONZERO AC energy — the "
+        "Huffman AC path (size categories, run-length skips, a ZRL "
+        "16-zero skip at zigzag 39, EOB) and the off-DC IDCT bases, "
+        "which every constant-gray fixture leaves untouched, pinned "
+        "byte-for-byte: the u=4 sign-pattern blocks quantize to "
+        "exactly four even coefficients, so the decoded raster equals "
+        "the closed form the oracle recomputes through the "
+        "position-weighted 8x8 tile tokens (a decoder that dropped, "
+        "misplaced or mis-scaled ANY AC coefficient shifts whole sign "
+        "patterns and breaks every token). The unparseable row "
+        "value-checks failure marking."
+    ),
+)
+def multimodal_jpeg_ac_decode_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_jpeg_ac_df,
+        image_tile_tokens,
+    )
+
+    return image_tile_tokens(checked_jpeg_ac_df(spark))
+
+
+@register(
     "multimodal_audio_zcr_checked",
     oracle="""
     WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),

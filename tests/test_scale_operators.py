@@ -2134,6 +2134,33 @@ def test_vectorized_codec_kernels_match_scalar_references(spark):
     assert grow["band_ratio"] == round(2.0 * power / (n * total), 6)
 
 
+def test_jpeg_idct_vectorization_matches_scalar_reference():
+    """The round-10 batched inverse DCT must be BIT-IDENTICAL to the
+    scalar `_idct2` it replaced in the decode hot loops: `_idct2_batch`
+    accumulates with one vectorized add per frequency index in the
+    scalar sum()'s exact order, so this asserts float equality (==,
+    not allclose) over integer coefficient blocks spanning the full
+    dequantized range — the same order-preserving discipline as the
+    round-9 kernel vectorizations."""
+    import numpy as np
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _jpeg_dct_kernels,
+    )
+
+    _zz, _dct_k, _idct2, _fdct2, _idct2_batch = _jpeg_dct_kernels()
+    blocks = [
+        [((j * j * 7 + 31 * j + 11 * i * (j % 5) + i * i) % 4001) - 2000
+         for j in range(64)]
+        for i in range(257)
+    ]
+    nat = np.asarray(blocks, dtype=np.float64).reshape(-1, 8, 8)
+    batch = _idct2_batch(nat).reshape(-1, 64)
+    for i, blk in enumerate(blocks):
+        scalar = _idct2([float(v) for v in blk])
+        assert all(scalar[k] == batch[i][k] for k in range(64)), i
+
+
 def test_png_defilter_vectorization_matches_scalar_reference():
     """Round-9 PNG defilter vectorization guard (Sub via uint8 cumsum,
     Up via lane-wise wrapping add): hand-built PNGs whose IDAT uses
