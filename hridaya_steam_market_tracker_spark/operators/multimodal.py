@@ -3,7 +3,7 @@ columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 REAL codecs (pure stdlib, no image libraries needed): uncompressed
 24-bit BI_RGB **BMP**, binary **PPM (P6)**, **PNG** (zlib inflate +
-filters 0-4, 8-bit gray/RGB/palette/alpha, non-interlaced), **GIF**
+filters 0-4, 8-bit gray/RGB/palette/alpha, Adam7 interlace), **GIF**
 (87a/89a first frame, full LZW with dictionary growth, global/local
 palettes, 4-pass interlace), and **JPEG** (ITU-T T.81 baseline
 sequential AND progressive DCT: DQT/DHT/SOF/SOS parse, Huffman entropy
@@ -153,7 +153,7 @@ def _pixel_codec():
     RGB bytes (3 per pixel). Supported: 'bmp' (uncompressed 24-bit
     BI_RGB, bottom-up or top-down), 'ppm' (binary P6, maxval 255,
     header comments allowed), 'png' (8-bit gray/RGB/palette/alpha,
-    filters 0-4, non-interlaced), 'gif' (GIF87a/89a first frame, full
+    filters 0-4, Adam7 interlace), 'gif' (GIF87a/89a first frame, full
     LZW, global/local palettes, Adam-style 4-pass interlace), 'jpg'
     (baseline sequential AND progressive DCT per ITU-T T.81, gray or
     YCbCr, any h/v sampling, restart markers; lossless/arithmetic
@@ -847,7 +847,7 @@ def _pixel_codec():
             # Pure-stdlib PNG decoder (RFC 2083): zlib IDAT inflate +
             # scanline un-filtering. Supports bit depth 8, color types
             # 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA;
-            # alpha dropped), filters 0-4, non-interlaced only.
+            # alpha dropped), filters 0-4, interlace 0 and Adam7.
             if payload[:8] != b"\x89PNG\r\n\x1a\n":
                 raise ValueError("not a PNG")
             pos, ihdr, plte, idat = 8, None, None, bytearray()
@@ -870,8 +870,8 @@ def _pixel_codec():
             w, h, depth, color, comp, filt, interlace = ihdr
             if comp or filt:
                 raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
-            if interlace:
-                raise NotImplementedError("Adam7-interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
             if depth != 8:
                 raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -883,51 +883,89 @@ def _pixel_codec():
                 raw = zlib.decompress(bytes(idat))
             except zlib.error as exc:
                 raise ValueError(f"corrupt PNG IDAT: {exc}") from None
-            stride = w * channels
-            if len(raw) != h * (stride + 1):
-                raise ValueError("truncated PNG raster")
             import numpy as np
 
-            prev = bytearray(stride)
-            flat = bytearray()
-            p = 0
-            for _row in range(h):
-                ftype = raw[p]
-                line = bytearray(raw[p + 1 : p + 1 + stride])
-                p += 1 + stride
-                if ftype == 1:  # Sub — vectorized (round 9): the
-                    # defiltered byte is the running sum of raw bytes at
-                    # the same channel offset, and uint8 cumsum wraps
-                    # mod 256 — exactly the (x + left) & 0xFF recurrence.
-                    arr = np.frombuffer(bytes(line), dtype=np.uint8).copy()
-                    arr = arr.reshape(w, channels)
-                    np.cumsum(arr, axis=0, dtype=np.uint8, out=arr)
-                    line = bytearray(arr.tobytes())
-                elif ftype == 2:  # Up — vectorized: depends only on the
-                    # PREVIOUS row's defiltered bytes, a pure lane-wise
-                    # wrapping add.
-                    arr = (
-                        np.frombuffer(bytes(line), dtype=np.uint8)
-                        + np.frombuffer(bytes(prev), dtype=np.uint8)
-                    )  # uint8 + uint8 wraps mod 256
-                    line = bytearray(arr.tobytes())
-                elif ftype == 3:  # Average — serial: the left operand is
-                    # the current row's DEfiltered byte.
-                    for i in range(stride):
-                        a = line[i - channels] if i >= channels else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif ftype == 4:  # Paeth — serial, same reason.
-                    for i in range(stride):
-                        a = line[i - channels] if i >= channels else 0
-                        b = prev[i]
-                        c = prev[i - channels] if i >= channels else 0
-                        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                        line[i] = (line[i] + pred) & 0xFF
-                elif ftype != 0:
-                    raise ValueError(f"bad PNG filter type {ftype}")
-                flat += line
-                prev = line
+            def defilter(off: int, pw: int, ph: int) -> tuple[bytearray, int]:
+                """Un-filter one (sub-)image of ph scanlines of pw
+                pixels starting at raw[off] — the whole raster when
+                non-interlaced, one Adam7 pass when interlaced (each
+                pass filters independently: prev resets to zero)."""
+                stride = pw * channels
+                prev = bytearray(stride)
+                flat = bytearray()
+                p = off
+                for _row in range(ph):
+                    ftype = raw[p]
+                    line = bytearray(raw[p + 1 : p + 1 + stride])
+                    p += 1 + stride
+                    if ftype == 1:  # Sub — vectorized (round 9): the
+                        # defiltered byte is the running sum of raw bytes at
+                        # the same channel offset, and uint8 cumsum wraps
+                        # mod 256 — exactly the (x + left) & 0xFF recurrence.
+                        arr = np.frombuffer(bytes(line), dtype=np.uint8).copy()
+                        arr = arr.reshape(pw, channels)
+                        np.cumsum(arr, axis=0, dtype=np.uint8, out=arr)
+                        line = bytearray(arr.tobytes())
+                    elif ftype == 2:  # Up — vectorized: depends only on the
+                        # PREVIOUS row's defiltered bytes, a pure lane-wise
+                        # wrapping add.
+                        arr = (
+                            np.frombuffer(bytes(line), dtype=np.uint8)
+                            + np.frombuffer(bytes(prev), dtype=np.uint8)
+                        )  # uint8 + uint8 wraps mod 256
+                        line = bytearray(arr.tobytes())
+                    elif ftype == 3:  # Average — serial: the left operand is
+                        # the current row's DEfiltered byte.
+                        for i in range(stride):
+                            a = line[i - channels] if i >= channels else 0
+                            line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                    elif ftype == 4:  # Paeth — serial, same reason.
+                        for i in range(stride):
+                            a = line[i - channels] if i >= channels else 0
+                            b = prev[i]
+                            c = prev[i - channels] if i >= channels else 0
+                            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                            line[i] = (line[i] + pred) & 0xFF
+                    elif ftype != 0:
+                        raise ValueError(f"bad PNG filter type {ftype}")
+                    flat += line
+                    prev = line
+                return flat, p
+
+            if interlace:
+                # Adam7 (RFC 2083 §2.6): seven reduced passes, each an
+                # independently filtered sub-image; reassembly is a pure
+                # strided index permutation — exact by construction.
+                passes = (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                )
+                expected = sum(
+                    ph_ * (1 + pw_ * channels)
+                    for x0, y0, dx, dy in passes
+                    for pw_ in ((w - x0 + dx - 1) // dx,)
+                    for ph_ in ((h - y0 + dy - 1) // dy,)
+                    if pw_ > 0 and ph_ > 0
+                )
+                if len(raw) != expected:
+                    raise ValueError("truncated PNG raster")
+                full = np.zeros((h, w, channels), dtype=np.uint8)
+                p = 0
+                for x0, y0, dx, dy in passes:
+                    pw_ = (w - x0 + dx - 1) // dx
+                    ph_ = (h - y0 + dy - 1) // dy
+                    if pw_ <= 0 or ph_ <= 0:
+                        continue
+                    fl, p = defilter(p, pw_, ph_)
+                    full[y0::dy, x0::dx, :] = np.frombuffer(
+                        bytes(fl), dtype=np.uint8
+                    ).reshape(ph_, pw_, channels)
+                flat = bytearray(full.tobytes())
+            else:
+                if len(raw) != h * (w * channels + 1):
+                    raise ValueError("truncated PNG raster")
+                flat, _ = defilter(0, w, h)
             if color == 2:
                 return w, h, bytes(flat)
             # Round 9: channel expansion vectorized — pure byte
@@ -2081,6 +2119,90 @@ def checked_jpeg_ac_df(spark, n: int = 16) -> DataFrame:
     rows_out.append(
         (n, "image", "jpg",
          bytearray(hashlib.md5(b"jpeg-ac-honesty").digest() * 4),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
+
+
+def checked_png_adam7_df(spark, n: int = 8) -> DataFrame:
+    """Oracle-checkable Adam7-INTERLACED PNG table — the one common
+    real-world PNG variant that was an honest decode seam until round
+    10. Each image is a 20x13 raster (odd dims, so several of the
+    seven passes are partial and pass 2 would be empty for w<5-style
+    edge cases elsewhere) with closed-form pixels
+    v(i, x, y) = (x*(3 + i%5) + y*(5 + i%7) + 11*i) % 251; even ids
+    are grayscale (color type 0), odd ids true-color (type 2, r=g=b),
+    so both channel layouts cross the pass scatter. The seven passes
+    are hand-assembled here IN PASS ORDER with per-pass filtering that
+    resets state (gray passes filter odd rows as Up, RGB passes as
+    Sub), which a decoder sharing filter state across passes — or
+    scattering any pass to wrong coordinates — cannot survive. id
+    ``n`` is an unparseable digest blob (honest failure)."""
+    import hashlib
+    import struct
+    import zlib
+
+    w, h = 20, 13
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+        (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def build(i: int) -> bytearray:
+        rgb = i % 2 == 1
+        channels = 3 if rgb else 1
+
+        def v(x: int, y: int) -> int:
+            return (x * (3 + i % 5) + y * (5 + i % 7) + 11 * i) % 251
+
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prev = [0] * (pw * channels)
+            for ry in range(ph):
+                line = []
+                for rx in range(pw):
+                    px = v(x0 + rx * dx, y0 + ry * dy)
+                    line.extend([px] * channels)
+                if ry % 2 == 0:
+                    raw.append(0)  # None
+                    raw += bytes(line)
+                elif rgb:
+                    raw.append(1)  # Sub: byte - left (channel offset)
+                    raw += bytes(
+                        (line[k] - (line[k - channels] if k >= channels else 0))
+                        % 256
+                        for k in range(len(line))
+                    )
+                else:
+                    raw.append(2)  # Up: byte - prev PASS row
+                    raw += bytes(
+                        (line[k] - prev[k]) % 256 for k in range(len(line))
+                    )
+                prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if rgb else 0, 0, 0, 1)
+        return bytearray(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rows_out = [
+        (i, "image", "png", build(i), w, h, None) for i in range(n)
+    ]
+    rows_out.append(
+        (n, "image", "png",
+         bytearray(hashlib.md5(b"adam7-honesty").digest() * 4),
          None, None, None)
     )
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)

@@ -74,15 +74,34 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_image_crop_pairs",
     "multimodal_image_tile_fingerprints",
+    "multimodal_jpeg_ac_decode_checked",
+    "multimodal_png_adam7_checked",
     "any_media_ingest_admission_twin",
     "media_ingest_admission_twin",
     "multimodal_audio_clip_fingerprints",
     "multimodal_audio_excerpt_pairs",
+    "multimodal_avc1_nal_index_checked",
+    "multimodal_avc1_sps_params_checked",
+    "multimodal_avcc_config_sps_checked",
+    "multimodal_dhash_near_pairs_checked",
     "multimodal_dhash_oriented_checked",
     "multimodal_dhash_oriented_near_pairs_checked",
+    "multimodal_feature_extract",
+    "multimodal_feature_extract_checked",
+    "multimodal_hevc_nal_index_checked",
+    "multimodal_hevc_sps_params_checked",
+    "multimodal_hvcc_config_sps_checked",
     "multimodal_image_dedup_keep_list",
+    "multimodal_image_dhash_checked",
     "multimodal_image_exif_checked",
+    "multimodal_mjpeg_decode_checked",
+    "multimodal_mp4_frame_index_checked",
+    "multimodal_mp4_frame_sample_checked",
+    "multimodal_resize_checked",
+    "multimodal_video_clip_fingerprints",
     "multimodal_video_dedup_keep_list",
+    "multimodal_video_subclip_pairs",
+    "multimodal_video_temporal_hash_checked",
     "c8_set_equality_verify",
     "corpus_curation_rollup",
     "curation_pipeline_kept_docs",
@@ -103,25 +122,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "g4_extract_currency",
     "g5_activity_price_currency",
     "h1_parse_steam_datetime",
-    "i1_json_extract",
-    "i3_json_payload_build",
-    "i5_spread_per_key_day",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "range_join_views_before_purchase",
-    "sessionize_events",
-    "simhash_near_pairs",
-    "simhash_signatures",
-    "text_quality_stats",
-    "value_histogram",
-    "value_percentiles_per_stream",
-    "x1_rollup_region_nation",
-    "x2_cube_flag_status",
-    "x3_pivot_status_by_segment",
-    "x4_above_customer_avg_orders",
-    "x5_grouping_sets_events",
-    "ann_cosine_topk",
-    "ann_pq_sign_topk",
 )
 
 

@@ -2193,6 +2193,46 @@ def multimodal_jpeg_ac_decode_checked(
 
 
 @register(
+    "multimodal_png_adam7_checked",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS media_id,
+           CAST(x AS INTEGER) AS tile_x,
+           CAST(y AS INTEGER) AS tile_y,
+           CAST(6 * ((x*(3 + i % 5) + y*(5 + i % 7) + 11*i) % 251)
+                AS BIGINT) AS tok,
+           TRUE AS decode_ok
+    FROM generate_series(0, 7) gi(i),
+         generate_series(0, 19) gx(x),
+         generate_series(0, 12) gy(y)
+    UNION ALL
+    SELECT 8, NULL, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED Adam7-interlaced PNG decode — the one common "
+        "real-world PNG variant that was an honest seam until round "
+        "10 — pinned per PIXEL (1x1 tile tokens, tok = 6*v): seven "
+        "independently-filtered reduced passes over odd 20x13 dims "
+        "(partial passes), gray AND true-color layouts, per-pass "
+        "Up/Sub filtering that resets state, reassembled by a pure "
+        "strided index permutation the oracle recomputes from the "
+        "closed form. A decoder off by one pass origin, sharing "
+        "filter state across passes, or mis-striding the scatter "
+        "breaks thousands of tokens. The unparseable row value-checks "
+        "failure marking."
+    ),
+)
+def multimodal_png_adam7_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_png_adam7_df,
+        image_tile_tokens,
+    )
+
+    return image_tile_tokens(checked_png_adam7_df(spark), tile=1)
+
+
+@register(
     "multimodal_audio_zcr_checked",
     oracle="""
     WITH m AS (SELECT i FROM generate_series(0, 31) g(i)),
