@@ -97,7 +97,10 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def run_session(session: int) -> dict:
+    """One fresh-JVM benchmark session: converged floor per headline
+    query (see the converge-mode note below). Returns the payload
+    dict; the per-pass curves go to a per-session sidecar."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("hridaya-bench")
@@ -168,9 +171,10 @@ def main() -> None:
     # JSON line and recorded "parsed": null. The compact headline summary
     # must be the LAST stdout line and short enough to survive any
     # reasonable tail window.
-    detail = {"passes": curves, "sf": sf}
+    detail = {"passes": curves, "sf": sf, "session": session}
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        f"bench_detail.s{session}.json",
     )
     try:
         with open(detail_path, "w") as f:
@@ -178,18 +182,84 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(detail), file=sys.stderr)
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(best.values()), 4),
+        "unit": "sec",
+        # r01-r05 records are best-of-2; r06 switched to
+        # converged floors. Stamp the basis so round-over-round
+        # comparisons can't silently mix modes.
+        "mode": "converged-floor",
+        "queries": best,
+        "sf": sf,
+    }
+
+
+def main() -> None:
+    """Multi-session protocol (round 10): the r9 closing note measured
+    a 17% same-day three-session spread on identical code — converged
+    floors within ONE JVM still carry that session's JIT/host draw, so
+    a single-session snapshot is noise-dominated for sub-second
+    queries and every drift triage started from an instrument ambiguity.
+    The headline now runs K fresh-JVM sessions (subprocesses — a
+    stop()/restart within one process reuses the gateway JVM and its
+    JIT state, which is exactly what must NOT carry over), records the
+    per-query MIN across sessions, and stamps the observed
+    session_spread so future triage starts with the noise envelope in
+    the round record instead of a forensic re-run."""
+    child = os.environ.get("SPARK_GRAFT_BENCH_CHILD")
+    k = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "2"))
+    if child or k <= 1:
+        print(json.dumps(run_session(int(child or "1"))))
+        return
+
+    import subprocess
+
+    results = []
+    for s in range(1, k + 1):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD=str(s))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True,
+        )
+        sys.stderr.write(proc.stderr[-8000:])
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stdout[-4000:])
+            sys.exit(proc.returncode)
+        results.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+
+    qmins = {
+        q: min(r["queries"][q] for r in results)
+        for q in results[0]["queries"]
+    }
+    totals = [r["value"] for r in results]
+    # Merge the per-session pass curves into the single committed
+    # sidecar (the per-session files stay for forensics).
+    here = os.path.dirname(os.path.abspath(__file__))
+    merged: dict = {"sf": results[0]["sf"], "sessions": {}}
+    for s in range(1, k + 1):
+        try:
+            with open(os.path.join(here, f"bench_detail.s{s}.json")) as f:
+                merged["sessions"][str(s)] = json.load(f)["passes"]
+        except (OSError, ValueError, KeyError):
+            pass
+    try:
+        with open(os.path.join(here, "bench_detail.json"), "w") as f:
+            json.dump(merged, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(sum(best.values()), 4),
+                "value": round(sum(qmins.values()), 4),
                 "unit": "sec",
-                # r01-r05 records are best-of-2; r06 switched to
-                # converged floors. Stamp the basis so round-over-round
-                # comparisons can't silently mix modes.
                 "mode": "converged-floor",
-                "queries": best,
-                "sf": sf,
+                "sessions": k,
+                "session_totals": [round(t, 4) for t in totals],
+                "session_spread": round(max(totals) / min(totals) - 1, 4),
+                "queries": qmins,
+                "sf": results[0]["sf"],
             }
         )
     )
