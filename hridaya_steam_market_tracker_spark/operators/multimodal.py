@@ -2208,7 +2208,9 @@ def checked_png_adam7_df(spark, n: int = 8) -> DataFrame:
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
 
-def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame:
+def synthetic_mixed_media_corpus(
+    spark, n: int, dup_every: int = 4, embed_every: int | None = None
+) -> DataFrame:
     """Rehearsal-scale MIXED corpus for the unified media gate
     (`streaming/media_ingest.py:ingest_any_media_batch`): media_id i
     cycles modality i % 3 — image / video / audio — and within each
@@ -2216,8 +2218,15 @@ def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame
     that plane's signature exists to reject: a ROTATED re-upload
     (image, real eXIf orientation), a BRIGHTNESS-re-encoded copy
     (video, +4 gray on every frame), a VOLUME-DOUBLED copy (audio,
-    2x samples). Deterministic in ``n``; every payload is real bytes
-    through the package codecs."""
+    2x samples). With ``embed_every`` set (the excerpt-tier rehearsal),
+    modality index k % embed_every == 1 items are instead EMBEDDED
+    duplicates of their predecessor — a 32-of-65-frame video SUBCLIP,
+    a window-aligned 1024-of-2048-sample audio EXCERPT, a tile-aligned
+    16x16 image CROP — the classes only the ``excerpt_tau`` wfps gate
+    rejects (the whole-item hashes are structurally blind: short
+    clips honestly fall below the 64-bit banding threshold, crops
+    re-grid the dHash). Deterministic in ``n``; every payload is real
+    bytes through the package codecs."""
     import io
     import struct
     import wave
@@ -2252,8 +2261,11 @@ def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame
             return [list(r)[::-1] for r in zip(*rows)][::-1]
         return [list(r)[::-1] for r in zip(*rows)]  # o == 8
 
-    def image_payload(seed: int, twin: bool) -> bytearray:
-        if twin:  # rotated re-upload of the PREVIOUS image's pixels
+    def image_payload(seed: int, twin: bool, embed: bool = False) -> bytearray:
+        if embed:  # tile-aligned 16x16 crop of the PREVIOUS image
+            o = 1
+            rows = [r[8:24] for r in gray_rows(seed - 1)[8:24]]
+        elif twin:  # rotated re-upload of the PREVIOUS image's pixels
             o = 2 + seed % 7
             rows = stored_rows(gray_rows(seed - 1), o)
         else:
@@ -2277,21 +2289,23 @@ def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame
             j * j * (7 + seed % 13) + j * (29 + seed % 97) + 151 * seed
         ) % 251
 
-    def video_payload(seed: int, twin: bool) -> bytearray:
-        base = seed - 1 if twin else seed
+    def video_payload(seed: int, twin: bool, embed: bool = False) -> bytearray:
+        base = seed - 1 if twin or embed else seed
         off = 4 if twin else 0
+        js = range(16, 48) if embed else range(65)  # subclip: frames 16..47
         frames = [
             encode(8, 6, bytes([video_gray(base, j) + off]) * (3 * 8 * 6), "jpg")
-            for j in range(65)
+            for j in js
         ]
         return bytearray(
-            synth_mp4(base, 65, 600, with_stss=False,
+            synth_mp4(base, len(frames), 600, with_stss=False,
                       frame_payloads=frames, codec=b"mjpa")
         )
 
-    def audio_payload(seed: int, twin: bool) -> bytearray:
-        base = seed - 1 if twin else seed
+    def audio_payload(seed: int, twin: bool, embed: bool = False) -> bytearray:
+        base = seed - 1 if twin or embed else seed
         scale = 2 if twin else 1
+        ts = range(512, 1536) if embed else range(2048)  # 8 aligned windows
         buf = io.BytesIO()
         with wave.open(buf, "wb") as wf:
             wf.setnchannels(1)
@@ -2307,7 +2321,7 @@ def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame
                                 + t * (29 + base % 211)
                                 + 31 * base) % 1025) - 512)),
                 )
-                for t in range(2048)
+                for t in ts
             ))
         return bytearray(buf.getvalue())
 
@@ -2315,15 +2329,19 @@ def synthetic_mixed_media_corpus(spark, n: int, dup_every: int = 4) -> DataFrame
     for i in range(n):
         modality = i % 3
         k = i // 3  # index within the modality
-        twin = bool(dup_every) and k % dup_every == dup_every - 1 and k > 0
+        embed = bool(embed_every) and k % embed_every == 1 and k > 1
+        twin = (
+            not embed
+            and bool(dup_every) and k % dup_every == dup_every - 1 and k > 0
+        )
         if modality == 0:
-            payload = image_payload(k, twin)
+            payload = image_payload(k, twin, embed)
             rows_out.append((i, "image", "png", payload, None, None, None))
         elif modality == 1:
-            payload = video_payload(k, twin)
+            payload = video_payload(k, twin, embed)
             rows_out.append((i, "video", "mp4", payload, None, None, None))
         else:
-            payload = audio_payload(k, twin)
+            payload = audio_payload(k, twin, embed)
             rows_out.append((i, "audio", "wav", payload, None, None, None))
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
