@@ -72,6 +72,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # fingerprints changed in the r9 kernel/codec vectorization; the
 # span/strip family and r04-era raw scans fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    "media_excerpt_admission_twin",
     "multimodal_image_crop_pairs",
     "multimodal_image_tile_fingerprints",
     "multimodal_jpeg_ac_decode_checked",
@@ -121,7 +122,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "g3_parse_volume",
     "g4_extract_currency",
     "g5_activity_price_currency",
-    "h1_parse_steam_datetime",
 )
 
 

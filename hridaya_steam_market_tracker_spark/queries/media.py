@@ -2232,6 +2232,136 @@ def multimodal_png_adam7_checked(
     return image_tile_tokens(checked_png_adam7_df(spark), tile=1)
 
 
+_EXCERPT_TWIN_STORED = (1000, 1003, 2000, 3000)
+_EXCERPT_TWIN_BATCH = (
+    1001, 1002, 1004, 1006, 1007, 1008, 2001, 2002, 3001, 3002, 3009,
+)
+
+
+def _excerpt_twin_oracle() -> str:
+    """DuckDB restatement of the FULL `media_excerpt_rejects` decision
+    over the three clip/crop fixtures: per-plane content fingerprints
+    (winnowing hashes / tile tokens, each recomputed bit-for-bit by
+    the same CTEs that oracle the fingerprint queries), the df<=50
+    boilerplate prune over the stored+batch population, the UNPRUNED
+    batch-side denominator, stored + lower-id-batch evidence
+    (leader-keeps), distinct-fp counting, and the >= tau threshold."""
+    stored = ", ".join(f"({i})" for i in _EXCERPT_TWIN_STORED)
+    batch = ", ".join(f"({i})" for i in _EXCERPT_TWIN_BATCH)
+    return f"""
+    WITH vfps AS (
+      SELECT media_id + 1000 AS media_id, 'video' AS plane, fp
+      FROM (WITH {_VIDEO_CLIP_WINNOW_CTE}
+            SELECT media_id, fp FROM win, unnest(fps) AS t(fp))
+    ),
+    afps AS (
+      SELECT media_id + 2000 AS media_id, 'audio' AS plane, fp
+      FROM (WITH {_AUDIO_CLIP_WINNOW_CTE}
+            SELECT media_id, fp FROM win, unnest(fps) AS t(fp))
+    ),
+    imfps AS (
+      SELECT media_id + 3000 AS media_id, 'image' AS plane, fp
+      FROM (WITH {_IMAGE_CROP_TILE_CTE}
+            SELECT media_id, fp FROM ifps)
+    ),
+    allf AS (SELECT * FROM vfps UNION ALL SELECT * FROM afps
+             UNION ALL SELECT * FROM imfps),
+    stored(sid) AS (VALUES {stored}),
+    batch(bid) AS (VALUES {batch}),
+    pop AS (SELECT plane, fp FROM allf
+            WHERE media_id IN (SELECT sid FROM stored)
+               OR media_id IN (SELECT bid FROM batch)),
+    rare AS (SELECT plane, fp FROM pop GROUP BY 1, 2
+             HAVING count(*) <= 50),
+    bf AS (SELECT media_id, plane, fp FROM allf
+           WHERE media_id IN (SELECT bid FROM batch)),
+    nfp AS (SELECT media_id, count(*) AS n FROM bf GROUP BY 1),
+    bfp AS (SELECT bf.* FROM bf JOIN rare USING (plane, fp)),
+    sfpp AS (SELECT a.media_id, a.plane, a.fp FROM allf a
+             JOIN rare USING (plane, fp)
+             WHERE a.media_id IN (SELECT sid FROM stored)),
+    sh AS (
+      SELECT b.media_id AS j, b.fp
+      FROM bfp b
+      JOIN (SELECT * FROM sfpp UNION ALL SELECT * FROM bfp) a
+        ON a.plane = b.plane AND a.fp = b.fp
+      WHERE a.media_id IN (SELECT sid FROM stored)
+         OR a.media_id < b.media_id
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT j, count(*) AS n_shared FROM sh GROUP BY 1)
+    SELECT CAST(bid AS BIGINT) AS media_id,
+           coalesce(ns.n_shared / CAST(nfp.n AS DOUBLE) < 0.8, TRUE)
+             AS admitted
+    FROM batch
+    LEFT JOIN nfp ON nfp.media_id = bid
+    LEFT JOIN ns ON ns.j = bid
+    """
+
+
+@register(
+    "media_excerpt_admission_twin",
+    oracle=_excerpt_twin_oracle(),
+    doc=(
+        "The excerpt/crop admission DECISION, value-checked end to "
+        "end: the LITERAL streaming decision function "
+        "(streaming/media_ingest.py:media_excerpt_rejects — df-capped "
+        "evidence, unpruned denominator, distinct shared fps, stored "
+        "+ lower-id leader-keeps, >= tau) runs against planted "
+        "store/batch waves spanning ALL THREE planes — a video "
+        "subclip of a stored host (reject), a window-aligned audio "
+        "excerpt (reject), a tile-aligned image crop AND its "
+        "camera-rotated re-upload (both reject via upright tiles), a "
+        "host whose CLIP is stored (admit — directional), an in-batch "
+        "host+clip pair (leader-keeps: host admitted, clip rejected), "
+        "unrelated hosts (admit) and an unparseable row (admit — "
+        "fp=NULL presence rows can never evidence a rejection) — and "
+        "DuckDB recomputes every fingerprint AND the whole decision. "
+        "Completes the oracle story for the streaming gate: the band "
+        "planes have any_media_ingest_admission_twin, the "
+        "excerpt/crop tier has this."
+    ),
+)
+def media_excerpt_admission_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_clip_df,
+        checked_image_crop_df,
+        checked_video_clip_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_excerpt_rejects,
+        media_winnow_fps,
+    )
+
+    vid = checked_video_clip_df(spark).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    aud = checked_audio_clip_df(spark).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    img = checked_image_crop_df(spark).withColumn(
+        "media_id", F.col("media_id") + 3000
+    )
+    mixed = vid.unionByName(aud).unionByName(img)
+    stored = mixed.filter(
+        F.col("media_id").isin(list(_EXCERPT_TWIN_STORED))
+    )
+    batch = mixed.filter(F.col("media_id").isin(list(_EXCERPT_TWIN_BATCH)))
+    rejects = media_excerpt_rejects(
+        media_winnow_fps(stored), media_winnow_fps(batch), 0.8
+    )
+    return (
+        batch.select("media_id")
+        .join(rejects.withColumn("rej", F.lit(True)), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
+        )
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""
