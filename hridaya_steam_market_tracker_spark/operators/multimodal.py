@@ -2858,7 +2858,9 @@ VIDEO_TDHASH_SCHEMA = (
 )
 
 
-def video_temporal_dhash(media: DataFrame) -> DataFrame:
+def video_temporal_dhash(
+    media: DataFrame, frames: DataFrame | None = None
+) -> DataFrame:
     """Per-video temporal dHash — the video near-dup signature: 64
     sign bits of consecutive decoded-frame mean intensities
     (bit_k = 1 iff mean[k+1] > mean[k] over the first 65 decodable
@@ -2888,10 +2890,15 @@ def video_temporal_dhash(media: DataFrame) -> DataFrame:
     the quality tier owns corrupt media). Scale shape: one window +
     one groupBy, both keyed on media_id (one shuffle), plus an
     id-only scan for the honest-failure rows — payload bytes never
-    cross an exchange."""
+    cross an exchange. ``frames`` (optional) supplies a precomputed
+    `decode_mp4_frames` relation so a caller that also needs the frame
+    TOKENS (the excerpt-aware streaming gate) decodes each payload
+    once, not twice — pass the same persisted frames to
+    `video_frame_token_text`."""
     from pyspark.sql.window import Window
 
-    frames = decode_mp4_frames(media)
+    if frames is None:
+        frames = decode_mp4_frames(media)
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     seq = (
         frames.filter(F.col("decode_ok"))
@@ -2930,7 +2937,9 @@ def video_temporal_dhash(media: DataFrame) -> DataFrame:
     )
 
 
-def video_frame_token_text(media: DataFrame) -> DataFrame:
+def video_frame_token_text(
+    media: DataFrame, frames: DataFrame | None = None
+) -> DataFrame:
     """Per-video frame-token document: each decodable frame becomes the
     integer token round(mean_intensity * 255), space-joined in
     frame_idx order — the representation that lets the TEXT near-dup
@@ -2943,8 +2952,13 @@ def video_frame_token_text(media: DataFrame) -> DataFrame:
     `video_temporal_dhash`, whose whole-clip signature cannot see
     subsequences. One groupBy on media_id after the shared
     decode_mp4_frames pass; constant-gray frames make the token exact
-    (mean = v/255, so round(mean*255) recovers v bit-for-bit)."""
-    frames = decode_mp4_frames(media).filter(F.col("decode_ok"))
+    (mean = v/255, so round(mean*255) recovers v bit-for-bit).
+    ``frames`` (optional): precomputed `decode_mp4_frames` relation,
+    shared with `video_temporal_dhash` by the streaming gate so each
+    payload decodes once."""
+    if frames is None:
+        frames = decode_mp4_frames(media)
+    frames = frames.filter(F.col("decode_ok"))
     seq = frames.groupBy("media_id").agg(
         F.array_sort(
             F.collect_list(

@@ -388,7 +388,9 @@ def _check_gate_mode(store_path: str, excerpt: bool) -> None:
         set_any_media_gate_mode(store_path, excerpt)
 
 
-def media_signatures(batch: DataFrame) -> DataFrame:
+def media_signatures(
+    batch: DataFrame, video_frames: DataFrame | None = None
+) -> DataFrame:
     """Per-plane near-dup signatures for a mixed media batch, unified
     into the shared (media_id, plane, hash_hi, hash_lo, decode_ok)
     relation: orientation-normalized dHash for images
@@ -417,7 +419,11 @@ def media_signatures(batch: DataFrame) -> DataFrame:
         ("audio", mm.audio_goertzel_fingerprint),
     )
     parts = [
-        op(batch.filter(F.col("media_type") == plane))
+        op(
+            batch.filter(F.col("media_type") == plane),
+            **({"frames": video_frames}
+               if plane == "video" and video_frames is not None else {}),
+        )
         .select(*cols)
         .withColumn("plane", F.lit(plane))
         for plane, op in planes
@@ -529,11 +535,27 @@ def ingest_any_media_batch(
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = None
     batch_wfps = None
+    vframes = None
     try:
         if batch.isEmpty():
             return
 
-        sigs = media_signatures(batch).persist(StorageLevel.MEMORY_AND_DISK)
+        if excerpt_tau is not None:
+            # Excerpt mode needs the video plane TWICE — whole-clip
+            # temporal hash AND per-frame tokens. Decode the MJPEG
+            # frames once and share the persisted relation; without
+            # this every video payload crossed the Arrow decode
+            # boundary twice per batch (the dominant batch cost).
+            from hridaya_steam_market_tracker_spark.operators.multimodal import (
+                decode_mp4_frames,
+            )
+
+            vframes = decode_mp4_frames(batch).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+        sigs = media_signatures(batch, video_frames=vframes).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         b_bands = _any_bands(sigs)
         stored_bands = (
             spark.read.parquet(bands_path).select(*_ANY_BAND_COLS)
@@ -545,9 +567,9 @@ def ingest_any_media_batch(
         )
         if excerpt_tau is not None:
             wfps_path = os.path.join(store_path, "wfps")
-            batch_wfps = media_winnow_fps(batch).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            batch_wfps = media_winnow_fps(
+                batch, video_frames=vframes
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             stored_wfps = (
                 spark.read.parquet(wfps_path).select(*_WFP_COLS)
                 if os.path.isdir(wfps_path)
@@ -594,6 +616,8 @@ def ingest_any_media_batch(
             sigs.unpersist()
         if excerpt_tau is not None and batch_wfps is not None:
             batch_wfps.unpersist()
+        if vframes is not None:
+            vframes.unpersist()
         batch.unpersist()
 
 
@@ -677,7 +701,9 @@ def start_dedup_any_media_ingest(
 _WFP_COLS = ("media_id", "plane", "fp")
 
 
-def media_winnow_fps(batch: DataFrame) -> DataFrame:
+def media_winnow_fps(
+    batch: DataFrame, video_frames: DataFrame | None = None
+) -> DataFrame:
     """(media_id, plane, fp) content fingerprints for the containment
     planes: winnowing fingerprints over the sequence planes (video
     frame tokens, audio window tokens) plus TILE fingerprints for
@@ -700,7 +726,7 @@ def media_winnow_fps(batch: DataFrame) -> DataFrame:
         video_frame_token_text,
     )
 
-    toks = video_frame_token_text(batch).unionByName(
+    toks = video_frame_token_text(batch, frames=video_frames).unionByName(
         audio_window_token_text(batch)
     )
     fps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4).unionByName(
