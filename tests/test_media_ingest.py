@@ -706,3 +706,64 @@ def test_media_signatures_plane_disjointness(spark, monkeypatch):
         planes.setdefault(r["media_id"], []).append(r["plane"])
     assert all(len(v) == 1 for v in planes.values()), planes
     assert planes[2000] == ["audio"] and planes[0] == ["image"]
+
+
+def test_any_media_excerpt_streaming_e2e(spark, tmp_path):
+    """The excerpt-aware gate through the REAL Structured Streaming
+    path (start_dedup_any_media_ingest(excerpt_tau=...) -> foreachBatch
+    with inline compaction): wave 1 stores a video host, an audio host
+    and an image host; wave 2's subclip / excerpt / crop are all
+    rejected against the COMPACTED three-component store while new
+    content is admitted, and the _GATE_MODE marker written by the
+    streaming path refuses a later plain batch."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+        start_dedup_any_media_ingest,
+    )
+
+    src_dir = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    img = checked_image_crop_df(spark).withColumn(
+        "media_id", F.col("media_id") + 3000
+    )
+
+    def wave(vid_ids, aud_ids, img_ids):
+        out = _clip_rows(spark, vid_ids, aud_ids).unionByName(
+            img.filter(img["media_id"].isin(list(img_ids)))
+        )
+        out.write.parquet(src_dir, mode="append")
+
+    def drain():
+        stream = spark.readStream.schema(MEDIA_SCHEMA).parquet(src_dir)
+        q = start_dedup_any_media_ingest(
+            stream, store, ckpt, compact_every=1, compact_target_files=1,
+            excerpt_tau=0.8,
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    wave([1000], [2000], [3000])  # hosts
+    drain()
+    assert _stored_ids(spark, store) == {1000, 2000, 3000}
+
+    # wave 2: subclip of 1000, excerpt of 2000, crop of 3000 (all
+    # rejected vs the compacted store) + an unrelated video host
+    wave([1001, 1002], [2001], [3001])
+    drain()
+    assert _stored_ids(spark, store) == {1000, 2000, 3000, 1002}
+
+    # the marker the STREAMING path wrote enforces the lifetime contract
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(
+            img.filter(img["media_id"] == 3002), store
+        )
