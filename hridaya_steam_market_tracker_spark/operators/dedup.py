@@ -670,17 +670,30 @@ def duplicate_span_stats(
     this one's); dup_frac = dup_grams / n_grams. Docs shorter than n
     tokens emit no row.
 
-    Scale: one groupBy(gram) for the df table, one gram-keyed join
-    back, one groupBy(doc_id) — all hash-partitioned scans, no
-    all-pairs anything."""
+    Scale: one groupBy(gram) for the cross-doc table, one gram-keyed
+    join back, one groupBy(doc_id) — all hash-partitioned scans, no
+    all-pairs anything. The screen only needs the BOOLEAN df >= 2, so
+    the gram table aggregates ``min(doc_id) != max(doc_id)`` instead
+    of ``countDistinct`` — min/max combine map-side in one pass
+    (shuffle volume: distinct grams per partition, vs the distinct
+    (gram, doc) pairs plus extra aggregate level the count-distinct
+    rewrite costs), and filtering to cross-doc grams BEFORE the join
+    back shrinks the build side to the duplicated minority, which at
+    corpus scale is the difference between a broadcastable dup-gram
+    set and shuffling every singleton gram a second time."""
     pos = positional_grams(df, text_col, id_col, n)
-    gdf = pos.groupBy("gram").agg(F.countDistinct("doc_id").alias("df"))
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg((F.min("doc_id") != F.max("doc_id")).alias("cross_doc"))
+        .filter(F.col("cross_doc"))
+        .select("gram", F.lit(1).alias("_dup"))
+    )
     return (
-        pos.join(gdf, "gram")
+        pos.join(dup_grams, "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("df") >= 2).cast("long")).alias("dup_grams"),
+            F.count("_dup").alias("dup_grams"),
         )
         .select(
             "doc_id",
@@ -720,6 +733,15 @@ def duplicate_span_pairs(
     at corpus scale is exactly the boilerplate you'd handle with a
     dedicated boilerplate pass, not a pair join). Reported spans are
     exact: within the capped gram set the island algebra is lossless.
+
+    The kept postings are MATERIALIZED (localCheckpoint) before the
+    self-join: ``keep`` feeds both sides, and without a stage boundary
+    Catalyst re-derives the whole subtree per side — four positional
+    explodes and two gram-df aggregations of the full corpus for one
+    logical pass. The materialized relation is scale-safe where
+    checkpointing ``pos`` would not be: it holds only grams with
+    2 <= df <= ``max_gram_df`` (the boilerplate mass is already
+    dropped), the same rows the pair join is about to shuffle anyway.
     """
     from pyspark.sql import Window
 
@@ -728,7 +750,7 @@ def duplicate_span_pairs(
     keep = pos.join(
         gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)).select("gram"),
         "gram",
-    )
+    ).localCheckpoint(eager=True)
     a = keep.select(F.col("doc_id").alias("i"), F.col("pos").alias("pa"), "gram")
     b = keep.select(F.col("doc_id").alias("j"), F.col("pos").alias("pb"), "gram")
     cand = a.join(b, "gram").filter(F.col("i") < F.col("j"))
