@@ -1696,7 +1696,10 @@ DHASH_ORIENTED_SCHEMA = (
 
 
 def image_dhash_oriented(
-    media: DataFrame, grid_w: int = 9, grid_h: int = 8
+    media: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    decoded: DataFrame | None = None,
 ) -> DataFrame:
     """Orientation-normalized dHash — the standard rotate-before-hash
     rule: rotate/flip the decoded raster upright per its EXIF
@@ -1718,7 +1721,18 @@ def image_dhash_oriented(
     orientation 1 — hash the stored raster as-is; metadata damage must
     never drop an image from dedup — and the APPLIED orientation is
     recorded. width/height are the upright (displayed) dimensions.
-    Undecodable pixels keep the NULL-hash failure row."""
+    Undecodable pixels keep the NULL-hash failure row.
+
+    ``decoded`` (optional): precomputed `decode_image_signature_tiles`
+    relation — the signature is then a pure projection (its sig_ok IS
+    this operator's decode_ok), so a caller that also needs the tile
+    fingerprints (the excerpt-aware streaming gate) decodes each
+    payload once."""
+    if decoded is not None:
+        return decoded.select(
+            "media_id", "orientation", "width", "height",
+            "hash_hi", "hash_lo", F.col("sig_ok").alias("decode_ok"),
+        )
     pixel_decode, _ = _pixel_codec()
     dhash_bits = _dhash_kernel(grid_w, grid_h)
     upright = _orientation_transform()
@@ -1902,7 +1916,42 @@ IMAGE_TILE_SCHEMA = (
 )
 
 
-def image_tile_tokens(media: DataFrame, tile: int = 8) -> DataFrame:
+def _tile_token_kernel(tile: int):
+    """Numpy tile-token core shared by `image_tile_tokens` and
+    `decode_image_signature_tiles` (captured by value like
+    `_dhash_kernel`): (w, h, rgb) -> [(tile_x, tile_y, tok), ...] over
+    full ``tile`` x ``tile`` cells of the upright raster, token =
+    sum(byte[k] * (k+1)) mod 2^31 in row-major order — integer-exact,
+    DuckDB-recomputable. Empty list when no full tile fits."""
+
+    def tile_tokens(w: int, h: int, rgb) -> list[tuple[int, int, int]]:
+        import numpy as np
+
+        tw, th = w // tile, h // tile
+        if tw == 0 or th == 0:
+            return []
+        wgt = np.arange(1, 3 * tile * tile + 1, dtype=np.int64)
+        toks = (
+            np.frombuffer(bytes(rgb), dtype=np.uint8)
+            .reshape(h, w, 3)[: th * tile, : tw * tile]
+            .reshape(th, tile, tw, tile, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(th, tw, 3 * tile * tile)
+            .astype(np.int64)
+            @ wgt
+        ) % (1 << 31)
+        return [
+            (tx, ty, int(toks[ty, tx]))
+            for ty in range(th)
+            for tx in range(tw)
+        ]
+
+    return tile_tokens
+
+
+def image_tile_tokens(
+    media: DataFrame, tile: int = 8, decoded: DataFrame | None = None
+) -> DataFrame:
     """Per-tile content tokens over the EXIF-upright decoded raster —
     the image's joinable content plane for CROP containment, the
     image analog of `video_frame_token_text`'s frame sequence. The
@@ -1925,15 +1974,34 @@ def image_tile_tokens(media: DataFrame, tile: int = 8) -> DataFrame:
     Scale shape: one Arrow-batched scan (decode + EXIF walk + numpy
     tile reduction fused, like `image_dhash_oriented`); tokens are
     ~ (W*H)/tile^2 longs per image — payload bytes never cross an
-    exchange."""
+    exchange.
+
+    ``decoded`` (optional): precomputed `decode_image_signature_tiles`
+    relation — the tokens are then a JVM-side explode of its carried
+    tile structs, so a caller that also needs the whole-image
+    SIGNATURE (the excerpt-aware streaming gate) decodes each payload
+    once."""
+    if decoded is not None:
+        # explode_outer of a NULL/empty array keeps one null-element
+        # row — exactly the per-image presence row the Python path
+        # emits for undecodable (pixels_ok=false) / smaller-than-one-
+        # tile (pixels_ok=true, no full tile) images.
+        e = F.explode_outer(
+            F.when(F.col("pixels_ok"), F.col("tiles"))
+        ).alias("t")
+        return decoded.select("media_id", "pixels_ok", e).select(
+            "media_id",
+            F.col("t.tile_x").alias("tile_x"),
+            F.col("t.tile_y").alias("tile_y"),
+            F.col("t.tok").alias("tok"),
+            F.col("pixels_ok").alias("decode_ok"),
+        )
     pixel_decode, _ = _pixel_codec()
     upright = _orientation_transform()
     orientation_of = _orientation_reader()
+    tile_tokens = _tile_token_kernel(tile)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        wgt = np.arange(1, 3 * tile * tile + 1, dtype=np.int64)
         for pdf in batches:
             recs = []
             for mid, payload, fmt in zip(
@@ -1947,23 +2015,12 @@ def image_tile_tokens(media: DataFrame, tile: int = 8) -> DataFrame:
                 except (NotImplementedError, ValueError, IndexError):
                     recs.append((mid, None, None, None, False))
                     continue
-                tw, th = w // tile, h // tile
-                if tw == 0 or th == 0:
+                toks = tile_tokens(w, h, rgb)
+                if not toks:
                     recs.append((mid, None, None, None, True))
                     continue
-                toks = (
-                    np.frombuffer(bytes(rgb), dtype=np.uint8)
-                    .reshape(h, w, 3)[: th * tile, : tw * tile]
-                    .reshape(th, tile, tw, tile, 3)
-                    .transpose(0, 2, 1, 3, 4)
-                    .reshape(th, tw, 3 * tile * tile)
-                    .astype(np.int64)
-                    @ wgt
-                ) % (1 << 31)
                 recs.extend(
-                    (mid, tx, ty, int(toks[ty, tx]), True)
-                    for ty in range(th)
-                    for tx in range(tw)
+                    (mid, tx, ty, tok, True) for tx, ty, tok in toks
                 )
             yield pd.DataFrame.from_records(
                 recs,
@@ -1977,7 +2034,82 @@ def image_tile_tokens(media: DataFrame, tile: int = 8) -> DataFrame:
     )
 
 
-def image_tile_fingerprints(media: DataFrame, tile: int = 8) -> DataFrame:
+IMAGE_SIG_TILE_SCHEMA = (
+    "media_id long, orientation int, width int, height int, "
+    "hash_hi long, hash_lo long, sig_ok boolean, pixels_ok boolean, "
+    "tiles array<struct<tile_x:int,tile_y:int,tok:long>>"
+)
+
+
+def decode_image_signature_tiles(
+    media: DataFrame, grid_w: int = 9, grid_h: int = 8, tile: int = 8
+) -> DataFrame:
+    """ONE image decode feeding both image planes — the image analog
+    of `decode_mp4_frames` / `decode_audio_windows`: per image, the
+    EXIF walk + pixel decode + upright run once, and the row carries
+    BOTH the orientation-normalized dHash signature fields and the
+    full-tile token structs, so the excerpt-aware streaming gate
+    (whole-image signature AND tile fingerprints per batch) crosses
+    each payload over the Arrow boundary once instead of twice.
+
+    Two independent ok flags because the stages can fail
+    independently: ``pixels_ok`` = decode + upright succeeded (tiles
+    are NULL when false, EMPTY when true but no full ``tile`` x
+    ``tile`` cell fits); ``sig_ok`` = the dHash additionally fit its
+    ``grid_w`` x ``grid_h`` grid — an 8x8 image tiles fine but is
+    smaller than the 9x8 hash grid, and `image_dhash_oriented`'s
+    contract makes that a NULL-hash failure row. Projections of this
+    relation reproduce `image_dhash_oriented` and `image_tile_tokens`
+    bit-for-bit (identity-tested in tests/test_media_ingest.py)."""
+    pixel_decode, _ = _pixel_codec()
+    dhash_bits = _dhash_kernel(grid_w, grid_h)
+    upright = _orientation_transform()
+    orientation_of = _orientation_reader()
+    tile_tokens = _tile_token_kernel(tile)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload or b"")
+                try:
+                    ori = orientation_of(data, fmt)
+                    w, h, rgb = pixel_decode(data, fmt)
+                    w2, h2, rgb2 = upright(w, h, rgb, ori)
+                except (NotImplementedError, ValueError, IndexError):
+                    recs.append(
+                        (mid, None, None, None, None, None, False, False,
+                         None)
+                    )
+                    continue
+                try:
+                    hi, lo = dhash_bits(w2, h2, rgb2)
+                    sig = (ori, w2, h2, hi, lo, True)
+                except (NotImplementedError, ValueError, IndexError):
+                    sig = (None, None, None, None, None, False)
+                tiles = [
+                    {"tile_x": tx, "tile_y": ty, "tok": tok}
+                    for tx, ty, tok in tile_tokens(w2, h2, rgb2)
+                ]
+                recs.append((mid, *sig, True, tiles))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "orientation", "width", "height",
+                    "hash_hi", "hash_lo", "sig_ok", "pixels_ok", "tiles",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=IMAGE_SIG_TILE_SCHEMA)
+
+
+def image_tile_fingerprints(
+    media: DataFrame, tile: int = 8, decoded: DataFrame | None = None
+) -> DataFrame:
     """(media_id, fp): distinct 60-bit fingerprints of an image's tile
     tokens — the (id, fp) inverted-index form `winnow_containment_pairs`
     (operators/dedup.py) and the streaming excerpt gate consume
@@ -1991,10 +2123,12 @@ def image_tile_fingerprints(media: DataFrame, tile: int = 8) -> DataFrame:
     fingerprints (`_h60`, seed 0): DuckDB recomputes every fp
     bit-for-bit. Constant-background boilerplate tiles are handled
     where text boilerplate is — the containment consumers' document-
-    frequency cap."""
+    frequency cap. ``decoded`` (optional): precomputed
+    `decode_image_signature_tiles` relation (one decode shared with
+    the signature plane)."""
     from hridaya_steam_market_tracker_spark.operators.dedup import _h60
 
-    toks = image_tile_tokens(media, tile)
+    toks = image_tile_tokens(media, tile, decoded=decoded)
     return (
         toks.filter(F.col("decode_ok") & F.col("tok").isNotNull())
         .select(
@@ -4496,9 +4630,103 @@ AUDIO_FP_SCHEMA = (
 
 _FP_COEFFS = (1, 0, -1, -2)  # integer-grid ratios fs/6, fs/4, fs/3, fs/2
 
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, window_idx int, e0 long, e1 long, e2 long, e3 long, "
+    "decode_ok boolean"
+)
+
+
+def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
+    """REAL audio decode to per-window Goertzel band powers — the
+    shared intermediate of the audio plane, the analog of
+    `decode_mp4_frames` for video: one row per full ``window``-sample
+    channel-0 window with its four exact-integer band powers at the
+    `_FP_COEFFS` probes (fs/6, fs/4, fs/3, fs/2). Both audio
+    consumers — `audio_goertzel_fingerprint` (whole-clip signature)
+    and `audio_window_token_text` (excerpt plane) — derive JVM-side
+    from this relation, so a caller that needs both (the excerpt-aware
+    streaming gate) decodes each WAV payload ONCE instead of running
+    two independent Arrow passes over the same bytes.
+
+    An undecodable clip (non-wav, non-16-bit, empty PCM) or one
+    shorter than a single window emits one decode_ok=false row with
+    NULL powers — the per-item honest-failure marker, mirroring
+    `decode_mp4_frames`' unparseable-container row. Same channel-0
+    deinterleave discipline and numpy window vectorization as the
+    original fused ops (the recursion loops over the ``window``
+    in-window samples, each step a vector op across all windows)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        def powers(payload: bytes, fmt: str | None) -> "np.ndarray":
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                nf = wf.getnframes()
+                ch = wf.getnchannels()
+                raw = wf.readframes(nf)
+            chan0 = np.frombuffer(raw, dtype="<i2")[::ch].astype(np.int64)
+            if chan0.size == 0:
+                raise ValueError("empty PCM stream")
+            nw = chan0.size // window
+            if nw == 0:
+                raise ValueError("shorter than one window")
+            X = chan0[: nw * window].reshape(nw, window)
+            E = np.empty((nw, 4), dtype=np.int64)
+            for k, c in enumerate(_FP_COEFFS):
+                s1 = np.zeros(nw, dtype=np.int64)
+                s2 = np.zeros(nw, dtype=np.int64)
+                for t in range(window):
+                    s0 = X[:, t] + c * s1 - s2
+                    s2, s1 = s1, s0
+                E[:, k] = s1 * s1 + s2 * s2 - c * s1 * s2
+            return E
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    E = powers(bytes(payload or b""), fmt)
+                    recs.extend(
+                        (mid, w, int(e[0]), int(e[1]), int(e[2]), int(e[3]),
+                         True)
+                        for w, e in enumerate(E)
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
+                    recs.append((mid, None, None, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "window_idx", "e0", "e1", "e2", "e3",
+                    "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "audio").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=AUDIO_WINDOW_SCHEMA)
+
 
 def audio_goertzel_fingerprint(
-    media: DataFrame, window: int = 128, n_windows: int = 16
+    media: DataFrame,
+    window: int = 128,
+    n_windows: int = 16,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-bin Goertzel audio fingerprint — the audio near-dup
     signature: 16 windows x 4 spectral-slope bits = the same 64-bit
@@ -4530,7 +4758,52 @@ def audio_goertzel_fingerprint(
     audio-only pushdown + honest-failure discipline as the other
     audio ops; numpy-vectorized across windows inside Arrow batches
     (the recursion loops over the 128 in-window samples, each step a
-    vector op over all windows)."""
+    vector op over all windows).
+
+    ``windows`` (optional): precomputed `decode_audio_windows`
+    relation — the bits are then pure integer comparisons over the
+    window powers, derived entirely JVM-side (one groupBy keyed
+    media_id, the same shape as `video_temporal_dhash` over shared
+    frames), so a caller that also needs the window TOKENS (the
+    excerpt-aware streaming gate) decodes each payload once."""
+    if windows is not None:
+        win = windows.filter(
+            F.col("decode_ok") & (F.col("window_idx") < n_windows)
+        )
+        hi_part = F.lit(0).cast("long")
+        lo_part = F.lit(0).cast("long")
+        for k in range(4):
+            bit = (
+                F.col(f"e{k}") > F.col(f"e{(k + 1) % 4}")
+            ).cast("long")
+            p = f"(window_idx * 4 + {k})"  # bit position 4*w + k
+            hi_part = hi_part + F.when(
+                F.expr(f"{p} < 32"),
+                bit * F.expr(f"shiftleft(1L, cast(31 - {p} as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+            lo_part = lo_part + F.when(
+                F.expr(f"{p} >= 32"),
+                bit * F.expr(f"shiftleft(1L, cast(63 - {p} as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        hashes = (
+            win.select("media_id", hi_part.alias("hp"), lo_part.alias("lp"))
+            .groupBy("media_id")
+            .agg(
+                (F.count(F.lit(1)) * 4).cast("int").alias("n_bits"),
+                F.sum("hp").alias("hash_hi"),
+                F.sum("lp").alias("hash_lo"),
+            )
+        )
+        auds = media.filter(F.col("media_type") == "audio").select("media_id")
+        return auds.join(hashes, "media_id", "left").select(
+            "media_id",
+            F.coalesce("n_bits", F.lit(0)).cast("int").alias("n_bits"),
+            "hash_hi",
+            "hash_lo",
+            (F.coalesce("n_bits", F.lit(0)) == 4 * n_windows).alias(
+                "decode_ok"
+            ),
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -4605,7 +4878,9 @@ def audio_goertzel_fingerprint(
 AUDIO_TOKEN_SCHEMA = "media_id long, text string"
 
 
-def audio_window_token_text(media: DataFrame, window: int = 128) -> DataFrame:
+def audio_window_token_text(
+    media: DataFrame, window: int = 128, windows: DataFrame | None = None
+) -> DataFrame:
     """Per-clip window-token document: every full 128-sample window of
     channel 0 becomes the token "E0_E1_E2_E3" — its four exact-integer
     Goertzel band powers (fs/6, fs/4, fs/3, fs/2, the
@@ -4620,7 +4895,35 @@ def audio_window_token_text(media: DataFrame, window: int = 128) -> DataFrame:
     hop-quantized commercial audio fingerprinting); arbitrary-offset
     robustness would need overlapping windows — a documented seam.
     Undecodable clips are absent (honest failure); numpy-vectorized
-    across windows like the fingerprint op."""
+    across windows like the fingerprint op.
+
+    ``windows`` (optional): precomputed `decode_audio_windows`
+    relation — the token document is then one JVM-side groupBy over
+    the window powers (the `video_frame_token_text`-over-shared-frames
+    shape), so the excerpt-aware gate decodes each payload once."""
+    if windows is not None:
+        seq = (
+            windows.filter(F.col("decode_ok"))
+            .groupBy("media_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "window_idx",
+                            F.concat_ws(
+                                "_", "e0", "e1", "e2", "e3"
+                            ).alias("tok"),
+                        )
+                    )
+                ).alias("s")
+            )
+        )
+        return seq.select(
+            "media_id",
+            F.array_join(
+                F.transform("s", lambda x: x["tok"]), " "
+            ).alias("text"),
+        )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io

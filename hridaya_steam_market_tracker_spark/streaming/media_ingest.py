@@ -389,7 +389,10 @@ def _check_gate_mode(store_path: str, excerpt: bool) -> None:
 
 
 def media_signatures(
-    batch: DataFrame, video_frames: DataFrame | None = None
+    batch: DataFrame,
+    video_frames: DataFrame | None = None,
+    audio_windows: DataFrame | None = None,
+    image_decoded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-plane near-dup signatures for a mixed media batch, unified
     into the shared (media_id, plane, hash_hi, hash_lo, decode_ok)
@@ -409,24 +412,30 @@ def media_signatures(
     cannot overlap), and a future operator whose internal filter
     overlapped an existing plane still could not double-sign a row
     into two planes. Catalyst collapses the redundant double filter,
-    so the guard costs nothing."""
+    so the guard costs nothing.
+
+    ``video_frames`` / ``audio_windows`` / ``image_decoded``
+    (optional): precomputed decode relations (`decode_mp4_frames`,
+    `decode_audio_windows`, `decode_image_signature_tiles`) — the
+    excerpt-aware gate needs every plane TWICE (whole-item signature
+    plus content fingerprints), so it decodes each plane once and
+    shares the persisted relation with `media_winnow_fps`."""
     from hridaya_steam_market_tracker_spark.operators import multimodal as mm
 
     cols = ["media_id", "hash_hi", "hash_lo", "decode_ok"]
     planes = (
-        ("image", mm.image_dhash_oriented),
-        ("video", mm.video_temporal_dhash),
-        ("audio", mm.audio_goertzel_fingerprint),
+        ("image", mm.image_dhash_oriented,
+         {"decoded": image_decoded} if image_decoded is not None else {}),
+        ("video", mm.video_temporal_dhash,
+         {"frames": video_frames} if video_frames is not None else {}),
+        ("audio", mm.audio_goertzel_fingerprint,
+         {"windows": audio_windows} if audio_windows is not None else {}),
     )
     parts = [
-        op(
-            batch.filter(F.col("media_type") == plane),
-            **({"frames": video_frames}
-               if plane == "video" and video_frames is not None else {}),
-        )
+        op(batch.filter(F.col("media_type") == plane), **kw)
         .select(*cols)
         .withColumn("plane", F.lit(plane))
-        for plane, op in planes
+        for plane, op, kw in planes
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -535,25 +544,32 @@ def ingest_any_media_batch(
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = None
     batch_wfps = None
-    vframes = None
+    shared = []  # persisted per-plane decode relations (excerpt mode)
+    decode_kw = {}
     try:
         if batch.isEmpty():
             return
 
         if excerpt_tau is not None:
-            # Excerpt mode needs the video plane TWICE — whole-clip
-            # temporal hash AND per-frame tokens. Decode the MJPEG
-            # frames once and share the persisted relation; without
-            # this every video payload crossed the Arrow decode
+            # Excerpt mode needs EVERY plane twice — whole-item
+            # signature AND content fingerprints. Decode each plane
+            # once into a persisted relation shared by both passes;
+            # without this every payload crossed the Arrow decode
             # boundary twice per batch (the dominant batch cost).
             from hridaya_steam_market_tracker_spark.operators.multimodal import (
+                decode_audio_windows,
+                decode_image_signature_tiles,
                 decode_mp4_frames,
             )
 
-            vframes = decode_mp4_frames(batch).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-        sigs = media_signatures(batch, video_frames=vframes).persist(
+            decode_kw = {
+                "video_frames": decode_mp4_frames(batch),
+                "audio_windows": decode_audio_windows(batch),
+                "image_decoded": decode_image_signature_tiles(batch),
+            }
+            for df in decode_kw.values():
+                shared.append(df.persist(StorageLevel.MEMORY_AND_DISK))
+        sigs = media_signatures(batch, **decode_kw).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         b_bands = _any_bands(sigs)
@@ -567,9 +583,9 @@ def ingest_any_media_batch(
         )
         if excerpt_tau is not None:
             wfps_path = os.path.join(store_path, "wfps")
-            batch_wfps = media_winnow_fps(
-                batch, video_frames=vframes
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            batch_wfps = media_winnow_fps(batch, **decode_kw).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             stored_wfps = (
                 spark.read.parquet(wfps_path).select(*_WFP_COLS)
                 if os.path.isdir(wfps_path)
@@ -616,8 +632,8 @@ def ingest_any_media_batch(
             sigs.unpersist()
         if excerpt_tau is not None and batch_wfps is not None:
             batch_wfps.unpersist()
-        if vframes is not None:
-            vframes.unpersist()
+        for df in shared:
+            df.unpersist()
         batch.unpersist()
 
 
@@ -702,7 +718,10 @@ _WFP_COLS = ("media_id", "plane", "fp")
 
 
 def media_winnow_fps(
-    batch: DataFrame, video_frames: DataFrame | None = None
+    batch: DataFrame,
+    video_frames: DataFrame | None = None,
+    audio_windows: DataFrame | None = None,
+    image_decoded: DataFrame | None = None,
 ) -> DataFrame:
     """(media_id, plane, fp) content fingerprints for the containment
     planes: winnowing fingerprints over the sequence planes (video
@@ -727,10 +746,10 @@ def media_winnow_fps(
     )
 
     toks = video_frame_token_text(batch, frames=video_frames).unionByName(
-        audio_window_token_text(batch)
+        audio_window_token_text(batch, windows=audio_windows)
     )
     fps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4).unionByName(
-        image_tile_fingerprints(batch)
+        image_tile_fingerprints(batch, decoded=image_decoded)
     )
     ids = batch.filter(
         F.col("media_type").isin("image", "video", "audio")

@@ -767,3 +767,91 @@ def test_any_media_excerpt_streaming_e2e(spark, tmp_path):
         ingest_any_media_batch(
             img.filter(img["media_id"] == 3002), store
         )
+
+
+def test_shared_decode_relations_match_default_paths(spark):
+    """The excerpt-aware gate's one-decode-per-plane relations
+    (`decode_audio_windows`, `decode_image_signature_tiles`, shared
+    `decode_mp4_frames`) must reproduce every default single-op
+    output BIT-FOR-BIT — signature, tokens and tile fingerprints —
+    across the edge cases: undecodable payloads, an audio clip
+    shorter than one window, an image that tiles but is smaller than
+    the dHash grid, and a camera-rotated image."""
+    import io
+    import wave as wave_mod
+
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_goertzel_fingerprint,
+        audio_window_token_text,
+        checked_audio_clip_df,
+        checked_image_crop_df,
+        checked_video_clip_df,
+        decode_audio_windows,
+        decode_image_signature_tiles,
+        decode_mp4_frames,
+        image_dhash_oriented,
+        image_tile_fingerprints,
+        image_tile_tokens,
+        video_frame_token_text,
+        video_temporal_dhash,
+    )
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x00" * 50)  # < one 128-sample window
+    _, encode = _pixel_codec()
+    extra = spark.createDataFrame(
+        [
+            (9901, "audio", "wav", bytearray(buf.getvalue()),
+             None, None, None),
+            # tiles fine (8x8), smaller than the 9x8 dHash grid
+            (9902, "image", "bmp",
+             bytearray(encode(8, 8, bytes(range(64)) * 3, "bmp")),
+             8, 8, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    media = (
+        checked_video_clip_df(spark)
+        .withColumn("media_id", F.col("media_id") + 1000)
+        .unionByName(
+            checked_audio_clip_df(spark).withColumn(
+                "media_id", F.col("media_id") + 2000
+            )
+        )
+        .unionByName(
+            checked_image_crop_df(spark).withColumn(
+                "media_id", F.col("media_id") + 3000
+            )
+        )
+        .unionByName(extra)
+    )
+    frames = decode_mp4_frames(media)
+    windows = decode_audio_windows(media)
+    decoded = decode_image_signature_tiles(media)
+    pairs = [
+        (video_temporal_dhash(media),
+         video_temporal_dhash(media, frames=frames)),
+        (video_frame_token_text(media),
+         video_frame_token_text(media, frames=frames)),
+        (audio_goertzel_fingerprint(media),
+         audio_goertzel_fingerprint(media, windows=windows)),
+        (audio_window_token_text(media),
+         audio_window_token_text(media, windows=windows)),
+        (image_dhash_oriented(media),
+         image_dhash_oriented(media, decoded=decoded)),
+        (image_tile_tokens(media),
+         image_tile_tokens(media, decoded=decoded)),
+        (image_tile_fingerprints(media),
+         image_tile_fingerprints(media, decoded=decoded)),
+    ]
+    for default, fused in pairs:
+        key = lambda t: tuple(str(x) for x in t)
+        d = sorted((tuple(r) for r in default.collect()), key=key)
+        f = sorted((tuple(r) for r in fused.collect()), key=key)
+        assert d == f, f"fused path diverged: {default.columns}"
