@@ -63,24 +63,27 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-9 composition: derived from COMMITTED correctness records (the
-# round-8 structural fix — a driver-dropped untracked record can no
-# longer flip the gate red without a builder commit). Flagged queries
-# lead: the ten never-sampled round-9 queries (video/audio near-dup
-# tiers, subclip/excerpt detection, three admission twins), the two
-# r04-era rows, and the multimodal cohort whose transitive
-# fingerprints changed in the r9 kernel/codec vectorization; the
-# span/strip family and r04-era raw scans fill the remaining slots.
+# Round-10 composition: the five never-sampled round-10 queries (crop
+# tier, JPEG AC, Adam7, excerpt admission twin) lead, then the cohort
+# whose transitive fingerprints changed this round — the span/strip
+# stats rewrite (min/max cross-doc screen) and the multimodal family
+# touched by the shared-decode fusion (audio windows, image
+# signature+tiles); r05-green rotation rows fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
     "media_excerpt_admission_twin",
     "multimodal_image_crop_pairs",
     "multimodal_image_tile_fingerprints",
     "multimodal_jpeg_ac_decode_checked",
     "multimodal_png_adam7_checked",
+    "duplicate_span_pairs",
+    "duplicate_span_stats",
+    "clip_duplicate_spans_stats",
     "any_media_ingest_admission_twin",
     "media_ingest_admission_twin",
     "multimodal_audio_clip_fingerprints",
+    "multimodal_audio_dedup_keep_list",
     "multimodal_audio_excerpt_pairs",
+    "multimodal_audio_fingerprint_checked",
     "multimodal_avc1_nal_index_checked",
     "multimodal_avc1_sps_params_checked",
     "multimodal_avcc_config_sps_checked",
@@ -103,6 +106,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_video_dedup_keep_list",
     "multimodal_video_subclip_pairs",
     "multimodal_video_temporal_hash_checked",
+    "strip_then_span_stats",
     "c8_set_equality_verify",
     "corpus_curation_rollup",
     "curation_pipeline_kept_docs",
@@ -116,12 +120,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "dedup_incremental_delta",
     "e6_urgency_overdue",
     "f1_union_all_per_stream_meta",
-    "f3_payload_dup_check",
-    "g1_parse_steam_price",
-    "g2_minor_units_conversion",
-    "g3_parse_volume",
-    "g4_extract_currency",
-    "g5_activity_price_currency",
 )
 
 
