@@ -155,8 +155,101 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: English if the stopword ratio clears a
-    floor, else unknown. (N-gram models plug in the same slot.)"""
+    floor, else unknown. (N-gram models plug in the same slot —
+    `chargram_lang_scores` is the trained one.)"""
     return F.when(stopword_ratio(text) >= 0.02, "en").otherwise("und")
+
+
+def chargram_lang_scores(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 200,
+) -> DataFrame:
+    """Character-n-gram language ID, Cavnar & Trenkle 1994 ('N-Gram-
+    Based Text Categorization'): per language, the profile is its top
+    ``k`` character n-grams ranked by frequency; a document is scored
+    against each profile by the OUT-OF-PLACE distance — sum over the
+    document's own top-``k`` grams of |doc_rank - profile_rank|, with
+    a flat ``k`` penalty for grams absent from the profile — and
+    classified to the argmin. Self-trained on the labeled corpus
+    (``label_col``), like the perceptron/DSIR tiers; every quantity is
+    an integer count or rank with explicit (count DESC, gram ASC) /
+    (dist ASC, lang ASC) tie-breaks, so a DuckDB oracle reproduces the
+    prediction bit-for-bit. Output: (doc_id, lang, pred_lang,
+    oop_dist), one row per document with >= 1 n-gram.
+
+    Scale shape: the gram explode is scan-stage array algebra; one
+    (doc, gram) count shuffle + one doc-keyed rank window; the
+    language profiles aggregate the ALREADY-REDUCED (doc, gram) counts
+    and their per-language rank window partitions on a vocabulary-
+    bounded relation (distinct char n-grams <= |alphabet|^n, corpus-
+    size-independent), after which profiles are <= n_langs * k rows —
+    broadcast to both the candidate cross join and the rank lookup, so
+    the scoring pass never shuffles the corpus against the model."""
+    from pyspark.sql import Window
+
+    norm = F.array_join(tokens(F.lower(F.col(text_col))), " ")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("lang"),
+        norm.alias("t"),
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.length("t") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - (n - 1)),
+                    lambda i: F.col("t").substr(i.cast("int"), F.lit(n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    dc = grams.groupBy("doc_id", "lang", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "gram")
+    dr = (
+        dc.withColumn("r_doc", F.row_number().over(wd))
+        .filter(F.col("r_doc") <= k)
+        .select("doc_id", "lang", "gram", "r_doc")
+    )
+    lc = dc.groupBy("lang", "gram").agg(F.sum("c").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
+    # The profile IS the trained model (<= n_langs * k rows):
+    # materialize it once so the scoring plan doesn't re-derive the
+    # corpus-sized (doc, gram) counts for the profile AND the
+    # candidate-language branches — train one pass, score one pass.
+    profile = (
+        lc.withColumn("r_lang", F.row_number().over(wl))
+        .filter(F.col("r_lang") <= k)
+        .select(F.col("lang").alias("cand_lang"), "gram", "r_lang")
+    ).localCheckpoint(eager=True)
+    langs = profile.select("cand_lang").distinct()
+    scored = (
+        dr.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(profile), ["cand_lang", "gram"], "left")
+        .groupBy("doc_id", "lang", "cand_lang")
+        .agg(
+            F.sum(
+                F.coalesce(F.abs(F.col("r_doc") - F.col("r_lang")), F.lit(k))
+            ).cast("long").alias("oop_dist")
+        )
+    )
+    wp = Window.partitionBy("doc_id").orderBy("oop_dist", "cand_lang")
+    return (
+        scored.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", "lang", F.col("cand_lang").alias("pred_lang"),
+            "oop_dist",
+        )
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -70,6 +70,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # touched by the shared-decode fusion (audio windows, image
 # signature+tiles); r05-green rotation rows fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    "chargram_lang_id",
     "media_excerpt_admission_twin",
     "multimodal_image_crop_pairs",
     "multimodal_image_tile_fingerprints",
@@ -119,7 +120,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "dedup_exact",
     "dedup_incremental_delta",
     "e6_urgency_overdue",
-    "f1_union_all_per_stream_meta",
 )
 
 

@@ -73,6 +73,72 @@ def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chargram_lang_id",
+    oracle=f"""
+    WITH nrm AS (
+      SELECT doc_id, lang, array_to_string({_TOKS_LOWER}, ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest([substring(t, i, 3) for i in range(1, len(t) - 1)]) AS gram
+      FROM nrm WHERE len(t) >= 3
+    ),
+    dc AS (
+      SELECT doc_id, lang, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+    ),
+    drk AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, gram,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS r_doc
+        FROM dc
+      ) WHERE r_doc <= 200
+    ),
+    lrk AS (
+      SELECT * FROM (
+        SELECT lang AS cand_lang, gram,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, gram) AS r_lang
+        FROM (SELECT lang, gram, sum(c) AS c FROM dc GROUP BY 1, 2)
+      ) WHERE r_lang <= 200
+    ),
+    sc AS (
+      SELECT d.doc_id, d.lang, l.cand_lang,
+             CAST(sum(coalesce(abs(d.r_doc - p.r_lang), 200)) AS BIGINT) AS oop_dist
+      FROM drk d
+      CROSS JOIN (SELECT DISTINCT cand_lang FROM lrk) l
+      LEFT JOIN lrk p ON p.cand_lang = l.cand_lang AND p.gram = d.gram
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, lang, cand_lang AS pred_lang, oop_dist
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY oop_dist, cand_lang) AS rk
+      FROM sc
+    ) WHERE rk = 1
+    """,
+    doc=(
+        "Cavnar-Trenkle character-trigram language ID (public 1994 paper): "
+        "per-language top-200 gram rank profiles self-trained on the labeled "
+        "corpus, documents classified by argmin out-of-place distance with "
+        "integer ranks and explicit tie-breaks — the trained upgrade of "
+        "text_quality_stats' stopword lang_pred heuristic "
+        "(operators/text.py:chargram_lang_scores). Honesty note: the "
+        "synthetic corpus draws every lang's text from one English-ish "
+        "vocabulary, so accuracy is chance (~0.37); the oracle pins the "
+        "mechanics (counts, ranks, distances, argmin) bit-for-bit, like "
+        "the perceptron/DSIR tiers."
+    ),
+)
+def chargram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        chargram_lang_scores,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return chargram_lang_scores(docs, n=3, k=200)
+
+
+@register(
     "dedup_exact",
     oracle=f"""
     WITH corpus AS (

@@ -120,6 +120,7 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
         "multimodal_hevc_nal_index_checked",
         "duplicate_span_stats",
         "duplicate_span_pairs",
+        "chargram_lang_id",
         "tfidf_cosine_pairs_posting",
         "strip_source_prefix_stats",
         "clip_duplicate_spans_stats",
@@ -351,6 +352,11 @@ def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
         ("decontaminate_train_test", 2),
         # spread + gram-df groupBy + join-back/doc rollup
         ("duplicate_span_stats", 3),
+        # (doc,gram) count + doc rank window + score groupBy + argmin
+        # window + the two tiny checkpointed-profile branches; the
+        # trained profile itself is materialized (localCheckpoint), so
+        # its corpus pass doesn't appear in the scoring plan
+        ("chargram_lang_id", 6),
         # + keep-join, pair join, (i,j,d) window, span groupBy
         ("duplicate_span_pairs", 6),
         # jaccard_pairs' guarded shape: df-capped candidates + two
