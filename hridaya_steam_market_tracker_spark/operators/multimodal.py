@@ -2034,6 +2034,201 @@ def image_tile_tokens(
     )
 
 
+def _wht_kernel(grid: int = 8):
+    """Walsh-Hadamard perceptual-hash core — the FREQUENCY-DOMAIN
+    complement of the gradient dHash (the pHash idea — sign of
+    low-order transform coefficients vs their median — instantiated
+    on the integer-exact Walsh-Hadamard transform instead of the
+    float DCT, so every bit is cross-engine replicable). The raster's
+    ``grid`` x ``grid`` equal-size cell sums (uint8 3-channel totals in
+    int64 — exact; right/bottom partial cells dropped exactly as the
+    dHash kernel drops them) are transformed by the natural-order
+    Hadamard matrix H[u,x] = (-1)^popcount(u AND x); the 63 AC
+    coefficients (DC dropped) are thresholded at their LOWER MEDIAN
+    (the 32nd smallest — deterministic under ties), giving 63 bits
+    packed at positions 0..62 (position 63 always 0). Because the
+    transform is LINEAR and cells are equal-size, a per-pixel gain
+    a*g + b (a > 0) scales every AC coefficient and the median by
+    exactly a (the offset lands only in the discarded DC), so a
+    gain/offset re-encode lands Hamming-0 — the dHash invariance,
+    held here by frequency algebra rather than gradient ordinality."""
+
+    parity = [0, 1, 1, 0, 1, 0, 0, 1]  # popcount parity of 0..7
+
+    def wht_bits(w: int, h: int, rgb) -> tuple[int, int]:
+        import numpy as np
+
+        cw, ch = w // grid, h // grid
+        if cw == 0 or ch == 0:
+            raise ValueError("image smaller than the wHash grid")
+        px = (
+            np.frombuffer(bytes(rgb), dtype=np.uint8)
+            .reshape(h, w, 3)
+            .sum(axis=2, dtype=np.int64)
+        )
+        sums = (
+            px[: grid * ch, : grid * cw]
+            .reshape(grid, ch, grid, cw)
+            .sum(axis=(1, 3))
+        )
+        idx = np.arange(grid)
+        par = np.array(parity, dtype=np.int64)
+        hm = 1 - 2 * par[idx[:, None] & idx[None, :]]
+        coeff = hm @ sums @ hm.T
+        ac = coeff.reshape(-1)[1:]
+        med = np.partition(ac.copy(), 31)[31]
+        bits = ac > med
+        hi = lo = 0
+        for p in range(bits.size):
+            if bits[p]:
+                if p < 32:
+                    hi |= 1 << (31 - p)
+                else:
+                    lo |= 1 << (63 - p)
+        return hi, lo
+
+    return wht_bits
+
+
+def image_wht_hash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Orientation-normalized Walsh-Hadamard perceptual hash — the
+    frequency-domain member of the image near-dup plane: same EXIF
+    upright-then-hash discipline and same (media_id, orientation,
+    hash_hi, hash_lo, decode_ok) relation as `image_dhash_oriented`,
+    so `dhash_bands` / `dhash_near_pairs` / connected components are
+    REUSED unchanged; only the 64 bits mean something different (AC
+    coefficient signs vs the gradient signs). Running BOTH hashes and
+    unioning the verified pairs catches duplicate classes either
+    single family misses (localized edits perturb few WHT bits but
+    can flip a whole gradient row, and vice versa). Single Arrow
+    pass, payload bytes never cross an exchange; corrupt metadata
+    falls back to orientation 1 (never drops an image from dedup);
+    undecodable pixels keep the NULL-hash honest-failure row."""
+    pixel_decode, _ = _pixel_codec()
+    wht_bits = _wht_kernel(grid)
+    upright = _orientation_transform()
+    orientation_of = _orientation_reader()
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload or b"")
+                try:
+                    ori = orientation_of(data, fmt)
+                    w, h, rgb = pixel_decode(data, fmt)
+                    w2, h2, rgb2 = upright(w, h, rgb, ori)
+                    hi, lo = wht_bits(w2, h2, rgb2)
+                    recs.append((mid, ori, hi, lo, True))
+                except (NotImplementedError, ValueError, IndexError):
+                    recs.append((mid, None, None, None, False))
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=[
+                    "media_id", "orientation", "hash_hi", "hash_lo",
+                    "decode_ok",
+                ],
+            )
+
+    return media.filter(F.col("media_type") == "image").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=WHT_HASH_SCHEMA)
+
+
+WHT_HASH_SCHEMA = (
+    "media_id long, orientation int, hash_hi long, hash_lo long, "
+    "decode_ok boolean"
+)
+
+
+def checked_wht_df(spark, n_bases: int = 3) -> DataFrame:
+    """Oracle-checkable wHash table: 4*n_bases 16x16 gray rasters
+    (2x2 cells under the 8x8 grid) in LOSSLESS PNG, id i = 4*b +
+    variant with closed-form gray g(b, x, y) = (x*x*(3 + b) +
+    y*(7 + 2*b) + x*y + 5*b) % 101:
+
+    * variant 0 — the base image.
+    * variant 1 — gain/offset re-encode 2*g + 30 (every AC
+      coefficient and the AC median scale by exactly 2; the offset
+      lands only in the discarded DC: Hamming 0 by linearity).
+    * variant 2 — one-CELL edit: the 2x2 cell at grid (4, 4)
+      (pixels x,y in 8..9) brightens by +6. The perturbation spreads
+      +-72 across ALL 64 coefficients but flips only the signs already
+      near the median — measured Hamming 1-3, inside the banded
+      Hamming<=3 radius (the frequency-domain robustness property).
+    * variant 3 — different content g' = (x*(11 + b) + y*y*(5 + b)
+      + 3*x*y + 7*b + 40) % 101 (measured far outside the radius).
+
+    Honesty rows: id 4*n_bases a camera-ROTATED copy of base 0 — the
+    base raster stored as EXIF Orientation 6 would store it (forward
+    transform written independently of the operator's inverse),
+    real PNG + eXIf chunk: MUST land on base 0's exact hash; id
+    4*n_bases+1 an undecodable digest blob; id 4*n_bases+2 a 4x4
+    raster smaller than the grid (decodes fine, hash honestly NULL)."""
+    import struct
+    import zlib
+
+    _, encode = _pixel_codec()
+    w, h = 16, 16
+
+    def g(b: int, x: int, y: int) -> int:
+        return (x * x * (3 + b) + y * (7 + 2 * b) + x * y + 5 * b) % 101
+
+    def alt(b: int, x: int, y: int) -> int:
+        return (x * (11 + b) + y * y * (5 + b) + 3 * x * y + 7 * b + 40) % 101
+
+    def raster(vals: list[list[int]]) -> bytes:
+        return b"".join(
+            bytes((v, v, v)) for row in vals for v in row
+        )
+
+    rows = []
+    for b in range(n_bases):
+        base = [[g(b, x, y) for x in range(w)] for y in range(h)]
+        gain = [[2 * v + 30 for v in row] for row in base]
+        edit = [list(row) for row in base]
+        for y in (8, 9):
+            for x in (8, 9):
+                edit[y][x] = base[y][x] + 6
+        other = [[alt(b, x, y) for x in range(w)] for y in range(h)]
+        for v, vals in enumerate((base, gain, edit, other)):
+            rows.append(
+                (4 * b + v, "image", "png",
+                 bytearray(encode(w, h, raster(vals), "png")),
+                 None, None, None)
+            )
+
+    # Rotated twin of base 0, stored as EXIF Orientation 6 (display
+    # needs rot90cw -> the camera stored rot90ccw of the upright
+    # raster) — the same independently-written forward transform as
+    # checked_oriented_dhash_df, so a swapped case on either side
+    # breaks the value check instead of cancelling out.
+    base0 = [[g(0, x, y) for x in range(w)] for y in range(h)]
+    stored = [list(r) for r in zip(*base0)][::-1]
+    png = encode(h, w, raster(stored), "png")
+    exif = _tiff_exif_bytes(6, "2024:01:05 10:30:00", motorola=False)
+    chunk = struct.pack(">I", len(exif)) + b"eXIf" + exif
+    chunk += struct.pack(">I", zlib.crc32(chunk[4:]))
+    png = png[:33] + chunk + png[33:]
+    rot_id = 4 * n_bases
+    rows.append(
+        (rot_id, "image", "png", bytearray(png), None, None, None)
+    )
+    rows.append(
+        (rot_id + 1, "image", "png",
+         bytearray(hashlib.md5(f"wht{rot_id + 1}".encode()).digest() * 3),
+         None, None, None)
+    )
+    tiny = [[g(0, x, y) for x in range(4)] for y in range(4)]
+    rows.append(
+        (rot_id + 2, "image", "png",
+         bytearray(encode(4, 4, raster(tiny), "png")), None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 IMAGE_SIG_TILE_SCHEMA = (
     "media_id long, orientation int, width int, height int, "
     "hash_hi long, hash_lo long, sig_ok boolean, pixels_ok boolean, "
@@ -3109,6 +3304,146 @@ def video_frame_token_text(
             F.transform("s", lambda x: x["tok"].cast("string")), " "
         ).alias("text"),
     )
+
+
+VIDEO_SHOT_SCHEMA = (
+    "media_id long, shot_id int, start_frame int, end_frame int, "
+    "n_frames int, keyframe_idx int, keyframe_level int"
+)
+
+
+def video_shot_segments(
+    media: DataFrame, frames: DataFrame | None = None, tau: int = 24
+) -> DataFrame:
+    """Shot-boundary segmentation + per-shot keyframe election — the
+    video frame-SAMPLING primitive a vision-training pipeline needs
+    (one representative frame per scene, not one per fixed interval):
+    a new shot starts at frame j when the integer frame level
+    round(mean_intensity*255) jumps by >= ``tau`` from the previous
+    DECODED frame (hard-cut detection on the same per-frame statistic
+    `video_temporal_dhash` rides; gradual within-shot drift below tau
+    never splits). Each shot's KEYFRAME is the frame whose level is
+    closest to the shot's mean level — the argmin of the all-integer
+    distance |level * n_frames - sum_levels| with frame_idx as the
+    deterministic tie-break — so every election is cross-engine exact
+    and a SQL oracle can restate the whole relation arithmetically.
+
+    One row per (media_id, shot_id): start/end frame, length, elected
+    keyframe and its level. Per-frame decode failures are SKIPPED (the
+    lag closes over them, same stance as the temporal hash); a video
+    with no decodable frames is ABSENT rather than given a fake empty
+    shot. Scale shape: a lag+cumsum window keyed media_id, then
+    whole-partition windows keyed (media_id, shot_id) and the final
+    groupBy — hash partitioning on media_id satisfies every downstream
+    clustering (subset rule), so the whole segmentation is ONE shuffle
+    after the decode scan; payload bytes never cross an exchange.
+    ``frames`` (optional) supplies a precomputed `decode_mp4_frames`
+    relation so callers that also need tokens/hashes decode once."""
+    from pyspark.sql.window import Window
+
+    if frames is None:
+        frames = decode_mp4_frames(media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    toks = (
+        frames.filter(F.col("decode_ok"))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.round(F.col("mean_intensity") * 255).cast("int").alias("tok"),
+        )
+        .withColumn("prev", F.lag("tok").over(w))
+        .withColumn(
+            "cut",
+            (
+                F.col("prev").isNull()
+                | (F.abs(F.col("tok") - F.col("prev")) >= tau)
+            ).cast("long"),
+        )
+        .withColumn(
+            "shot_id",
+            (
+                F.sum("cut").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                )
+                - 1
+            ).cast("int"),
+        )
+    )
+    shot_w = Window.partitionBy("media_id", "shot_id")
+    scored = (
+        toks.withColumn("n", F.count(F.lit(1)).over(shot_w))
+        .withColumn("s", F.sum("tok").over(shot_w))
+        .withColumn("dist", F.abs(F.col("tok") * F.col("n") - F.col("s")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("media_id", "shot_id").orderBy(
+                    "dist", "frame_idx"
+                )
+            ),
+        )
+    )
+    return scored.groupBy("media_id", "shot_id").agg(
+        F.min("frame_idx").cast("int").alias("start_frame"),
+        F.max("frame_idx").cast("int").alias("end_frame"),
+        F.count(F.lit(1)).cast("int").alias("n_frames"),
+        F.max(F.when(F.col("rn") == 1, F.col("frame_idx")))
+        .cast("int")
+        .alias("keyframe_idx"),
+        F.max(F.when(F.col("rn") == 1, F.col("tok")))
+        .cast("int")
+        .alias("keyframe_level"),
+    )
+
+
+def checked_video_shots_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable shot-segmentation table: for each base b, id b
+    is a 48-frame MJPEG video of three planted 16-frame shots — frame
+    j's constant-gray level is 30 + 70*(j//16) + 9*b + (j%16), so
+    within-shot drift is +1/frame (never splits at tau=24) and each
+    shot boundary jumps 55 - 15 = 40+ (always cuts). Video id 1's
+    frame 8 is garbage bytes: the lag must close over the corrupt
+    frame without a spurious boundary (|46 - 48| = 2 < tau), the
+    mid-shot honest-failure case. id n_bases is an unparseable digest
+    payload (ABSENT from the output), id n_bases+1 a 3-frame clip
+    [100, 100, 200] — a minimal two-shot split whose second shot is a
+    single frame (its own keyframe)."""
+    _, encode = _pixel_codec()
+    w, h = 8, 6
+
+    def clip(i: int, vals: list[int | None]) -> bytes:
+        frames = [
+            hashlib.md5(f"shotbad{i}_{j}".encode()).digest()
+            if v is None
+            else encode(w, h, bytes([v]) * (3 * w * h), "jpg")
+            for j, v in enumerate(vals)
+        ]
+        return synth_mp4(
+            i, len(frames), 600, with_stss=False,
+            frame_payloads=frames, codec=b"mjpa",
+        )
+
+    rows = []
+    for b in range(n_bases):
+        vals: list[int | None] = [
+            30 + 70 * (j // 16) + 9 * b + (j % 16) for j in range(48)
+        ]
+        if b == 1:
+            vals[8] = None
+        rows.append(
+            (b, "video", "mp4", bytearray(clip(b, vals)), None, None, None)
+        )
+    bad = n_bases
+    rows.append(
+        (bad, "video", "mp4",
+         bytearray(hashlib.md5(f"vshot{bad}".encode()).digest() * 4),
+         None, None, None)
+    )
+    rows.append(
+        (bad + 1, "video", "mp4",
+         bytearray(clip(bad + 1, [100, 100, 200])), None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def checked_video_clip_df(spark, n_bases: int = 4) -> DataFrame:
@@ -4980,6 +5315,129 @@ def audio_window_token_text(
     return media.filter(F.col("media_type") == "audio").select(
         "media_id", "format", "payload"
     ).mapInPandas(op, schema=AUDIO_TOKEN_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = (
+    "media_id long, segment_id int, start_window int, end_window int, "
+    "n_windows int"
+)
+
+
+def audio_energy_segments(
+    media: DataFrame, tau: int = 1, windows: DataFrame | None = None
+) -> DataFrame:
+    """Energy-based activity segmentation — the audio SEGMENTATION
+    primitive a speech/audio training pipeline needs (split a long
+    recording at silence, keep the voiced/content runs): a 128-sample
+    window is ACTIVE when the sum of its four exact-integer Goertzel
+    band powers (the `decode_audio_windows` relation — each power is a
+    positive-semidefinite quadratic form, so the sum is a legitimate
+    spectral-energy proxy that is exactly 0 on digital silence) is
+    >= ``tau``; a segment is a maximal run of consecutive active
+    windows. One row per (media_id, segment_id): start/end window and
+    length, segment ids dense in time order. All-silence or
+    undecodable clips are ABSENT rather than given an empty segment —
+    the honest-failure stance of the other audio ops.
+
+    Cross-engine exact by construction: activity is an integer
+    comparison on integer powers, and the gaps-and-islands grouping
+    (window_idx - row_number over actives) is pure rank arithmetic, so
+    a SQL oracle restates the whole relation from the closed-form
+    samples. Scale shape: two windows + two groupBys ALL keyed on
+    media_id (islands keys are (media_id, grp) — subset rule), so the
+    segmentation is ONE shuffle after the decode scan; shares the
+    decoded ``windows`` relation with the fingerprint/excerpt planes
+    so a caller needing all three decodes each payload once."""
+    from pyspark.sql.window import Window
+
+    if windows is None:
+        windows = decode_audio_windows(media)
+    active = windows.filter(
+        F.col("decode_ok")
+        & (
+            (F.col("e0") + F.col("e1") + F.col("e2") + F.col("e3"))
+            >= tau
+        )
+    ).select("media_id", "window_idx")
+    w = Window.partitionBy("media_id").orderBy("window_idx")
+    islands = active.withColumn(
+        "grp", F.col("window_idx") - F.row_number().over(w)
+    )
+    segs = islands.groupBy("media_id", "grp").agg(
+        F.min("window_idx").cast("int").alias("start_window"),
+        F.max("window_idx").cast("int").alias("end_window"),
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+    )
+    return segs.select(
+        "media_id",
+        (
+            F.row_number().over(
+                Window.partitionBy("media_id").orderBy("start_window")
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("segment_id"),
+        "start_window",
+        "end_window",
+        "n_windows",
+    )
+
+
+def checked_audio_segments_df(spark, n_bases: int = 3) -> DataFrame:
+    """Oracle-checkable audio-segmentation table: for each base b, id
+    b is a 24-window (3,072-sample) mono WAV with planted structure —
+    windows 0-3 silence (all-zero samples: every band power exactly
+    0), 4-11 content, 12-13 silence, 14-19 content, 20-23 silence —
+    where content sample t is ((t*t*(7+b) + t*(29+5*b) + 13*b) % 1025)
+    - 512. Honesty rows: id n_bases an undecodable 'mp3' digest blob,
+    id n_bases+1 an ALL-silence 8-window clip (decodes fine, zero
+    segments — absent), id n_bases+2 a 6-window all-content clip (one
+    segment spanning the whole clip)."""
+    import io
+    import struct
+    import wave
+
+    def x(b: int, t: int) -> int:
+        return ((t * t * (7 + b) + t * (29 + 5 * b) + 13 * b) % 1025) - 512
+
+    def wav(samples: list[int]) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    def content_window(w: int) -> bool:
+        return 4 <= w <= 11 or 14 <= w <= 19
+
+    rows = []
+    for b in range(n_bases):
+        samples = [
+            x(b, t) if content_window(t // 128) else 0
+            for t in range(24 * 128)
+        ]
+        rows.append(
+            (b, "audio", "wav", bytearray(wav(samples)), None, None, None)
+        )
+    bad = n_bases
+    rows.append(
+        (bad, "audio", "mp3",
+         bytearray(hashlib.md5(f"aseg{bad}".encode()).digest() * 4),
+         None, None, None)
+    )
+    rows.append(
+        (bad + 1, "audio", "wav", bytearray(wav([0] * (8 * 128))),
+         None, None, None)
+    )
+    rows.append(
+        (bad + 2, "audio", "wav",
+         bytearray(wav([x(0, t) for t in range(6 * 128)])),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def checked_audio_clip_df(spark, n_bases: int = 4) -> DataFrame:

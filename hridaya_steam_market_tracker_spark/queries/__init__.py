@@ -63,19 +63,25 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-10 composition: the five never-sampled round-10 queries (crop
-# tier, JPEG AC, Adam7, excerpt admission twin) lead, then the cohort
-# whose transitive fingerprints changed this round — the span/strip
-# stats rewrite (min/max cross-doc screen) and the multimodal family
-# touched by the shared-decode fusion (audio windows, image
-# signature+tiles); r05-green rotation rows fill the remaining slots.
+# Round-10 composition (continuation 2): the never-sampled round-10
+# queries lead — the crop tier, JPEG AC, Adam7, excerpt admission twin,
+# chargram language ID, and the five analysis/sampling-tier additions
+# (video shot segments + scene keyframes, audio energy segments, WHT
+# hash + near pairs) — then the cohort whose transitive fingerprints
+# changed this round (span/strip rewrite, shared-decode multimodal
+# family); r05-green rotation rows fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
     "chargram_lang_id",
     "media_excerpt_admission_twin",
+    "multimodal_audio_segments",
     "multimodal_image_crop_pairs",
     "multimodal_image_tile_fingerprints",
+    "multimodal_image_whash_checked",
     "multimodal_jpeg_ac_decode_checked",
     "multimodal_png_adam7_checked",
+    "multimodal_video_scene_keyframes",
+    "multimodal_video_shot_segments",
+    "multimodal_whash_near_pairs",
     "duplicate_span_pairs",
     "duplicate_span_stats",
     "clip_duplicate_spans_stats",
@@ -115,11 +121,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "d2_count_enabled",
     "d3_windowed_union_count",
     "d4_last_ingest_union_max",
-    "d9_feasibility_gate",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_incremental_delta",
-    "e6_urgency_overdue",
 )
 
 

@@ -2527,3 +2527,379 @@ def multimodal_image_exif_checked(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return extract_image_exif(checked_exif_df(spark, n=24))
+
+
+_VIDEO_SHOT_SEGMENTS_CTE = """
+    vals AS (
+      SELECT i, j, 30 + 70 * (j // 16) + 9 * i + (j % 16) AS v
+      FROM generate_series(0, 3) gi(i), generate_series(0, 47) gj(j)
+      WHERE NOT (i = 1 AND j = 8)
+      UNION ALL
+      SELECT 5, j, CASE WHEN j = 2 THEN 200 ELSE 100 END
+      FROM generate_series(0, 2) gj(j)
+    ),
+    flagged AS (
+      SELECT i, j, v,
+        CASE WHEN lag(v) OVER (PARTITION BY i ORDER BY j) IS NULL
+               OR abs(v - lag(v) OVER (PARTITION BY i ORDER BY j)) >= 24
+             THEN 1 ELSE 0 END AS cut
+      FROM vals
+    ),
+    shots AS (
+      SELECT i, j, v,
+        CAST(sum(cut) OVER (PARTITION BY i ORDER BY j) - 1
+             AS INTEGER) AS shot_id
+      FROM flagged
+    ),
+    scored AS (
+      SELECT i, shot_id, j, v,
+        count(*) OVER (PARTITION BY i, shot_id) AS n,
+        sum(v) OVER (PARTITION BY i, shot_id) AS s
+      FROM shots
+    ),
+    ranked AS (
+      SELECT i, shot_id, j, v,
+        row_number() OVER (PARTITION BY i, shot_id
+                           ORDER BY abs(v * n - s), j) AS rn
+      FROM scored
+    ),
+    segments AS (
+      SELECT CAST(i AS BIGINT) AS media_id, shot_id,
+        CAST(min(j) AS INTEGER) AS start_frame,
+        CAST(max(j) AS INTEGER) AS end_frame,
+        CAST(count(*) AS INTEGER) AS n_frames,
+        CAST(max(CASE WHEN rn = 1 THEN j END) AS INTEGER) AS keyframe_idx,
+        CAST(max(CASE WHEN rn = 1 THEN v END) AS INTEGER) AS keyframe_level
+      FROM ranked GROUP BY i, shot_id
+    )
+"""
+
+
+@register(
+    "multimodal_video_shot_segments",
+    oracle="WITH " + _VIDEO_SHOT_SEGMENTS_CTE + """
+    SELECT * FROM segments
+    """,
+    doc=(
+        "VALUE-CHECKED shot-boundary segmentation + keyframe election "
+        "— the scene-aware frame-sampling primitive for vision "
+        "training pipelines: real MJPEG-in-MP4 demux + JPEG decode, a "
+        "cut wherever the integer frame level jumps >= tau=24, and "
+        "per-shot keyframe = argmin |level*n - sum_levels| (integer "
+        "arithmetic, frame_idx tie-break), so the oracle restates "
+        "every shot and every election closed-form. The fixture "
+        "plants three 16-frame shots per video (within-shot drift "
+        "+1/frame never splits, boundary jumps ~55 always cut), a "
+        "mid-shot corrupt frame the lag must close over WITHOUT a "
+        "spurious boundary, an unparseable container (absent), and a "
+        "minimal [100,100,200] two-shot clip whose second shot is a "
+        "single self-keyframed frame. One media_id-keyed shuffle after "
+        "the decode scan (windows + groupBy all satisfy the subset "
+        "rule)."
+    ),
+)
+def multimodal_video_shot_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_shots_df,
+        video_shot_segments,
+    )
+
+    return video_shot_segments(checked_video_shots_df(spark))
+
+
+@register(
+    "multimodal_video_scene_keyframes",
+    oracle="WITH " + _VIDEO_SHOT_SEGMENTS_CTE + """
+    , nf AS (
+      SELECT media_id, CASE WHEN media_id = 5 THEN 3 ELSE 48 END AS nf,
+             30 + media_id % 5 AS d1, 40 + media_id % 3 AS d2
+      FROM (SELECT DISTINCT media_id FROM segments) m
+    )
+    SELECT s.media_id, s.shot_id, s.keyframe_idx,
+      CAST((CASE WHEN s.keyframe_idx <= nf.nf // 2
+                 THEN s.keyframe_idx * nf.d1
+                 ELSE (nf.nf // 2) * nf.d1
+                      + (s.keyframe_idx - nf.nf // 2) * nf.d2 END
+            * 1000) // 600 AS BIGINT) AS ts_ms,
+      s.keyframe_level
+    FROM segments s JOIN nf ON nf.media_id = s.media_id
+    """,
+    doc=(
+        "The frame-sampling DELIVERABLE: one elected keyframe per "
+        "detected shot with its PRESENTATION TIMESTAMP, ready for a "
+        "downstream extract-frame-at-T stage — shot segmentation "
+        "composed with the demuxed stts timing of the same container "
+        "(decode_mp4_frames ts_ms), value-checked end to end: the "
+        "oracle re-derives the shots, re-elects the keyframes, and "
+        "restates each elected frame's timestamp from the closed-form "
+        "two-run stts deltas. The segments side arrives already "
+        "media_id-clustered, so the timestamp join adds no driver "
+        "work and the whole plan stays scan -> one keyed shuffle -> "
+        "join."
+    ),
+)
+def multimodal_video_scene_keyframes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_shots_df,
+        decode_mp4_frames,
+        video_shot_segments,
+    )
+
+    media = checked_video_shots_df(spark)
+    # Lazy checkpoint: the frames relation feeds BOTH the segmentation
+    # and the timestamp join — without it each payload decodes twice
+    # (the subclip tier's measured fix, same boundary).
+    frames = decode_mp4_frames(media).localCheckpoint(eager=False)
+    segs = video_shot_segments(media, frames=frames)
+    return segs.join(
+        frames.select(
+            "media_id",
+            F.col("frame_idx").alias("keyframe_idx"),
+            "ts_ms",
+        ),
+        ["media_id", "keyframe_idx"],
+    ).select(
+        "media_id", "shot_id", "keyframe_idx", "ts_ms", "keyframe_level"
+    )
+
+
+@register(
+    "multimodal_audio_segments",
+    oracle="""
+    WITH x AS (
+      SELECT i, t,
+        CASE WHEN (t // 128) BETWEEN 4 AND 11
+               OR (t // 128) BETWEEN 14 AND 19
+             THEN ((t*t*(7+i) + t*(29+5*i) + 13*i) % 1025) - 512
+             ELSE 0 END AS v
+      FROM generate_series(0, 2) gi(i), generate_series(0, 3071) gt(t)
+      UNION ALL
+      SELECT 4, t, 0 FROM generate_series(0, 1023) gt(t)
+      UNION ALL
+      SELECT 5, t, ((t*t*7 + t*29) % 1025) - 512
+      FROM generate_series(0, 767) gt(t)
+    ),
+    e AS (
+      SELECT i, t // 128 AS w, k.k,
+        sum(v * CASE k.k
+            WHEN 0 THEN CASE (127 - t % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (127 - t % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (127 - t % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (128 - t % 128)
+                 * (CASE WHEN (127 - t % 128) % 2 = 0 THEN 1 ELSE -1 END)
+          END) AS s1,
+        sum(CASE WHEN t % 128 <= 126 THEN v * CASE k.k
+            WHEN 0 THEN CASE (126 - t % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (126 - t % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (126 - t % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (127 - t % 128)
+                 * (CASE WHEN (126 - t % 128) % 2 = 0 THEN 1 ELSE -1 END)
+          END ELSE 0 END) AS s2
+      FROM x, (VALUES (0), (1), (2), (3)) k(k)
+      GROUP BY i, t // 128, k.k
+    ),
+    pw AS (
+      SELECT i, w, k,
+        s1*s1 + s2*s2
+        - (CASE k WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN -1 ELSE -2 END)
+          * s1 * s2 AS en
+      FROM e
+    ),
+    act AS (
+      SELECT i, w FROM pw GROUP BY i, w HAVING sum(en) >= 1
+    ),
+    isl AS (
+      SELECT i, w,
+        w - row_number() OVER (PARTITION BY i ORDER BY w) AS grp
+      FROM act
+    ),
+    seg AS (
+      SELECT i, grp, min(w) AS sw, max(w) AS ew, count(*) AS nw
+      FROM isl GROUP BY i, grp
+    )
+    SELECT CAST(i AS BIGINT) AS media_id,
+      CAST(row_number() OVER (PARTITION BY i ORDER BY sw) - 1
+           AS INTEGER) AS segment_id,
+      CAST(sw AS INTEGER) AS start_window,
+      CAST(ew AS INTEGER) AS end_window,
+      CAST(nw AS INTEGER) AS n_windows
+    FROM seg
+    """,
+    doc=(
+        "VALUE-CHECKED energy-based audio segmentation — the "
+        "split-at-silence primitive for speech/audio training "
+        "pipelines: really-decoded 16-bit PCM, a window is active "
+        "when the sum of its four exact-integer Goertzel band powers "
+        "is >= 1 (digital silence is exactly 0 in every band — each "
+        "power is a positive-semidefinite quadratic form), segments "
+        "are maximal active runs via gaps-and-islands rank "
+        "arithmetic. The oracle restates every band power as the "
+        "impulse-response weighted sum over the closed-form samples "
+        "and re-derives the same islands, so every segment boundary "
+        "is cross-engine exact. Fixture plants silence/content/"
+        "silence/content/silence structure, an undecodable blob "
+        "(absent), an ALL-silence clip (decodes fine, zero segments "
+        "— absent), and an all-content clip (one full-span segment). "
+        "One media_id-keyed shuffle after the decode scan."
+    ),
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_energy_segments,
+        checked_audio_segments_df,
+    )
+
+    return audio_energy_segments(checked_audio_segments_df(spark))
+
+
+_WHT_HASHES_CTE = """
+    px AS (
+      SELECT i, x, y,
+        CASE i % 4
+          WHEN 0 THEN (x*x*(3 + i//4) + y*(7 + 2*(i//4)) + x*y
+                       + 5*(i//4)) % 101
+          WHEN 1 THEN 2 * ((x*x*(3 + i//4) + y*(7 + 2*(i//4)) + x*y
+                            + 5*(i//4)) % 101) + 30
+          WHEN 2 THEN CASE WHEN x BETWEEN 8 AND 9 AND y BETWEEN 8 AND 9
+                 THEN (x*x*(3 + i//4) + y*(7 + 2*(i//4)) + x*y
+                       + 5*(i//4)) % 101 + 6
+                 ELSE (x*x*(3 + i//4) + y*(7 + 2*(i//4)) + x*y
+                       + 5*(i//4)) % 101 END
+          ELSE (x*(11 + i//4) + y*y*(5 + i//4) + 3*x*y + 7*(i//4)
+                + 40) % 101
+        END AS v
+      FROM generate_series(0, 11) gi(i),
+           generate_series(0, 15) gx(x), generate_series(0, 15) gy(y)
+    ),
+    cells AS (
+      SELECT i, x // 2 AS cx, y // 2 AS cy,
+             CAST(sum(3 * v) AS BIGINT) AS s
+      FROM px GROUP BY i, x // 2, y // 2
+    ),
+    coef AS (
+      SELECT c.i, u.u, vv.v AS vb,
+        sum(c.s * (1 - 2 * ((bit_count(u.u & c.cy)
+                             + bit_count(vv.v & c.cx)) % 2))) AS co
+      FROM cells c, generate_series(0, 7) u(u), generate_series(0, 7) vv(v)
+      GROUP BY c.i, u.u, vv.v
+    ),
+    ac AS (
+      SELECT i, 8 * u + vb - 1 AS p, co FROM coef WHERE 8 * u + vb >= 1
+    ),
+    med AS (
+      SELECT i, co AS m FROM (
+        SELECT i, co, row_number() OVER (PARTITION BY i ORDER BY co) AS rn
+        FROM ac
+      ) WHERE rn = 32
+    ),
+    bits AS (
+      SELECT a.i, a.p, CASE WHEN a.co > m.m THEN 1 ELSE 0 END AS bit
+      FROM ac a JOIN med m ON m.i = a.i
+    ),
+    hashes AS (
+      SELECT i,
+        CAST(sum(CASE WHEN p < 32
+             THEN bit * (CAST(1 AS BIGINT) << (31 - p)) ELSE 0 END)
+             AS BIGINT) AS hash_hi,
+        CAST(sum(CASE WHEN p >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (63 - p)) ELSE 0 END)
+             AS BIGINT) AS hash_lo
+      FROM bits GROUP BY i
+    )
+"""
+
+
+@register(
+    "multimodal_image_whash_checked",
+    oracle="WITH " + _WHT_HASHES_CTE + """
+    SELECT CAST(i AS BIGINT) AS media_id, CAST(1 AS INTEGER) AS orientation,
+           hash_hi, hash_lo, TRUE AS decode_ok
+    FROM hashes
+    UNION ALL
+    SELECT 12, 6, hash_hi, hash_lo, TRUE FROM hashes WHERE i = 0
+    UNION ALL SELECT 13, NULL, NULL, NULL, FALSE
+    UNION ALL SELECT 14, NULL, NULL, NULL, FALSE
+    """,
+    doc=(
+        "VALUE-CHECKED Walsh-Hadamard perceptual hash — the "
+        "frequency-domain member of the image near-dup plane (the "
+        "pHash sign-of-transform-coefficients idea on the "
+        "integer-exact WHT instead of the float DCT, so every bit is "
+        "cross-engine replicable): really-decoded lossless PNG "
+        "rasters, EXIF-upright, 8x8 equal-size cell sums, natural-"
+        "order Hadamard transform H[u,x] = (-1)^popcount(u AND x), 63 "
+        "AC signs vs their lower median packed into the SAME "
+        "(hash_hi, hash_lo) relation the dedup machinery consumes. "
+        "The oracle restates every coefficient as a +-1-weighted "
+        "integer sum and re-derives the median by rank. Planted "
+        "invariances: gain/offset re-encode 2g+30 lands Hamming 0 BY "
+        "LINEARITY (coefficients and median scale together; the "
+        "offset dies in the discarded DC); a camera-rotated copy "
+        "(real PNG eXIf, orientation 6) lands on the base's exact "
+        "hash; a one-cell +6 edit flips only near-median signs "
+        "(Hamming 1-3); honesty rows: an undecodable blob and a 4x4 "
+        "raster smaller than the grid (NULL hash, decode_ok false)."
+    ),
+)
+def multimodal_image_whash_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_wht_df,
+        image_wht_hash,
+    )
+
+    return image_wht_hash(checked_wht_df(spark))
+
+
+@register(
+    "multimodal_whash_near_pairs",
+    oracle="WITH " + _WHT_HASHES_CTE + """
+    , allh AS (
+      SELECT CAST(i AS BIGINT) AS i, hash_hi, hash_lo FROM hashes
+      UNION ALL
+      SELECT 12, hash_hi, hash_lo FROM hashes WHERE i = 0
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER) AS hamming
+    FROM allh a JOIN allh b ON a.i < b.i
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+    """,
+    doc=(
+        "The WHT hash riding the UNCHANGED banded near-pair machinery "
+        "(dhash_bands 4x16-bit pigeonhole blocking + exact "
+        "bit_count(XOR) verify): gain/offset re-encodes and the "
+        "camera-rotated copy pair at Hamming 0, the one-cell edits "
+        "inside the <=3 radius, different content (measured 28-38 "
+        "bits) produces no rows — value-checked against the "
+        "brute-force Hamming filter over the same restated "
+        "coefficient signs. At corpus scale the shuffle moves 4 "
+        "two-int band rows per image, never the all-pairs square."
+    ),
+)
+def multimodal_whash_near_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_wht_df,
+        dhash_near_pairs,
+        image_wht_hash,
+    )
+
+    return dhash_near_pairs(
+        image_wht_hash(checked_wht_df(spark)), max_hamming=3
+    )

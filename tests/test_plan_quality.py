@@ -494,6 +494,18 @@ def test_sample_first_names_all_registered(registry):
         # join-back per plane; regression from 22 shuffles if someone
         # reintroduces the media_id rejoin in _any_bands)
         ("any_media_ingest_admission_twin", 14),
+        # decode -> lag/cumsum window + shot windows + groupBy, ALL
+        # media_id-clustered (subset rule): exactly one exchange
+        ("multimodal_video_shot_segments", 1),
+        # + the timestamp join against the shared frames relation
+        ("multimodal_video_scene_keyframes", 3),
+        # decode -> islands window + run groupBy + dense renumber,
+        # ALL media_id-clustered: exactly one exchange
+        ("multimodal_audio_segments", 1),
+        # the whole WHT hash happens inside one Arrow pass
+        ("multimodal_image_whash_checked", 0),
+        # band explode self-join + the exact-verify join-backs
+        ("multimodal_whash_near_pairs", 3),
     ],
 )
 def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):

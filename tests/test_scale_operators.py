@@ -2306,3 +2306,148 @@ def test_audio_excerpt_detection_covers_fingerprint_blind_spot(spark):
     }
     assert set(pairs) == {(2 * b, 2 * b + 1) for b in range(4)}
     assert all(c == 1.0 for c in pairs.values())
+
+
+def test_video_shot_segments_semantics(spark):
+    """Shot segmentation's motivating properties on real MJPEG bytes:
+    (a) within-shot +1/frame drift never splits while ~55-level cuts
+    always do — three planted shots per base video; (b) a mid-shot
+    corrupt frame is closed over WITHOUT a spurious boundary (the
+    shot just loses one frame); (c) keyframe election is the
+    mean-nearest frame with the lower-index tie-break; (d) raising
+    tau above the planted jumps collapses each video to ONE shot;
+    (e) the shared-frames path is bit-identical to the default."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_shots_df,
+        decode_mp4_frames,
+        video_shot_segments,
+    )
+
+    media = checked_video_shots_df(spark)
+    segs = {
+        (r["media_id"], r["shot_id"]): r
+        for r in video_shot_segments(media).collect()
+    }
+    # (a) 4 bases x 3 shots + the minimal 2-shot clip; bad id absent
+    assert len(segs) == 4 * 3 + 2
+    assert not any(mid == 4 for mid, _ in segs)
+    for b in range(4):
+        for s in range(3):
+            r = segs[(b, s)]
+            assert (r["start_frame"], r["end_frame"]) == (16 * s, 16 * s + 15)
+    # (b) video 1 shot 0 lost exactly its corrupt frame
+    assert segs[(1, 0)]["n_frames"] == 15
+    assert all(
+        segs[(b, s)]["n_frames"] == 16
+        for b in range(4) for s in range(3) if (b, s) != (1, 0)
+    )
+    # (c) 16-frame ramp base..base+15: mean = base+7.5, |16v - s| ties
+    # at base+7 / base+8 -> lower frame wins (offset 7)
+    assert segs[(0, 0)]["keyframe_idx"] == 7
+    assert segs[(0, 0)]["keyframe_level"] == 30 + 7
+    assert segs[(5, 1)]["keyframe_idx"] == 2  # single-frame shot
+    # (d) tau above every planted jump (55 on the bases, 100 on the
+    # minimal clip) -> one shot per decodable video
+    coarse = video_shot_segments(media, tau=101).collect()
+    per_vid = {}
+    for r in coarse:
+        per_vid.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) == 1 for v in per_vid.values())
+    assert per_vid[0][0]["n_frames"] == 48
+    # (e) shared-frames path identical
+    shared = {
+        (r["media_id"], r["shot_id"]): r
+        for r in video_shot_segments(
+            media, frames=decode_mp4_frames(media)
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in segs.items()} == {
+        k: tuple(v) for k, v in shared.items()
+    }
+
+
+def test_audio_energy_segments_semantics(spark):
+    """Audio activity segmentation on real WAV bytes: (a) the planted
+    silence/content structure yields exactly the planted runs; (b)
+    all-silence and undecodable clips are ABSENT (honest failure, no
+    fake empty segment); (c) an all-content clip is one full-span
+    segment; (d) an impossibly high tau silences everything; (e) the
+    shared-windows path is bit-identical to the default."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_energy_segments,
+        checked_audio_segments_df,
+        decode_audio_windows,
+    )
+
+    media = checked_audio_segments_df(spark)
+    rows = audio_energy_segments(media).collect()
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["media_id"], []).append(
+            (r["segment_id"], r["start_window"], r["end_window"],
+             r["n_windows"])
+        )
+    # (a) planted structure on the three bases
+    for b in range(3):
+        assert sorted(by_clip[b]) == [(0, 4, 11, 8), (1, 14, 19, 6)]
+    # (b) undecodable (3) and all-silence (4) clips absent
+    assert 3 not in by_clip and 4 not in by_clip
+    # (c) all-content clip: one segment spanning all 6 windows
+    assert by_clip[5] == [(0, 0, 5, 6)]
+    # (d) a tau above every window's summed power -> empty relation
+    assert audio_energy_segments(media, tau=1 << 62).count() == 0
+    # (e) shared-windows path identical
+    shared = audio_energy_segments(
+        media, windows=decode_audio_windows(media)
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, shared))
+
+
+def test_image_wht_hash_invariances(spark):
+    """The frequency-domain hash's motivating properties on real PNG
+    bytes: (a) a gain/offset re-encode (2g+30) lands Hamming 0 BY
+    LINEARITY — AC coefficients and their median scale together, the
+    offset dies in the discarded DC; (b) a camera-rotated copy (real
+    eXIf orientation 6) lands on the base's exact hash; (c) a
+    one-cell +6 edit stays inside the banded Hamming<=3 radius while
+    different content sits 25+ bits away; (d) the honest-failure
+    rows — an undecodable blob and a raster smaller than the grid —
+    carry NULL hashes and never enter banding."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_wht_df,
+        dhash_near_pairs,
+        image_wht_hash,
+    )
+
+    hashes = image_wht_hash(checked_wht_df(spark))
+    rows = {r["media_id"]: r for r in hashes.collect()}
+    assert len(rows) == 15
+
+    def ham(a, b):
+        x = (rows[a]["hash_hi"] ^ rows[b]["hash_hi"]) & (2**64 - 1)
+        y = (rows[a]["hash_lo"] ^ rows[b]["hash_lo"]) & (2**64 - 1)
+        return bin(x).count("1") + bin(y).count("1")
+
+    for b in range(3):
+        # (a) gain/offset: identical packed hash
+        assert ham(4 * b, 4 * b + 1) == 0
+        # (c) edit in radius, different content far outside
+        assert 0 <= ham(4 * b, 4 * b + 2) <= 3
+        assert ham(4 * b, 4 * b + 3) >= 25
+    # (b) rotated twin == base 0, with the applied orientation recorded
+    assert (rows[12]["hash_hi"], rows[12]["hash_lo"]) == (
+        rows[0]["hash_hi"], rows[0]["hash_lo"],
+    )
+    assert rows[12]["orientation"] == 6
+    # (d) honesty rows
+    for mid in (13, 14):
+        assert not rows[mid]["decode_ok"] and rows[mid]["hash_hi"] is None
+    # the reused banded join returns exactly the planted clusters
+    pairs = {
+        (r["i"], r["j"])
+        for r in dhash_near_pairs(hashes, max_hamming=3).collect()
+    }
+    want = {(4 * b + i, 4 * b + j)
+            for b in range(3) for i in range(3) for j in range(i + 1, 3)}
+    want |= {(0, 12), (1, 12), (2, 12)}
+    assert pairs == want

@@ -164,8 +164,14 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
         extract_avc1_nal_index,
         extract_features,
         extract_hevc_nal_index,
+        audio_energy_segments,
+        checked_audio_segments_df,
+        checked_video_shots_df,
+        checked_wht_df,
         fake_media_df,
         image_dhash_oriented,
+        image_wht_hash,
+        video_shot_segments,
         video_temporal_dhash,
     )
 
@@ -193,6 +199,18 @@ def media_rehearsal(spark, rep: int, passes: int) -> None:
             checked_mjpeg_df(spark, n=12 * rep).repartition(cores))),
         ("audio_fingerprint", lambda: audio_goertzel_fingerprint(
             checked_audio_fp_df(spark, n_bases=4 * rep).repartition(cores))),
+        # round-10 analysis/sampling ops: shot segmentation + keyframe
+        # election over the shared frame decode; energy segmentation
+        # over the shared window decode; the WHT frequency-domain hash
+        # (one Arrow pass, same posture as dhash_oriented).
+        ("video_shot_segments", lambda: video_shot_segments(
+            checked_video_shots_df(spark, n_bases=4 * rep)
+            .repartition(cores))),
+        ("audio_energy_segments", lambda: audio_energy_segments(
+            checked_audio_segments_df(spark, n_bases=3 * rep)
+            .repartition(cores))),
+        ("image_wht_hash", lambda: image_wht_hash(
+            checked_wht_df(spark, n_bases=3 * rep).repartition(cores))),
     ]
     results = {}
     for name, build in jobs:
