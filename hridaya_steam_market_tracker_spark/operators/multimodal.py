@@ -3425,8 +3425,12 @@ def checked_video_shots_df(spark, n_bases: int = 4) -> DataFrame:
 
     rows = []
     for b in range(n_bases):
+        # (9*b) % 56 == 9*b for the oracled b in 0..3; the wrap (from
+        # b=7 up) exists for rehearsal-scale n_bases, where unwrapped
+        # 9*b would push levels past 255 from b=8 — wrapped max is
+        # 30 + 140 + 55 + 15 = 240.
         vals: list[int | None] = [
-            30 + 70 * (j // 16) + 9 * b + (j % 16) for j in range(48)
+            30 + 70 * (j // 16) + (9 * b) % 56 + (j % 16) for j in range(48)
         ]
         if b == 1:
             vals[8] = None

@@ -359,13 +359,24 @@ def boilerplate_rehearsal(
     }))
 
 
-def streaming_rehearsal(spark, out_dir: str, n_batches: int = 20) -> None:
+def streaming_rehearsal(
+    spark, out_dir: str, n_batches: int = 20,
+    excerpt_tau: float | None = None,
+) -> None:
     """Scale the streaming corpus-ingest path: feed the scaled document
     corpus through `ingest_batch` in n_batches hash-sliced micro-batches
     against one growing store, recording each batch's wall time (the
     per-batch cost curve — its growth rate is the store-maintenance
     signal), then compact_store and time one replayed batch to measure
-    the compaction payoff."""
+    the compaction payoff.
+
+    ``excerpt_tau`` additionally runs the gate excerpt-aware and plants
+    an EXACT-accounting wave: unique-vocabulary 60-word hosts ride
+    batch 0, and at the midpoint batch a 12-word excerpt of each
+    stored host (must all be REJECTED — containment 1.0, vocabulary
+    shared with nothing else so the df cap cannot dilute it) plus one
+    new host CONTAINING a stored host's words (must be ADMITTED — the
+    directional control)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -388,13 +399,53 @@ def streaming_rehearsal(spark, out_dir: str, n_batches: int = 20) -> None:
             n += sum(f.endswith(".parquet") for f in fs)
         return n
 
+    n_plants = 8
+    if excerpt_tau is not None:
+        def host(i: int) -> str:
+            return " ".join(f"ph{i}w{k}" for k in range(60))
+
+        hosts = [(2_000_000_000 + i, host(i)) for i in range(n_plants)]
+        excerpts = [
+            (1_000_000_000 + i,
+             " ".join(f"ph{i}w{k}" for k in range(20, 32)))
+            for i in range(n_plants)
+        ]
+        directional = [(3_000_000_000, host(0) + " " + " ".join(
+            f"dh0w{k}" for k in range(60)))]
+        schema = "doc_id long, text string"
+        hosts_df = spark.createDataFrame(hosts, schema)
+        probe_df = spark.createDataFrame(excerpts + directional, schema)
+
+    kwargs = {} if excerpt_tau is None else {"excerpt_tau": excerpt_tau}
     times = []
     for b in range(n_batches):
         batch = docs.filter(F.pmod(F.hash("doc_id"), F.lit(n_batches)) == b)
+        if excerpt_tau is not None and b == 0:
+            batch = batch.unionByName(hosts_df)
+        if excerpt_tau is not None and b == n_batches // 2:
+            batch = batch.unionByName(probe_df)
         t0 = time.perf_counter()
-        ingest_batch(batch, store)
+        ingest_batch(batch, store, **kwargs)
         times.append(round(time.perf_counter() - t0, 2))
         print(json.dumps({"tier": "streaming", "batch": b, "sec": times[-1]}))
+    accounting = None
+    if excerpt_tau is not None:
+        stored_ids = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(store, "docs"))
+            .filter(F.col("doc_id") >= 1_000_000_000)
+            .collect()
+        }
+        accounting = {
+            "hosts_admitted": sum(
+                1 for i, _ in hosts if i in stored_ids
+            ) == n_plants,
+            "excerpts_rejected": all(
+                i not in stored_ids for i, _ in excerpts
+            ),
+            "directional_host_admitted": 3_000_000_000 in stored_ids,
+        }
+        accounting["exact_id_match"] = all(accounting.values())
     files_before = {"docs": count_files("docs"), "bands": count_files("bands")}
     t0 = time.perf_counter()
     compact_store(spark, store, target_files=4)
@@ -404,10 +455,11 @@ def streaming_rehearsal(spark, out_dir: str, n_batches: int = 20) -> None:
     # compacted store: isolates the file-count effect on batch cost.
     batch = docs.filter(F.pmod(F.hash("doc_id"), F.lit(n_batches)) == n_batches - 1)
     t0 = time.perf_counter()
-    ingest_batch(batch, store)
+    ingest_batch(batch, store, **kwargs)
     replay_sec = round(time.perf_counter() - t0, 2)
     print(json.dumps({
         "metric": "streaming_rehearsal", "batches": n_batches,
+        "excerpt_tau": excerpt_tau, "accounting": accounting,
         "batch_sec": times, "first5_avg": round(sum(times[:5]) / 5, 2),
         "last5_avg": round(sum(times[-5:]) / 5, 2),
         "files_before": files_before, "files_after": files_after,
@@ -627,10 +679,11 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
         "--excerpt-tau", type=float, default=None,
-        help="streaming-any-media only: run the gate excerpt-aware at "
-        "this tau over a corpus that ALSO plants embedded duplicates "
-        "(video subclips, audio excerpts, image crops) and assert "
-        "exact id-level admissions",
+        help="streaming-any-media / streaming: run the gate "
+        "excerpt-aware at this tau over a corpus that ALSO plants "
+        "embedded duplicates (video subclips, audio excerpts, image "
+        "crops; unique-vocab text excerpts for the text tier) and "
+        "assert exact id-level admissions",
     )
     ap.add_argument(
         "--tier", default="text",
@@ -662,7 +715,7 @@ def main() -> None:
         return
     generate(spark, args.sf_dir, args.out, args.rep)
     if args.tier == "streaming":
-        streaming_rehearsal(spark, args.out)
+        streaming_rehearsal(spark, args.out, excerpt_tau=args.excerpt_tau)
         return
     if args.tier == "boilerplate":
         boilerplate_rehearsal(spark, args.out, args.rep, args.passes)
