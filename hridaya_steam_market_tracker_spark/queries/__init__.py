@@ -63,15 +63,17 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-10 composition (continuation 2): the never-sampled round-10
-# queries lead — the crop tier, JPEG AC, Adam7, excerpt admission twin,
-# chargram language ID, and the five analysis/sampling-tier additions
-# (video shot segments + scene keyframes, audio energy segments, WHT
-# hash + near pairs) — then the cohort whose transitive fingerprints
-# changed this round (span/strip rewrite, shared-decode multimodal
-# family); r05-green rotation rows fill the remaining slots.
+# Round-10 composition (continuation 3): the never-sampled round-10
+# queries lead — the crop tier, JPEG AC, Adam7, both excerpt admission
+# twins (media + the new TEXT corpus one), chargram language ID, and
+# the six analysis/sampling-tier additions (video shot segments +
+# scene keyframes, audio energy segments, WHT hash + near pairs) —
+# then the cohort whose transitive fingerprints changed this round
+# (span/strip rewrite, shared-decode multimodal family); r05-green
+# rotation rows fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
     "chargram_lang_id",
+    "corpus_excerpt_admission_twin",
     "media_excerpt_admission_twin",
     "multimodal_audio_segments",
     "multimodal_image_crop_pairs",
@@ -120,7 +122,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "d11_distinct_collect_per_stream",
     "d2_count_enabled",
     "d3_windowed_union_count",
-    "d4_last_ingest_union_max",
 )
 
 

@@ -1925,3 +1925,84 @@ def cc_luhn_detection_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_valid", F.lit(0).cast("long")) > 0).alias("has_card"),
         )
     )
+
+
+@register(
+    "corpus_excerpt_admission_twin",
+    oracle=_WINNOW_SQL
+    + """
+    , allf AS (SELECT doc_id, fp FROM win, unnest(fps) AS t(fp)),
+    sids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    bids AS (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0),
+    pop AS (SELECT fp FROM allf
+            WHERE doc_id IN (SELECT doc_id FROM sids)
+               OR doc_id IN (SELECT doc_id FROM bids)),
+    rare AS (SELECT fp FROM pop GROUP BY 1 HAVING count(*) <= 50),
+    bf AS (SELECT doc_id, fp FROM allf
+           WHERE doc_id IN (SELECT doc_id FROM bids)),
+    nfp AS (SELECT doc_id, count(*) AS n FROM bf GROUP BY 1),
+    bfp AS (SELECT bf.* FROM bf JOIN rare USING (fp)),
+    sfp AS (SELECT a.doc_id, a.fp FROM allf a JOIN rare USING (fp)
+            WHERE a.doc_id IN (SELECT doc_id FROM sids)),
+    sh AS (
+      SELECT b.doc_id AS j, b.fp
+      FROM bfp b
+      JOIN (SELECT * FROM sfp UNION ALL SELECT * FROM bfp) a
+        ON a.fp = b.fp
+      WHERE a.doc_id IN (SELECT doc_id FROM sids) OR a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT j, count(*) AS n_shared FROM sh GROUP BY 1)
+    SELECT b.doc_id,
+           coalesce(ns.n_shared / CAST(nfp.n AS DOUBLE) < 0.8, TRUE)
+             AS admitted
+    FROM bids b
+    LEFT JOIN nfp ON nfp.doc_id = b.doc_id
+    LEFT JOIN ns ON ns.j = b.doc_id
+    """,
+    doc=(
+        "The TEXT excerpt-admission DECISION, value-checked end to "
+        "end: the streaming gate's literal decision path "
+        "(streaming/corpus_ingest.py:corpus_excerpt_rejects, which "
+        "runs the SAME media_excerpt_rejects function the media twin "
+        "oracles — df-capped evidence, unpruned denominator, distinct "
+        "shared fps, stored + lower-id leader-keeps, >= tau) over the "
+        "real documents table split stored/batch by doc_id % 4, with "
+        "DuckDB recomputing every winnowing fingerprint (the "
+        "winnow_fingerprints CTE) and the whole decision. Docs too "
+        "short to fingerprint are admitted (presence rows cannot "
+        "evidence a rejection). Completes the streaming-gate oracle "
+        "story across all four content planes: text here, "
+        "video/audio/image in media_excerpt_admission_twin."
+    ),
+)
+def corpus_excerpt_admission_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        corpus_excerpt_rejects,
+        corpus_winnow_fps,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 4 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 != 0)
+    # Lazy checkpoints at the fps boundary: the decision fans each
+    # relation out several ways (population df, evidence join,
+    # denominator) — in the STREAMING gate batch fps are persisted and
+    # stored fps are a parquet read, so only this recomputing twin
+    # needs the cut (the subclip tier's measured pattern).
+    rejects = corpus_excerpt_rejects(
+        corpus_winnow_fps(stored).localCheckpoint(eager=False),
+        corpus_winnow_fps(batch).localCheckpoint(eager=False),
+        0.8,
+        50,
+    )
+    return (
+        batch.select("doc_id")
+        .join(rejects.withColumn("rej", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
+        )
+    )

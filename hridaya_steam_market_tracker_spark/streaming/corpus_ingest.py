@@ -147,6 +147,143 @@ def repair_band_index(
     return cnt
 
 
+_TEXT_WFP_COLS = ("doc_id", "fp")
+
+_GATE_MODE_MARKER = "_GATE_MODE"
+
+
+def set_corpus_gate_mode(store_path: str, excerpt: bool) -> None:
+    """Deliberately (re)declare a corpus store's admission mode — the
+    explicit act `_check_corpus_gate_mode`'s refusal demands before a
+    store may switch between plain and excerpt-aware ingest. After
+    switching TO excerpt mode, the next excerpt-aware batch's repair
+    pass fingerprints every stored doc into wfps/ once (a text re-read
+    of docs/ — the documented upgrade cost, far cheaper than the media
+    plane's payload re-decode)."""
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, _GATE_MODE_MARKER), "w") as f:
+        f.write("excerpt" if excerpt else "plain")
+
+
+def _check_corpus_gate_mode(store_path: str, excerpt: bool) -> None:
+    """The media gate's store-lifetime contract (`media_ingest.py:
+    _check_gate_mode`), applied to the text plane: a store is EITHER
+    plain OR excerpt-aware for its whole life. Mixed-mode ingest is
+    refused loudly — plain batches into an excerpt store leave wfps/
+    stale AND stop rejecting quotes; excerpt batches into a plain
+    store silently pay a full-store re-fingerprint in repair.
+    Marker-less stores are grandfathered by inference from wfps/
+    existence, then the marker is written once."""
+    mode = "excerpt" if excerpt else "plain"
+    marker = os.path.join(store_path, _GATE_MODE_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            stored_mode = f.read().strip()
+    elif os.path.isdir(os.path.join(store_path, "docs")):
+        stored_mode = (
+            "excerpt"
+            if os.path.isdir(os.path.join(store_path, "wfps"))
+            else "plain"
+        )
+    else:
+        set_corpus_gate_mode(store_path, excerpt)
+        return
+    if stored_mode != mode:
+        raise ValueError(
+            f"store {store_path!r} was ingested in {stored_mode!r} mode "
+            f"but this batch requests {mode!r}: mixed-mode ingest "
+            "silently weakens the gate (stale wfps/, unrejected "
+            "excerpts). Keep excerpt_tau consistent for the store's "
+            "lifetime, or switch deliberately with "
+            f"set_corpus_gate_mode({store_path!r}, excerpt={excerpt})."
+        )
+    if not os.path.isfile(marker):
+        set_corpus_gate_mode(store_path, excerpt)
+
+
+def corpus_winnow_fps(docs: DataFrame, k: int = 3, w: int = 4) -> DataFrame:
+    """(doc_id, fp) content fingerprints for the text containment
+    plane: the SAME winnowing selection the oracled batch queries ride
+    (`operators/dedup.py:winnow_fingerprints` — any shared run of
+    >= k+w-1 words shares a selected fingerprint). EVERY batch doc
+    gets at least one output row: docs whose text yields no
+    fingerprint (empty/untokenizable) carry a single fp=NULL presence
+    row, so the index distinguishes 'indexed, nothing to match' from
+    'orphaned' — NULL never equi-joins, so presence rows can never
+    evidence a rejection (the media plane's exact discipline)."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(docs, id_col="doc_id", k=k, w=w)
+    return (
+        docs.select("doc_id")
+        .join(fps, "doc_id", "left")
+        .select(*_TEXT_WFP_COLS)
+    )
+
+
+def corpus_excerpt_rejects(
+    stored_wfps: DataFrame | None,
+    batch_wfps: DataFrame,
+    tau: float,
+    max_df: int = 50,
+) -> DataFrame:
+    """Batch docs to REJECT as stored-content excerpts (quotes,
+    mirrored passages, chunk re-uploads): the literal media decision
+    function (`media_ingest.py:media_excerpt_rejects` — df-capped
+    evidence, unpruned denominator, distinct shared fps, stored +
+    lower-id leader-keeps, >= tau) run on the text plane, so the two
+    gates cannot drift apart. Directional: a new doc CONTAINING a
+    stored doc is admitted (most of its fingerprints are new)."""
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_excerpt_rejects,
+    )
+
+    def as_media(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("plane"),
+            "fp",
+        )
+
+    out = media_excerpt_rejects(
+        as_media(stored_wfps) if stored_wfps is not None else None,
+        as_media(batch_wfps),
+        tau,
+        max_df,
+    )
+    return out.select(F.col("media_id").alias("doc_id"))
+
+
+def repair_corpus_wfps_index(spark: SparkSession, store_path: str) -> int:
+    """Fingerprint any docs/ rows missing from wfps/ — the crash state
+    a failure between ingest_batch's appends leaves, and the one-time
+    upgrade path after `set_corpus_gate_mode(store, excerpt=True)`.
+    Presence rows make orphan detection one id anti-join; only actual
+    orphans re-fingerprint. Returns wfps rows written."""
+    docs_path = os.path.join(store_path, "docs")
+    wfps_path = os.path.join(store_path, "wfps")
+    if not os.path.isdir(docs_path):
+        return 0
+    docs = spark.read.parquet(docs_path)
+    cand = docs.select("doc_id")
+    if os.path.isdir(wfps_path):
+        known = spark.read.parquet(wfps_path).select("doc_id").distinct()
+        orphans = cand.join(known, "doc_id", "left_anti")
+    else:
+        orphans = cand
+    orphans = orphans.localCheckpoint(eager=True)
+    if orphans.isEmpty():
+        return 0
+    repaired = corpus_winnow_fps(
+        docs.join(orphans, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+    cnt = repaired.count()
+    repaired.write.mode("append").parquet(wfps_path)
+    return cnt
+
+
 def ingest_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -154,11 +291,27 @@ def ingest_batch(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.5,
+    excerpt_tau: float | None = None,
+    excerpt_max_df: int = 50,
 ) -> None:
     """Process ONE micro-batch: dedup against the store and within the
     batch, then append accepted docs + their bands. Designed for
     foreachBatch; calling it twice with the same batch is a no-op (and
-    heals a crash-orphaned band index first — see repair_band_index)."""
+    heals a crash-orphaned band index first — see repair_band_index).
+
+    ``excerpt_tau`` (optional) additionally rejects a batch doc whose
+    winnowing fingerprints are >= tau already stored — a quote,
+    mirrored passage, or chunk re-upload of stored content, the class
+    whole-document MinHash is structurally blind to (a short excerpt's
+    Jaccard vs its long host is small) — maintaining a third store
+    component wfps/, the text twin of the unified media gate's
+    excerpt tier. Directional (a new host containing a stored doc is
+    admitted); same df<=max_df boilerplate cap as the oracled batch
+    containment query; the setting is a store-LIFETIME contract
+    enforced by a ``_GATE_MODE`` marker with loud mixed-mode refusal
+    (`_check_corpus_gate_mode`); switch deliberately with
+    `set_corpus_gate_mode`, after which the repair pass fingerprints
+    stored docs once."""
     from pyspark import StorageLevel
 
     spark = batch_df.sparkSession
@@ -166,8 +319,15 @@ def ingest_batch(
     bands_path = os.path.join(store_path, "bands")
 
     batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
-    _check_store_integrity(store_path)
+    _check_store_integrity(
+        store_path,
+        ("docs", "bands", "wfps") if excerpt_tau is not None
+        else ("docs", "bands"),
+    )
+    _check_corpus_gate_mode(store_path, excerpt_tau is not None)
     repair_band_index(spark, store_path, num_hashes, bands, n)
+    if excerpt_tau is not None:
+        repair_corpus_wfps_index(spark, store_path)
     # isdir, not try/except around the read: a real read failure on an
     # existing store must fail the batch, never alias to "empty store".
     stored_docs = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
@@ -175,6 +335,7 @@ def ingest_batch(
         batch = batch.join(stored_docs.select("doc_id"), "doc_id", "left_anti")
     batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
     sets = None
+    batch_wfps = None
     try:
         if batch.isEmpty():
             return
@@ -228,6 +389,21 @@ def ingest_batch(
             .select(F.col("j").alias("doc_id"))
             .distinct()
         )
+        if excerpt_tau is not None:
+            wfps_path = os.path.join(store_path, "wfps")
+            batch_wfps = corpus_winnow_fps(batch).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            stored_wfps = (
+                spark.read.parquet(wfps_path).select(*_TEXT_WFP_COLS)
+                if os.path.isdir(wfps_path)
+                else None
+            )
+            rejected = rejected.unionByName(
+                corpus_excerpt_rejects(
+                    stored_wfps, batch_wfps, excerpt_tau, excerpt_max_df
+                )
+            ).distinct()
 
         # localCheckpoint, not persist: appending to docs_path below runs
         # refreshByPath on it, which invalidates any CACHED plan whose
@@ -239,6 +415,10 @@ def ingest_batch(
         accepted = batch.join(rejected, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
+        if excerpt_tau is not None:
+            accepted_wfps = batch_wfps.join(
+                accepted.select("doc_id"), "doc_id", "left_semi"
+            ).localCheckpoint(eager=True)
         accepted.write.mode("append").parquet(docs_path)
         (
             banded_buckets(
@@ -255,12 +435,18 @@ def ingest_batch(
             .partitionBy("band")
             .parquet(bands_path)
         )
+        if excerpt_tau is not None and not accepted_wfps.isEmpty():
+            accepted_wfps.write.mode("append").parquet(
+                os.path.join(store_path, "wfps")
+            )
     finally:
         # In finally (not the try body): a failed parquet append must
         # not leak the persisted shingle frame into the long-lived
         # streaming session. `sets` is None on the early empty-return.
         if sets is not None:
             sets.unpersist()
+        if batch_wfps is not None:
+            batch_wfps.unpersist()
         batch.unpersist()
 
 
@@ -307,7 +493,7 @@ def compact_store(
     # guards below and could clobber the only surviving copy in
     # ``.compact.tmp`` on the next write. Recovery must stay a
     # deliberate single rename.
-    _check_store_integrity(store_path)
+    _check_store_integrity(store_path, ("docs", "bands", "wfps"))
     rewritten: dict[str, int] = {}
 
     docs_path = os.path.join(store_path, "docs")
@@ -337,6 +523,28 @@ def compact_store(
         _swap_dir(tmp, bands_path)
         spark.catalog.refreshByPath(bands_path)
         rewritten["bands"] = n
+
+    # An excerpt-aware TEXT store's wfps/ component (flat (doc_id, fp)
+    # — no hive partitioning; the unified media gate compacts its own
+    # plane-partitioned wfps/ in compact_any_media_store instead, and
+    # its store never grows this directory with these columns).
+    wfps_path = os.path.join(store_path, "wfps")
+    if os.path.isdir(wfps_path) and band_cols == _BAND_COLS:
+        wf = spark.read.parquet(wfps_path).select(*_TEXT_WFP_COLS)
+        n = wf.count()
+        tmp = wfps_path + ".compact.tmp"
+        (
+            wf.repartition(
+                F.pmod(
+                    F.hash(F.coalesce("fp", "doc_id")), F.lit(target_files)
+                )
+            )
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        _swap_dir(tmp, wfps_path)
+        spark.catalog.refreshByPath(wfps_path)
+        rewritten["wfps"] = n
     return rewritten
 
 

@@ -506,6 +506,11 @@ def test_sample_first_names_all_registered(registry):
         ("multimodal_image_whash_checked", 0),
         # band explode self-join + the exact-verify join-backs
         ("multimodal_whash_near_pairs", 3),
+        # COLD plan: the decision fans both fps relations out
+        # (population, evidence, denominator) — lazy localCheckpoints
+        # at the fps boundary collapse the recomputation at runtime,
+        # invisible to the cold plan string (the subclip-tier pattern)
+        ("corpus_excerpt_admission_twin", 15),
     ],
 )
 def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):

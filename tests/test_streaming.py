@@ -743,3 +743,153 @@ def test_corpus_ingest_repairs_crash_orphaned_band_index(spark, tmp_path):
     assert band_ids == stored  # index re-converged with the docs store
 
     assert repair_band_index(spark, store) == 0  # healthy: cheap no-op
+
+
+def _host_doc(seed: int, n: int = 60) -> str:
+    return " ".join(f"w{seed}x{k}" for k in range(n))
+
+
+def _excerpt_of(seed: int, lo: int = 20, hi: int = 32) -> str:
+    return " ".join(f"w{seed}x{k}" for k in range(lo, hi))
+
+
+def test_corpus_excerpt_gate_end_to_end(spark, tmp_path):
+    """The text twin of the media excerpt tier: with ``excerpt_tau``
+    set, `ingest_batch` ALSO rejects a doc whose winnowing
+    fingerprints are already stored — the quote/chunk-re-upload class
+    whole-document MinHash is structurally blind to (the blindness
+    control proves a PLAIN store admits the same excerpt). Directional
+    (a new host containing a stored doc is admitted), leader-keeps
+    within a batch, replay a no-op, compaction admission-invariant."""
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        compact_store,
+        ingest_batch,
+    )
+
+    schema = "doc_id long, text string"
+
+    # Blindness control: PLAIN gate admits a 12-of-60-word excerpt
+    # (3-gram Jaccard ~10/58 << 0.5).
+    plain = str(tmp_path / "plain")
+    ingest_batch(
+        spark.createDataFrame([(0, _host_doc(0))], schema), plain
+    )
+    ingest_batch(
+        spark.createDataFrame([(100, _excerpt_of(0))], schema), plain
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(plain + "/docs").collect()
+    } == {0, 100}
+
+    # Excerpt-aware store: same waves, excerpt REJECTED.
+    store = str(tmp_path / "store")
+    ingest_batch(
+        spark.createDataFrame(
+            [(0, _host_doc(0)), (1, _host_doc(1))], schema
+        ),
+        store,
+        excerpt_tau=0.8,
+    )
+    wave2 = [
+        (100, _excerpt_of(0)),            # excerpt of stored 0 -> reject
+        (101, _host_doc(2)),              # fresh host -> admit
+        # new host CONTAINING stored doc 1's words (directional: admit)
+        (102, _host_doc(1) + " " + _host_doc(3)),
+        # in-batch host+excerpt pair: lower-id host admitted,
+        # higher-id excerpt rejected (leader-keeps)
+        (103, _host_doc(4)),
+        (104, _excerpt_of(4)),
+    ]
+    ingest_batch(
+        spark.createDataFrame(wave2, schema), store, excerpt_tau=0.8
+    )
+    stored = {
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    }
+    assert stored == {0, 1, 101, 102, 103}
+    # every admitted doc is fingerprint-indexed (presence discipline)
+    wfp_ids = {
+        r["doc_id"] for r in spark.read.parquet(store + "/wfps").collect()
+    }
+    assert wfp_ids == stored
+
+    # replay of wave2 is a no-op
+    ingest_batch(
+        spark.createDataFrame(wave2, schema), store, excerpt_tau=0.8
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    } == stored
+
+    # compaction rewrites docs/bands/wfps without changing admissions
+    out = compact_store(spark, store, target_files=1)
+    assert out["wfps"] > 0
+    ingest_batch(
+        spark.createDataFrame(
+            [(200, _excerpt_of(1)), (201, _host_doc(5))], schema
+        ),
+        store,
+        excerpt_tau=0.8,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    } == stored | {201}
+
+
+def test_corpus_excerpt_mode_contract_and_repair(spark, tmp_path):
+    """The store-lifetime contract, text plane: a plain store refuses
+    an excerpt-aware batch loudly; `set_corpus_gate_mode` is the
+    deliberate switch, after which the repair pass backfills wfps/
+    from docs/ text (so previously-stored content starts rejecting its
+    excerpts); a vanished wfps/ heals the same way on the next batch."""
+    import pytest as _pytest
+
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        ingest_batch,
+        repair_corpus_wfps_index,
+        set_corpus_gate_mode,
+    )
+
+    schema = "doc_id long, text string"
+    store = str(tmp_path / "store")
+    ingest_batch(spark.createDataFrame([(0, _host_doc(0))], schema), store)
+
+    # mixed-mode refusal, both directions
+    with _pytest.raises(ValueError, match="mixed-mode"):
+        ingest_batch(
+            spark.createDataFrame([(1, _host_doc(1))], schema),
+            store,
+            excerpt_tau=0.8,
+        )
+    # deliberate upgrade: repair backfills wfps for the stored doc...
+    set_corpus_gate_mode(store, excerpt=True)
+    assert repair_corpus_wfps_index(spark, store) > 0
+    # ...and a pre-upgrade doc's excerpt is now rejected
+    ingest_batch(
+        spark.createDataFrame([(2, _excerpt_of(0))], schema),
+        store,
+        excerpt_tau=0.8,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    } == {0}
+    # ...and plain ingest now refuses
+    with _pytest.raises(ValueError, match="mixed-mode"):
+        ingest_batch(spark.createDataFrame([(3, _host_doc(3))], schema), store)
+
+    # crash-orphan healing: lose wfps/ entirely -> next batch repairs
+    # it from docs/ before admitting anything
+    import shutil as _shutil
+
+    _shutil.rmtree(store + "/wfps")
+    ingest_batch(
+        spark.createDataFrame([(4, _excerpt_of(0))], schema),
+        store,
+        excerpt_tau=0.8,
+    )
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/docs").collect()
+    } == {0}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(store + "/wfps").collect()
+    } == {0}
