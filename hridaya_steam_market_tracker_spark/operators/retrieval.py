@@ -332,3 +332,53 @@ def apss_cosine_pairs(
         .filter(cos >= threshold)
         .select("i", "j", F.round(cos, 6).alias("cos_sim"))
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topn: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (public Cormack/Clarke/Buettcher
+    SIGIR'09) — THE standard hybrid-retrieval combiner: each arm
+    contributes 1/(k + rank) for the documents it ranked, arms that
+    missed a document contribute 0, and the fused order is the score
+    sum. Rank-based (not score-based), so arms with incomparable score
+    scales — BM25 vs cosine — fuse without calibration; k=60 is the
+    paper's constant.
+
+    ``ranked`` maps arm name -> a DataFrame with (id_col, rank); the
+    output carries each arm's rank as ``rank_<name>`` (NULL where the
+    arm missed), ``rrf_score`` rounded to 9dp (reciprocals of integer
+    ranks — both engines compute identical doubles, summed in sorted
+    arm-name order so the accumulation order is pinned too), and the
+    dense ``rank_hybrid`` with doc-id tie-break (equal-rank singletons
+    from different arms tie exactly).
+
+    Scale shape: each arm is already capped to its own top-N by the
+    caller, so the full-outer fusion join and the global final window
+    run on O(arms x N) rows — never corpus-sized. The arms themselves
+    are where the data-sized work happens (inverted-index pushdown for
+    BM25, brute/ANN for vectors)."""
+    from pyspark.sql import Window
+
+    out: DataFrame | None = None
+    for name in sorted(ranked):
+        side = ranked[name].select(
+            F.col(id_col), F.col("rank").alias(f"rank_{name}")
+        )
+        out = side if out is None else out.join(side, id_col, "full_outer")
+    score = None
+    for name in sorted(ranked):
+        term = F.when(
+            F.col(f"rank_{name}").isNotNull(),
+            F.lit(1.0) / (F.lit(k) + F.col(f"rank_{name}")),
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        out.withColumn("rrf_score", F.round(score, 9))
+        .withColumn("rank_hybrid", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_hybrid") <= topn)
+    )

@@ -63,17 +63,18 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-10 composition (continuation 3): the never-sampled round-10
+# Round-10 composition (continuation 4): the never-sampled round-10
 # queries lead — the crop tier, JPEG AC, Adam7, both excerpt admission
-# twins (media + the new TEXT corpus one), chargram language ID, and
-# the six analysis/sampling-tier additions (video shot segments +
-# scene keyframes, audio energy segments, WHT hash + near pairs) —
-# then the cohort whose transitive fingerprints changed this round
-# (span/strip rewrite, shared-decode multimodal family); r05-green
-# rotation rows fill the remaining slots.
+# twins (media + the new TEXT corpus one), chargram language ID,
+# hybrid RRF search, and the six analysis/sampling-tier additions
+# (video shot segments + scene keyframes, audio energy segments, WHT
+# hash + near pairs) — then the cohort whose transitive fingerprints
+# changed this round (span/strip rewrite, shared-decode multimodal
+# family); r05-green rotation rows fill the remaining slots.
 _SAMPLE_FIRST: tuple[str, ...] = (
     "chargram_lang_id",
     "corpus_excerpt_admission_twin",
+    "hybrid_rrf_search",
     "media_excerpt_admission_twin",
     "multimodal_audio_segments",
     "multimodal_image_crop_pairs",
@@ -121,7 +122,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "curation_pipeline_kept_docs",
     "d11_distinct_collect_per_stream",
     "d2_count_enabled",
-    "d3_windowed_union_count",
 )
 
 

@@ -2006,3 +2006,116 @@ def corpus_excerpt_admission_twin(
             F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
         )
     )
+
+
+_BM25_CTE = f"""
+    d AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM documents),
+    lens AS (SELECT doc_id, len(w) AS dl FROM d),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM lens),
+    post AS (SELECT doc_id, len(w) AS dl, t AS term
+             FROM d, unnest(w) AS u(t)
+             WHERE t IN ('spark', 'join', 'table')),
+    tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM post GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    bm AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * 2.2
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+"""
+
+_HYBRID_COS = (
+    "list_inner_product(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(q.embedding AS DOUBLE[]))"
+    " / sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]),"
+    " CAST(a.embedding AS DOUBLE[]))"
+    " * list_inner_product(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(q.embedding AS DOUBLE[])))"
+)
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle="WITH " + _BM25_CTE + f"""
+    , lexr AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS rank_lex FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+        FROM bm
+      ) WHERE rn <= 50
+    ),
+    cosr AS (
+      SELECT vec_id AS doc_id, CAST(rn AS INTEGER) AS rank_vec FROM (
+        SELECT a.vec_id,
+               row_number() OVER (
+                 ORDER BY round({_HYBRID_COS}, 6) DESC, a.vec_id) AS rn
+        FROM embeddings a JOIN embeddings q
+          ON q.vec_id = 0 AND a.vec_id <> 0
+      ) WHERE rn <= 50
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, c.doc_id) AS doc_id,
+             l.rank_lex, c.rank_vec,
+             round(coalesce(1.0 / (60 + l.rank_lex), 0)
+                   + coalesce(1.0 / (60 + c.rank_vec), 0), 9) AS rrf_score
+      FROM lexr l FULL JOIN cosr c ON c.doc_id = l.doc_id
+    )
+    SELECT * FROM (
+      SELECT doc_id, rank_lex, rank_vec, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                  AS INTEGER) AS rank_hybrid
+      FROM fused
+    ) WHERE rank_hybrid <= 20
+    """,
+    doc=(
+        "HYBRID retrieval via Reciprocal Rank Fusion (Cormack/Clarke/"
+        "Buettcher SIGIR'09, k=60) — the standard lexical+vector "
+        "combiner for retrieval-based curation and RAG corpus "
+        "assembly: the BM25 arm ranks documents for the query {spark, "
+        "join, table} (top-50), the vector arm ranks embeddings by "
+        "cosine against query vector vec_id 0 (top-50, brute-force "
+        "exact; the fixture aligns vec_id with doc_id), and each "
+        "document's fused score is the sum of 1/(60+rank) over the "
+        "arms that ranked it. Rank-based fusion needs no score "
+        "calibration across incomparable scales; both arms rank on "
+        "round-6 scores with doc-id tie-breaks so every rank — and "
+        "therefore every fused score — is cross-engine exact. The "
+        "fusion join runs on O(arms x 50) rows; the data-sized work "
+        "stays in the arms (inverted-index pushdown, broadcast query "
+        "vector)."
+    ),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hridaya_steam_market_tracker_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+    )
+    from hridaya_steam_market_tracker_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    lex = bm25_scores(docs, ["spark", "join", "table"])
+    lexr = (
+        lex.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 50)
+        .select("doc_id", "rank")
+    )
+    vecr = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lexr, "vec": vecr}, topn=20)

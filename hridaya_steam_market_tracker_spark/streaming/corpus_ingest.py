@@ -22,6 +22,12 @@ same assumption streaming/ingest.py documents):
   bands and a compaction pass can rewrite one band directory at a
   time. The corpus TEXT is only re-read for the (small) candidate set
   that actually collides, via a semi-join pushdown on doc_id.
+* ``wfps/``  — (excerpt-aware stores only) winnowing content
+  fingerprints (doc_id, fp; fp=NULL presence rows), the text twin of
+  the unified media gate's excerpt tier: rejects batch docs whose
+  fingerprint content is already stored (quotes, chunk re-uploads —
+  the class whole-document MinHash is blind to). Governed by the
+  ``_GATE_MODE`` store-lifetime marker.
 
 Store existence is checked with ``os.path.isdir`` — NOT a broad
 except around the read — so a corrupted footer / permission error /

@@ -511,6 +511,9 @@ def test_sample_first_names_all_registered(registry):
         # at the fps boundary collapse the recomputation at runtime,
         # invisible to the cold plan string (the subclip-tier pattern)
         ("corpus_excerpt_admission_twin", 15),
+        # BM25 arm's postings/df/stats shuffles + each arm's rank
+        # window + the O(arms x 50)-row fusion join and final window
+        ("hybrid_rrf_search", 8),
     ],
 )
 def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):

@@ -157,3 +157,32 @@ def test_apss_strategies_produce_identical_output(spark):
     posting, tiled, auto = rows("posting"), rows("tiled"), rows("auto")
     assert posting == tiled == auto
     assert len(posting) > 0
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF's contract at the edges: an arm that missed a doc
+    contributes exactly 0 (not a NULL-poisoned score); two docs ranked
+    identically by different single arms tie exactly and break by
+    doc_id; a doc ranked by both arms outranks equal single-arm docs;
+    topn truncates after the tie-break."""
+    from hridaya_steam_market_tracker_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(1, 2), (4, 1), (5, 3)], "doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse({"lex": lex, "vec": vec}).collect()}
+    # doc 1: both arms -> 1/61 + 1/62; doc 4: vec rank 1 only -> 1/61
+    assert out[1]["rrf_score"] == round(1 / 61 + 1 / 62, 9)
+    assert out[4]["rrf_score"] == round(1 / 61, 9)
+    assert out[1]["rank_hybrid"] == 1
+    # doc 2 (lex rank 2) and nothing else share 1/62; docs 3 and 5
+    # share 1/63 exactly (single-arm rank-3 each) -> doc_id tie-break
+    assert out[3]["rrf_score"] == out[5]["rrf_score"] == round(1 / 63, 9)
+    assert out[3]["rank_hybrid"] < out[5]["rank_hybrid"]
+    # arm-miss is NULL in the carried rank, zero in the score
+    assert out[4]["rank_lex"] is None and out[4]["rank_vec"] == 1
+    # topn truncation
+    assert len(rrf_fuse({"lex": lex, "vec": vec}, topn=2).collect()) == 2
