@@ -1916,41 +1916,72 @@ IMAGE_TILE_SCHEMA = (
 )
 
 
-def _tile_token_kernel(tile: int):
+def _tile_token_kernel(tile: int, phases: int = 1):
     """Numpy tile-token core shared by `image_tile_tokens` and
     `decode_image_signature_tiles` (captured by value like
     `_dhash_kernel`): (w, h, rgb) -> [(tile_x, tile_y, tok), ...] over
     full ``tile`` x ``tile`` cells of the upright raster, token =
     sum(byte[k] * (k+1)) mod 2^31 in row-major order — integer-exact,
-    DuckDB-recomputable. Empty list when no full tile fits."""
+    DuckDB-recomputable. Empty list when no full tile fits.
+
+    ``phases`` > 1 adds PHASE-SHIFTED grids (round-11): the raster is
+    additionally tiled at every offset (a*tile/phases, b*tile/phases),
+    a, b in [0, phases), concatenated phase-major so phases=1 is
+    byte-identical to the historical single-grid output. A crop of a
+    stored image at pixel offset (dx, dy) shifts the tile grid by
+    (dx mod tile, dy mod tile); with k phases per axis, any offset
+    that is a multiple of tile/k realigns SOME crop-phase grid with
+    SOME host-phase grid (the crop's phase-(p) tiles are exactly the
+    host's phase-((p+d) mod tile) tiles), so the alignment blind spot
+    shrinks from 1/tile^2 of offsets to 1/(tile/k)^2 at a k^2x token
+    cost. Tokens are content-only (NOT phase-tagged) precisely
+    because the matching host phase DIFFERS from the crop's own phase
+    by the unknown offset — a phase tag on the join key would forbid
+    exactly the cross-phase joins that surface a shifted crop.
+    (tile_x, tile_y) are per-phase grid coordinates; multi-phase
+    output is therefore only meaningful to SET consumers (the
+    fingerprint plane), which is why the oracled token-relation
+    queries stay phases=1."""
 
     def tile_tokens(w: int, h: int, rgb) -> list[tuple[int, int, int]]:
         import numpy as np
 
-        tw, th = w // tile, h // tile
-        if tw == 0 or th == 0:
-            return []
+        px = None
         wgt = np.arange(1, 3 * tile * tile + 1, dtype=np.int64)
-        toks = (
-            np.frombuffer(bytes(rgb), dtype=np.uint8)
-            .reshape(h, w, 3)[: th * tile, : tw * tile]
-            .reshape(th, tile, tw, tile, 3)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(th, tw, 3 * tile * tile)
-            .astype(np.int64)
-            @ wgt
-        ) % (1 << 31)
-        return [
-            (tx, ty, int(toks[ty, tx]))
-            for ty in range(th)
-            for tx in range(tw)
-        ]
+        out: list[tuple[int, int, int]] = []
+        step = tile // phases
+        for oy in range(0, tile, step) if phases > 1 else (0,):
+            for ox in range(0, tile, step) if phases > 1 else (0,):
+                tw, th = (w - ox) // tile, (h - oy) // tile
+                if tw == 0 or th == 0:
+                    continue
+                if px is None:
+                    px = np.frombuffer(bytes(rgb), dtype=np.uint8).reshape(
+                        h, w, 3
+                    )
+                toks = (
+                    px[oy : oy + th * tile, ox : ox + tw * tile]
+                    .reshape(th, tile, tw, tile, 3)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(th, tw, 3 * tile * tile)
+                    .astype(np.int64)
+                    @ wgt
+                ) % (1 << 31)
+                out.extend(
+                    (tx, ty, int(toks[ty, tx]))
+                    for ty in range(th)
+                    for tx in range(tw)
+                )
+        return out
 
     return tile_tokens
 
 
 def image_tile_tokens(
-    media: DataFrame, tile: int = 8, decoded: DataFrame | None = None
+    media: DataFrame,
+    tile: int = 8,
+    decoded: DataFrame | None = None,
+    phases: int = 1,
 ) -> DataFrame:
     """Per-tile content tokens over the EXIF-upright decoded raster —
     the image's joinable content plane for CROP containment, the
@@ -1965,11 +1996,15 @@ def image_tile_tokens(
     reproduces its covered host tiles token-for-token, which is what
     turns crop detection into the same containment join the text /
     video / audio excerpt planes use instead of a keypoint problem.
-    Alignment honesty: an arbitrary-offset crop shifts the grid and
-    shares no tiles — the same alignment contract as the
-    window-aligned audio-excerpt and frame-aligned video-subclip
-    planes. Undecodable payloads and images smaller than one tile
-    keep a single NULL-token row (decode_ok false / true).
+    Alignment honesty: with the default single grid an
+    arbitrary-offset crop shifts the grid and shares no tiles;
+    ``phases`` = k adds the k^2 phase-shifted grids (offsets at
+    tile/k spacing, see `_tile_token_kernel`), which realigns any
+    crop whose offset is a multiple of tile/k — the round-11
+    blind-spot shrink. Offsets off the tile/k lattice remain the
+    (now k^2x smaller) documented seam. Undecodable payloads and
+    images smaller than one tile keep a single NULL-token row
+    (decode_ok false / true).
 
     Scale shape: one Arrow-batched scan (decode + EXIF walk + numpy
     tile reduction fused, like `image_dhash_oriented`); tokens are
@@ -1999,7 +2034,7 @@ def image_tile_tokens(
     pixel_decode, _ = _pixel_codec()
     upright = _orientation_transform()
     orientation_of = _orientation_reader()
-    tile_tokens = _tile_token_kernel(tile)
+    tile_tokens = _tile_token_kernel(tile, phases)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2237,7 +2272,11 @@ IMAGE_SIG_TILE_SCHEMA = (
 
 
 def decode_image_signature_tiles(
-    media: DataFrame, grid_w: int = 9, grid_h: int = 8, tile: int = 8
+    media: DataFrame,
+    grid_w: int = 9,
+    grid_h: int = 8,
+    tile: int = 8,
+    phases: int = 1,
 ) -> DataFrame:
     """ONE image decode feeding both image planes — the image analog
     of `decode_mp4_frames` / `decode_audio_windows`: per image, the
@@ -2255,12 +2294,16 @@ def decode_image_signature_tiles(
     smaller than the 9x8 hash grid, and `image_dhash_oriented`'s
     contract makes that a NULL-hash failure row. Projections of this
     relation reproduce `image_dhash_oriented` and `image_tile_tokens`
-    bit-for-bit (identity-tested in tests/test_media_ingest.py)."""
+    bit-for-bit (identity-tested in tests/test_media_ingest.py).
+    ``phases`` > 1 carries the phase-shifted grids' tile structs too
+    (phase-aware excerpt gate; see `_tile_token_kernel` — tile coords
+    are per-phase, tokens content-only, so the fingerprint consumer
+    is unchanged)."""
     pixel_decode, _ = _pixel_codec()
     dhash_bits = _dhash_kernel(grid_w, grid_h)
     upright = _orientation_transform()
     orientation_of = _orientation_reader()
-    tile_tokens = _tile_token_kernel(tile)
+    tile_tokens = _tile_token_kernel(tile, phases)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2303,7 +2346,10 @@ def decode_image_signature_tiles(
 
 
 def image_tile_fingerprints(
-    media: DataFrame, tile: int = 8, decoded: DataFrame | None = None
+    media: DataFrame,
+    tile: int = 8,
+    decoded: DataFrame | None = None,
+    phases: int = 1,
 ) -> DataFrame:
     """(media_id, fp): distinct 60-bit fingerprints of an image's tile
     tokens — the (id, fp) inverted-index form `winnow_containment_pairs`
@@ -2320,10 +2366,16 @@ def image_tile_fingerprints(
     where text boilerplate is — the containment consumers' document-
     frequency cap. ``decoded`` (optional): precomputed
     `decode_image_signature_tiles` relation (one decode shared with
-    the signature plane)."""
+    the signature plane; it must have been decoded with the SAME
+    ``phases``, since the tiles ride its carried structs).
+    ``phases`` > 1 unions the phase-shifted grids' tokens into the
+    same distinct (media_id, fp) set — tokens are content-only, so
+    the downstream containment join needs no change and a crop at
+    any tile/phases-lattice offset scores containment 1.0 (see
+    `_tile_token_kernel`); the distinct-set index grows <= phases^2x."""
     from hridaya_steam_market_tracker_spark.operators.dedup import _h60
 
-    toks = image_tile_tokens(media, tile, decoded=decoded)
+    toks = image_tile_tokens(media, tile, decoded=decoded, phases=phases)
     return (
         toks.filter(F.col("decode_ok") & F.col("tok").isNotNull())
         .select(
@@ -2396,6 +2448,54 @@ def checked_image_crop_df(spark, n_bases: int = 4) -> DataFrame:
     payload = payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
     rows_out.append(
         (2 * n_bases + 1, "image", "png", payload, cw, ch, None)
+    )
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
+
+
+def checked_image_offset_crop_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable NON-ALIGNED image crop table — the round-11
+    phase-shift fixture: for each base b, id 2b is the same 64x48
+    closed-form host as `checked_image_crop_df`
+    (v(b, x, y) = (x*x*(3 + b%5) + y*y*(7 + b%3) + x*y + 13*b) % 251),
+    and id 2b+1 is its 32x24 crop at offset (20, 12) — a multiple of
+    tile/2 = 4 but NOT of the tile size 8, so the single-grid tile
+    plane is structurally blind to it (the crop's grid sits at host
+    phase (4, 4) and shares no tiles), while the phases=2 grids
+    realign it exactly (crop phase (0,0) tiles = host phase (4,4)
+    tiles, crop phase (4,4) tiles = host phase (0,0) tiles, mixed
+    phases likewise) and containment scores 1.0. id 2*n_bases is an
+    unparseable digest blob (absent from fingerprints — honest
+    failure)."""
+    import hashlib
+
+    _, encode = _pixel_codec()
+    w, h = 64, 48
+    cw, ch, x0, y0 = 32, 24, 20, 12
+
+    def v(b: int, x: int, y: int) -> int:
+        return (
+            x * x * (3 + b % 5) + y * y * (7 + b % 3) + x * y + 13 * b
+        ) % 251
+
+    def png_of(rows: list[list[int]]) -> bytes:
+        sh, sw = len(rows), len(rows[0])
+        rgb = bytes(p for r in rows for p in r for _ in range(3))
+        return encode(sw, sh, rgb, "png")
+
+    rows_out = []
+    for b in range(n_bases):
+        host = [[v(b, x, y) for x in range(w)] for y in range(h)]
+        crop = [
+            [v(b, x0 + x, y0 + y) for x in range(cw)] for y in range(ch)
+        ]
+        rows_out.append((2 * b, "image", "png", png_of(host), w, h, None))
+        rows_out.append(
+            (2 * b + 1, "image", "png", png_of(crop), cw, ch, None)
+        )
+    rows_out.append(
+        (2 * n_bases, "image", "png",
+         bytearray(hashlib.md5(b"offset-crop-honesty").digest() * 4),
+         None, None, None)
     )
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
@@ -3401,7 +3501,8 @@ def checked_video_shots_df(spark, n_bases: int = 4) -> DataFrame:
     is a 48-frame MJPEG video of three planted 16-frame shots — frame
     j's constant-gray level is 30 + 70*(j//16) + 9*b + (j%16), so
     within-shot drift is +1/frame (never splits at tau=24) and each
-    shot boundary jumps 55 - 15 = 40+ (always cuts). Video id 1's
+    shot boundary jumps +55 (the +70 shot step minus the 15-step
+    ramp reset; always cuts at tau=24). Video id 1's
     frame 8 is garbage bytes: the lag must close over the corrupt
     frame without a spurious boundary (|46 - 48| = 2 < tau), the
     mid-shot honest-failure case. id n_bases is an unparseable digest
@@ -4975,7 +5076,9 @@ AUDIO_WINDOW_SCHEMA = (
 )
 
 
-def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
+def decode_audio_windows(
+    media: DataFrame, window: int = 128, phases: int = 1
+) -> DataFrame:
     """REAL audio decode to per-window Goertzel band powers — the
     shared intermediate of the audio plane, the analog of
     `decode_mp4_frames` for video: one row per full ``window``-sample
@@ -4993,7 +5096,19 @@ def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
     `decode_mp4_frames`' unparseable-container row. Same channel-0
     deinterleave discipline and numpy window vectorization as the
     original fused ops (the recursion loops over the ``window``
-    in-window samples, each step a vector op across all windows)."""
+    in-window samples, each step a vector op across all windows).
+
+    ``phases`` > 1 (round-11): windows are ADDITIONALLY computed at
+    the sample offsets a*window/phases, a in [1, phases) — the 1-D
+    analog of the image tile plane's phase-shifted grids — and the
+    output gains a ``phase`` column (the sample offset; 0 for the
+    base grid, NULL on the per-clip failure row). An excerpt cut at
+    any window/phases-lattice offset then reproduces, at SOME of its
+    phases, a contiguous window run of SOME stored phase, so the
+    token/winnowing containment machinery surfaces it (see
+    `audio_window_token_text`). phases=1 keeps the historical schema
+    exactly — zero churn for the signature/segment consumers."""
+    offsets = [a * (window // phases) for a in range(phases)]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -5002,7 +5117,7 @@ def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
 
         import numpy as np
 
-        def powers(payload: bytes, fmt: str | None) -> "np.ndarray":
+        def chan0_of(payload: bytes, fmt: str | None) -> "np.ndarray":
             if fmt != "wav":
                 raise NotImplementedError(f"no audio codec for {fmt!r}")
             with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -5014,10 +5129,14 @@ def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
             chan0 = np.frombuffer(raw, dtype="<i2")[::ch].astype(np.int64)
             if chan0.size == 0:
                 raise ValueError("empty PCM stream")
-            nw = chan0.size // window
+            return chan0
+
+        def powers(chan0: "np.ndarray", off: int) -> "np.ndarray | None":
+            sub = chan0[off:]
+            nw = sub.size // window
             if nw == 0:
-                raise ValueError("shorter than one window")
-            X = chan0[: nw * window].reshape(nw, window)
+                return None
+            X = sub[: nw * window].reshape(nw, window)
             E = np.empty((nw, 4), dtype=np.int64)
             for k, c in enumerate(_FP_COEFFS):
                 s1 = np.zeros(nw, dtype=np.int64)
@@ -5028,18 +5147,25 @@ def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
                 E[:, k] = s1 * s1 + s2 * s2 - c * s1 * s2
             return E
 
+        phased = phases > 1
+
+        def rows(mid, E, off):
+            base = (
+                (mid, w, int(e[0]), int(e[1]), int(e[2]), int(e[3]), True)
+                for w, e in enumerate(E)
+            )
+            return [r + (off,) for r in base] if phased else list(base)
+
         for pdf in batches:
             recs = []
             for mid, payload, fmt in zip(
                 pdf["media_id"], pdf["payload"], pdf["format"]
             ):
                 try:
-                    E = powers(bytes(payload or b""), fmt)
-                    recs.extend(
-                        (mid, w, int(e[0]), int(e[1]), int(e[2]), int(e[3]),
-                         True)
-                        for w, e in enumerate(E)
-                    )
+                    chan0 = chan0_of(bytes(payload or b""), fmt)
+                    E0 = powers(chan0, 0)
+                    if E0 is None:
+                        raise ValueError("shorter than one window")
                 except (
                     NotImplementedError,
                     ValueError,
@@ -5047,18 +5173,26 @@ def decode_audio_windows(media: DataFrame, window: int = 128) -> DataFrame:
                     struct.error,
                     wave.Error,
                 ):
-                    recs.append((mid, None, None, None, None, None, False))
-            yield pd.DataFrame.from_records(
-                recs,
-                columns=[
-                    "media_id", "window_idx", "e0", "e1", "e2", "e3",
-                    "decode_ok",
-                ],
-            )
+                    fail = (mid, None, None, None, None, None, False)
+                    recs.append(fail + (None,) if phased else fail)
+                    continue
+                recs.extend(rows(mid, E0, 0))
+                for off in offsets[1:]:
+                    E = powers(chan0, off)
+                    if E is not None:
+                        recs.extend(rows(mid, E, off))
+            cols = [
+                "media_id", "window_idx", "e0", "e1", "e2", "e3",
+                "decode_ok",
+            ]
+            if phased:
+                cols.append("phase")
+            yield pd.DataFrame.from_records(recs, columns=cols)
 
+    schema = AUDIO_WINDOW_SCHEMA + (", phase int" if phases > 1 else "")
     return media.filter(F.col("media_type") == "audio").select(
         "media_id", "format", "payload"
-    ).mapInPandas(op, schema=AUDIO_WINDOW_SCHEMA)
+    ).mapInPandas(op, schema=schema)
 
 
 def audio_goertzel_fingerprint(
@@ -5106,6 +5240,11 @@ def audio_goertzel_fingerprint(
     frames), so a caller that also needs the window TOKENS (the
     excerpt-aware streaming gate) decodes each payload once."""
     if windows is not None:
+        if "phase" in windows.columns:
+            # Phased decode relation: the whole-clip signature is
+            # defined over the BASE grid only (offset-0 windows), so
+            # it stays bit-identical to the unphased path.
+            windows = windows.filter(F.col("phase") == 0)
         win = windows.filter(
             F.col("decode_ok") & (F.col("window_idx") < n_windows)
         )
@@ -5218,7 +5357,10 @@ AUDIO_TOKEN_SCHEMA = "media_id long, text string"
 
 
 def audio_window_token_text(
-    media: DataFrame, window: int = 128, windows: DataFrame | None = None
+    media: DataFrame,
+    window: int = 128,
+    windows: DataFrame | None = None,
+    phases: int = 1,
 ) -> DataFrame:
     """Per-clip window-token document: every full 128-sample window of
     channel 0 becomes the token "E0_E1_E2_E3" — its four exact-integer
@@ -5229,21 +5371,36 @@ def audio_window_token_text(
     so the TEXT winnowing machinery detects audio EXCERPTS exactly the
     way it detects video subclips (`video_frame_token_text`) and text
     quotes: any shared run of >= k+w-1 windows shares a selected
-    fingerprint. Alignment contract: the excerpt class is
-    window-aligned cuts (the deterministic tier's analog of
-    hop-quantized commercial audio fingerprinting); arbitrary-offset
-    robustness would need overlapping windows — a documented seam.
-    Undecodable clips are absent (honest failure); numpy-vectorized
-    across windows like the fingerprint op.
+    fingerprint. Alignment contract: with the default single grid
+    the excerpt class is window-aligned cuts (the deterministic
+    tier's analog of hop-quantized commercial audio fingerprinting);
+    ``phases`` = k additionally tokenizes the k phase-shifted grids
+    (sample offsets at window/k spacing — `decode_audio_windows`'
+    round-11 phases), ONE DOCUMENT PER (clip, phase) so each doc
+    stays a coherent window sequence: an excerpt cut at any
+    window/k-lattice offset reproduces, at some of its phases, a
+    contiguous run of some host phase's document, and the winnowing
+    containment machinery surfaces it. Off-lattice offsets remain
+    the (k-times-smaller) documented seam. Multi-phase docs share a
+    media_id — per-row winnowing unions naturally; consumers that
+    count fingerprints must dedup (id, fp) (see
+    streaming/media_ingest.media_winnow_fps). Undecodable clips are
+    absent (honest failure); numpy-vectorized across windows like
+    the fingerprint op.
 
     ``windows`` (optional): precomputed `decode_audio_windows`
     relation — the token document is then one JVM-side groupBy over
     the window powers (the `video_frame_token_text`-over-shared-frames
-    shape), so the excerpt-aware gate decodes each payload once."""
+    shape), so the excerpt-aware gate decodes each payload once. A
+    phased relation (its ``phase`` column) yields the per-phase
+    documents regardless of this function's ``phases`` argument."""
     if windows is not None:
+        phase_key = (
+            [F.col("phase")] if "phase" in windows.columns else []
+        )
         seq = (
             windows.filter(F.col("decode_ok"))
-            .groupBy("media_id")
+            .groupBy("media_id", *phase_key)
             .agg(
                 F.array_sort(
                     F.collect_list(
@@ -5271,7 +5428,7 @@ def audio_window_token_text(
 
         import numpy as np
 
-        def tokens_of(payload: bytes, fmt: str | None) -> str:
+        def docs_of(payload: bytes, fmt: str | None) -> list[str]:
             if fmt != "wav":
                 raise NotImplementedError(f"no audio codec for {fmt!r}")
             with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -5281,21 +5438,29 @@ def audio_window_token_text(
                 ch = wf.getnchannels()
                 raw = wf.readframes(nf)
             chan0 = np.frombuffer(raw, dtype="<i2")[::ch].astype(np.int64)
-            nw = chan0.size // window
-            if nw == 0:
+            if chan0.size // window == 0:
                 raise ValueError("shorter than one window")
-            X = chan0[: nw * window].reshape(nw, window)
-            E = np.empty((nw, 4), dtype=np.int64)
-            for k, c in enumerate(_FP_COEFFS):
-                s1 = np.zeros(nw, dtype=np.int64)
-                s2 = np.zeros(nw, dtype=np.int64)
-                for t in range(window):
-                    s0 = X[:, t] + c * s1 - s2
-                    s2, s1 = s1, s0
-                E[:, k] = s1 * s1 + s2 * s2 - c * s1 * s2
-            return " ".join(
-                "_".join(str(int(v)) for v in row) for row in E
-            )
+            out = []
+            for off in range(0, window, window // phases):
+                sub = chan0[off:]
+                nw = sub.size // window
+                if nw == 0:
+                    continue
+                X = sub[: nw * window].reshape(nw, window)
+                E = np.empty((nw, 4), dtype=np.int64)
+                for k, c in enumerate(_FP_COEFFS):
+                    s1 = np.zeros(nw, dtype=np.int64)
+                    s2 = np.zeros(nw, dtype=np.int64)
+                    for t in range(window):
+                        s0 = X[:, t] + c * s1 - s2
+                        s2, s1 = s1, s0
+                    E[:, k] = s1 * s1 + s2 * s2 - c * s1 * s2
+                out.append(
+                    " ".join(
+                        "_".join(str(int(v)) for v in row) for row in E
+                    )
+                )
+            return out
 
         for pdf in batches:
             recs = []
@@ -5303,7 +5468,10 @@ def audio_window_token_text(
                 pdf["media_id"], pdf["payload"], pdf["format"]
             ):
                 try:
-                    recs.append((mid, tokens_of(bytes(payload or b""), fmt)))
+                    recs.extend(
+                        (mid, doc)
+                        for doc in docs_of(bytes(payload or b""), fmt)
+                    )
                 except (
                     NotImplementedError,
                     ValueError,
@@ -5356,6 +5524,9 @@ def audio_energy_segments(
 
     if windows is None:
         windows = decode_audio_windows(media)
+    if "phase" in windows.columns:
+        # Segmentation is defined over the base (offset-0) grid only.
+        windows = windows.filter(F.col("phase") == 0)
     active = windows.filter(
         F.col("decode_ok")
         & (
@@ -5479,6 +5650,51 @@ def checked_audio_clip_df(spark, n_bases: int = 4) -> DataFrame:
     rows.append(
         (bad, "audio", "mp3",
          bytearray(hashlib.md5(f"aclip{bad}".encode()).digest() * 4),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def checked_audio_offset_clip_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable NON-ALIGNED audio excerpt table — the audio
+    member of the round-11 phase-shift fixtures: same 4,096-sample
+    closed-form hosts as `checked_audio_clip_df` (ids 2b), but id
+    2b+1 excerpts samples 1088..2623 — offset 1088 = 8.5 windows, a
+    window/2 = 64-sample lattice point that is NOT a window boundary,
+    so the single-grid window tokenization shares no tokens with the
+    host (every excerpt window straddles two host windows) while the
+    phases=2 grids realign exactly (excerpt phase-0 windows are host
+    phase-64 windows, excerpt phase-64 windows are host phase-0
+    windows). id 2*n_bases is an undecodable 'mp3' digest blob
+    (absent from tokens)."""
+    import io
+    import struct
+    import wave
+
+    def x(b: int, t: int) -> int:
+        return ((t * t * (11 + b % 7) + t * (37 + b % 101) + 17 * b)
+                % 1025) - 512
+
+    def wav(samples: list[int]) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    rows = []
+    for b in range(n_bases):
+        host = [x(b, t) for t in range(4096)]
+        rows.append((2 * b, "audio", "wav", bytearray(wav(host)),
+                     None, None, None))
+        rows.append((2 * b + 1, "audio", "wav",
+                     bytearray(wav(host[1088:2624])), None, None, None))
+    bad = 2 * n_bases
+    rows.append(
+        (bad, "audio", "mp3",
+         bytearray(hashlib.md5(f"aoclip{bad}".encode()).digest() * 4),
          None, None, None)
     )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -352,9 +352,9 @@ def rrf_fuse(
     output carries each arm's rank as ``rank_<name>`` (NULL where the
     arm missed), ``rrf_score`` rounded to 9dp (reciprocals of integer
     ranks — both engines compute identical doubles, summed in sorted
-    arm-name order so the accumulation order is pinned too), and the
-    dense ``rank_hybrid`` with doc-id tie-break (equal-rank singletons
-    from different arms tie exactly).
+    arm-name order so the accumulation order is pinned too), and
+    ``rank_hybrid`` — a gapless row_number order (strict total order
+    via the doc-id tie-break, NOT dense_rank tie semantics).
 
     Scale shape: each arm is already capped to its own top-N by the
     caller, so the full-outer fusion join and the global final window
@@ -363,6 +363,8 @@ def rrf_fuse(
     BM25, brute/ANN for vectors)."""
     from pyspark.sql import Window
 
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked arm")
     out: DataFrame | None = None
     for name in sorted(ranked):
         side = ranked[name].select(

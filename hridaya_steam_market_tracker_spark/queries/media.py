@@ -2013,6 +2013,182 @@ def multimodal_audio_excerpt_pairs(
     )
 
 
+# Phased window tokens of checked_audio_offset_clip_df recomputed
+# closed-form (round 11): same Goertzel impulse-response restatement as
+# _AUDIO_CLIP_WINNOW_CTE, but windows are taken on BOTH phase grids
+# (sample offsets o in {0, 64}) — in-window position (t - o) % 128,
+# window number (t - o) // 128, full windows only — and the excerpt
+# (odd ids) starts at host sample 1088 (8.5 windows: on the 64-sample
+# phase lattice, NOT a window boundary). One token document per
+# (clip, phase); fingerprints are the per-document winnowing selection
+# unioned DISTINCT per clip — matching winnow_fingerprints over the
+# phases=2 multi-row token relation with its (id, fp) dedup.
+_AUDIO_OFFSET_CLIP_CTE = f"""
+    xs AS (
+      SELECT i, t,
+        CASE WHEN i % 2 = 0
+          THEN ((t*t*(11 + (i//2) % 7) + t*(37 + (i//2) % 101)
+                 + 17*(i//2)) % 1025) - 512
+          ELSE (((t+1088)*(t+1088)*(11 + (i//2) % 7)
+                 + (t+1088)*(37 + (i//2) % 101)
+                 + 17*(i//2)) % 1025) - 512
+        END AS v,
+        CASE WHEN i % 2 = 0 THEN 4096 ELSE 1536 END AS n
+      FROM generate_series(0, 7) gi(i), generate_series(0, 4095) gt(t)
+      WHERE i % 2 = 0 OR t < 1536
+    ),
+    ph AS (SELECT 0 AS o UNION ALL SELECT 64),
+    e AS (
+      SELECT i, ph.o AS o, (t - ph.o) // 128 AS wn, k.k,
+        sum(v * CASE k.k
+            WHEN 0 THEN CASE (127 - (t - ph.o) % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (127 - (t - ph.o) % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (127 - (t - ph.o) % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (128 - (t - ph.o) % 128)
+                 * (CASE WHEN (127 - (t - ph.o) % 128) % 2 = 0
+                    THEN 1 ELSE -1 END)
+          END) AS s1,
+        sum(CASE WHEN (t - ph.o) % 128 <= 126 THEN v * CASE k.k
+            WHEN 0 THEN CASE (126 - (t - ph.o) % 128) % 6
+                 WHEN 0 THEN 1 WHEN 1 THEN 1
+                 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END
+            WHEN 1 THEN CASE (126 - (t - ph.o) % 128) % 4
+                 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END
+            WHEN 2 THEN CASE (126 - (t - ph.o) % 128) % 3
+                 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END
+            ELSE (127 - (t - ph.o) % 128)
+                 * (CASE WHEN (126 - (t - ph.o) % 128) % 2 = 0
+                    THEN 1 ELSE -1 END)
+          END ELSE 0 END) AS s2
+      FROM xs, ph, (VALUES (0), (1), (2), (3)) k(k)
+      WHERE t >= ph.o AND t < ph.o + ((n - ph.o) // 128) * 128
+      GROUP BY i, ph.o, (t - ph.o) // 128, k.k
+    ),
+    tok AS (
+      SELECT i, o, wn,
+             array_to_string(
+               list(CAST(s1*s1 + s2*s2
+                    - (CASE k WHEN 0 THEN 1 WHEN 1 THEN 0
+                       WHEN 2 THEN -1 ELSE -2 END) * s1 * s2 AS VARCHAR)
+                    ORDER BY k), '_') AS t_str
+      FROM e GROUP BY i, o, wn
+    ),
+    d AS (SELECT i AS media_id, o, list(t_str ORDER BY wn) AS w
+          FROM tok GROUP BY i, o),
+    g AS (SELECT media_id, o,
+                 [{_VH60_SQL.format(g="array_to_string(w[k:k+2], ' ')")}
+                  for k in range(1, len(w) - 1)] AS h
+          FROM d WHERE len(w) >= 3),
+    win AS (SELECT media_id, o,
+                   CASE WHEN len(h) >= 4
+                        THEN list_distinct([list_min(h[k:k+3])
+                                            for k in range(1, len(h) - 2)])
+                        ELSE [list_min(h)] END AS fps
+            FROM g),
+    afps AS (SELECT DISTINCT media_id, fp
+             FROM win, unnest(fps) AS t(fp))
+"""
+
+
+@register(
+    "multimodal_audio_offset_clip_fingerprints",
+    oracle="WITH "
+    + _AUDIO_OFFSET_CLIP_CTE
+    + """
+    SELECT media_id, fp FROM afps
+    """,
+    doc=(
+        "PHASE-SHIFTED audio window fingerprints (phases=2) over the "
+        "non-aligned-excerpt fixture: one token document per (clip, "
+        "64-sample phase offset), winnowed independently, unioned "
+        "DISTINCT per clip — every Goertzel power, gram hash, and "
+        "winnowing selection recomputed bit-for-bit by the oracle. "
+        "The index side of the audio alignment-blind-spot shrink "
+        "(index <= 2x; the mp3 honesty row fingerprints nothing)."
+    ),
+)
+def multimodal_audio_offset_clip_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_window_token_text,
+        checked_audio_offset_clip_df,
+    )
+
+    toks = audio_window_token_text(
+        checked_audio_offset_clip_df(spark), phases=2
+    )
+    return winnow_fingerprints(
+        toks, id_col="media_id", k=3, w=4
+    ).dropDuplicates(["media_id", "fp"])
+
+
+@register(
+    "multimodal_audio_offset_excerpt_pairs",
+    oracle="WITH "
+    + _AUDIO_OFFSET_CLIP_CTE
+    + """,
+    cnt AS (SELECT media_id, count(*) AS n FROM afps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM afps
+           WHERE fp IN (SELECT fp FROM afps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT CAST(sh.i AS BIGINT) AS i, CAST(sh.j AS BIGINT) AS j,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "NON-ALIGNED audio excerpt containment, value-checked end to "
+        "end — the audio member of the round-11 blind-spot shrink: an "
+        "excerpt cut at 8.5 windows (the 64-sample phase lattice, not "
+        "a window boundary) shares ZERO tokens with its host under "
+        "single-grid tokenization (every excerpt window straddles two "
+        "host windows), but with phases=2 the excerpt's phase "
+        "documents are contiguous runs of the host's phase documents "
+        "and the pair surfaces through the UNCHANGED df-capped "
+        "winnow_containment_pairs join. Unrelated hosts share no "
+        "fingerprints and produce no rows."
+    ),
+)
+def multimodal_audio_offset_excerpt_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_window_token_text,
+        checked_audio_offset_clip_df,
+    )
+
+    toks = audio_window_token_text(
+        checked_audio_offset_clip_df(spark), phases=2
+    )
+    fps = (
+        winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
+        .dropDuplicates(["media_id", "fp"])
+        .localCheckpoint(eager=False)
+    )
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
 # Tile tokens of checked_image_crop_df recomputed closed-form: pixel
 # v(b,x,y) (crop rows shift by the (16,8) offset), 8x8 tiles, token =
 # position-weighted byte sum (each gray pixel contributes v*(9k+6), k =
@@ -2135,6 +2311,137 @@ def multimodal_image_crop_pairs(
     fps = image_tile_fingerprints(checked_image_crop_df(spark)).localCheckpoint(
         eager=False
     )
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
+# Phased tile tokens of checked_image_offset_crop_df recomputed
+# closed-form (round 11): same pixel formula as the aligned fixture but
+# the crop sits at offset (20, 12) — a tile/2 lattice point, NOT a tile
+# boundary — and tokens come from ALL FOUR phase grids (x/y offsets in
+# {0, 4}): a phase grid at offset o tiles the [o, o + ((dim-o)//8)*8)
+# span, and each tile's token is the same position-weighted byte sum
+# keyed by in-tile coordinates RELATIVE to the grid origin. fps are the
+# shared 60-bit md5 recipe, distinct per image (tokens are content-only
+# across phases — cross-phase joins are exactly what realign a shifted
+# crop, see operators/multimodal._tile_token_kernel).
+_IMAGE_OFFSET_CROP_CTE = f"""
+    px AS (
+      SELECT i, x, y,
+        CASE WHEN i % 2 = 0
+          THEN (x*x*(3 + (i//2) % 5) + y*y*(7 + (i//2) % 3) + x*y
+                + 13*(i//2)) % 251
+          ELSE ((x+20)*(x+20)*(3 + (i//2) % 5)
+                + (y+12)*(y+12)*(7 + (i//2) % 3) + (x+20)*(y+12)
+                + 13*(i//2)) % 251
+        END AS v,
+        CASE WHEN i % 2 = 0 THEN 64 ELSE 32 END AS iw,
+        CASE WHEN i % 2 = 0 THEN 48 ELSE 24 END AS ih
+      FROM generate_series(0, 7) gi(i),
+           generate_series(0, 63) gx(x),
+           generate_series(0, 47) gy(y)
+      WHERE i % 2 = 0 OR (x < 32 AND y < 24)
+    ),
+    ph AS (SELECT 0 AS o UNION ALL SELECT 4),
+    tok AS (
+      SELECT i AS media_id,
+             sum(v * (9 * (((y - hy.o) % 8) * 8 + ((x - hx.o) % 8)) + 6))
+               % 2147483648 AS t
+      FROM px, ph hx, ph hy
+      WHERE x >= hx.o AND y >= hy.o
+        AND x < hx.o + ((iw - hx.o) // 8) * 8
+        AND y < hy.o + ((ih - hy.o) // 8) * 8
+      GROUP BY i, hx.o, hy.o, (x - hx.o) // 8, (y - hy.o) // 8
+    ),
+    ifps AS (
+      SELECT DISTINCT CAST(media_id AS BIGINT) AS media_id,
+             {_VH60_SQL.format(g="CAST(t AS VARCHAR)")} AS fp
+      FROM tok
+    )
+"""
+
+
+@register(
+    "multimodal_image_offset_tile_fingerprints",
+    oracle="WITH "
+    + _IMAGE_OFFSET_CROP_CTE
+    + """
+    SELECT media_id, fp FROM ifps
+    """,
+    doc=(
+        "PHASE-SHIFTED tile fingerprints (phases=2) over the "
+        "non-aligned-crop fixture: every token of all four phase "
+        "grids (x/y offsets 0 and 4) of the really-decoded rasters, "
+        "distinct per image, recomputed bit-for-bit by the oracle — "
+        "the index side of the round-11 alignment-blind-spot shrink "
+        "(index grows <= 4x; the undecodable honesty row "
+        "fingerprints nothing)."
+    ),
+)
+def multimodal_image_offset_tile_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_offset_crop_df,
+        image_tile_fingerprints,
+    )
+
+    return image_tile_fingerprints(
+        checked_image_offset_crop_df(spark), phases=2
+    )
+
+
+@register(
+    "multimodal_image_offset_crop_pairs",
+    oracle="WITH "
+    + _IMAGE_OFFSET_CROP_CTE
+    + """,
+    cnt AS (SELECT media_id, count(*) AS n FROM ifps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM ifps
+           WHERE fp IN (SELECT fp FROM ifps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT sh.i, sh.j, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "NON-ALIGNED cropped-image containment, value-checked end to "
+        "end — the round-11 blind-spot shrink: a 32x24 crop at offset "
+        "(20, 12) (a tile/2 lattice point, not a tile boundary) "
+        "shares ZERO tiles with its host under the single grid (the "
+        "class the round-10 aligned plane still admitted), but with "
+        "phases=2 every crop-phase grid realigns with some host-phase "
+        "grid and the pair surfaces at containment exactly 1.0 "
+        "through the UNCHANGED df-capped winnow_containment_pairs "
+        "join. Unrelated bases share no fingerprints and produce no "
+        "rows."
+    ),
+)
+def multimodal_image_offset_crop_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_offset_crop_df,
+        image_tile_fingerprints,
+    )
+
+    # Lazy stage boundary (the subclip-pairs lesson): the containment
+    # join fans the fingerprint relation out four ways; the checkpoint
+    # materializes the decode-stage fingerprints once.
+    fps = image_tile_fingerprints(
+        checked_image_offset_crop_df(spark), phases=2
+    ).localCheckpoint(eager=False)
     return winnow_containment_pairs(
         fps, id_col="media_id", min_containment=0.5
     )

