@@ -2669,6 +2669,125 @@ def media_excerpt_admission_twin(
     )
 
 
+_PHASE_TWIN_STORED = (2000, 3000)
+_PHASE_TWIN_BATCH = (2001, 2002, 2008, 3001, 3002, 3004, 3005, 3008)
+
+
+def _phase_twin_oracle() -> str:
+    """DuckDB restatement of the `media_excerpt_rejects` decision over
+    the PHASED (phases=2) fingerprint relations of the round-11
+    offset fixtures — the gate twin proving the NON-aligned crop /
+    excerpt classes are rejected by the literal streaming decision
+    function, not just surfaced by the batch pair queries. Same
+    decision SQL as `_excerpt_twin_oracle` (df<=50 prune, unpruned
+    denominator, stored + lower-id leader-keeps, distinct fps,
+    >= tau); the fingerprints come from the phase-shifted CTEs that
+    oracle the offset fingerprint queries bit-for-bit."""
+    stored = ", ".join(f"({i})" for i in _PHASE_TWIN_STORED)
+    batch = ", ".join(f"({i})" for i in _PHASE_TWIN_BATCH)
+    return f"""
+    WITH a2fps AS (
+      SELECT media_id + 2000 AS media_id, 'audio' AS plane, fp
+      FROM (WITH {_AUDIO_OFFSET_CLIP_CTE}
+            SELECT media_id, fp FROM afps)
+    ),
+    i2fps AS (
+      SELECT media_id + 3000 AS media_id, 'image' AS plane, fp
+      FROM (WITH {_IMAGE_OFFSET_CROP_CTE}
+            SELECT media_id, fp FROM ifps)
+    ),
+    allf AS (SELECT * FROM a2fps UNION ALL SELECT * FROM i2fps),
+    stored(sid) AS (VALUES {stored}),
+    batch(bid) AS (VALUES {batch}),
+    pop AS (SELECT plane, fp FROM allf
+            WHERE media_id IN (SELECT sid FROM stored)
+               OR media_id IN (SELECT bid FROM batch)),
+    rare AS (SELECT plane, fp FROM pop GROUP BY 1, 2
+             HAVING count(*) <= 50),
+    bf AS (SELECT media_id, plane, fp FROM allf
+           WHERE media_id IN (SELECT bid FROM batch)),
+    nfp AS (SELECT media_id, count(*) AS n FROM bf GROUP BY 1),
+    bfp AS (SELECT bf.* FROM bf JOIN rare USING (plane, fp)),
+    sfpp AS (SELECT a.media_id, a.plane, a.fp FROM allf a
+             JOIN rare USING (plane, fp)
+             WHERE a.media_id IN (SELECT sid FROM stored)),
+    sh AS (
+      SELECT b.media_id AS j, b.fp
+      FROM bfp b
+      JOIN (SELECT * FROM sfpp UNION ALL SELECT * FROM bfp) a
+        ON a.plane = b.plane AND a.fp = b.fp
+      WHERE a.media_id IN (SELECT sid FROM stored)
+         OR a.media_id < b.media_id
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT j, count(*) AS n_shared FROM sh GROUP BY 1)
+    SELECT CAST(bid AS BIGINT) AS media_id,
+           coalesce(ns.n_shared / CAST(nfp.n AS DOUBLE) < 0.8, TRUE)
+             AS admitted
+    FROM batch
+    LEFT JOIN nfp ON nfp.media_id = bid
+    LEFT JOIN ns ON ns.j = bid
+    """
+
+
+@register(
+    "media_phase_excerpt_admission_twin",
+    oracle=_phase_twin_oracle(),
+    doc=(
+        "The PHASE-AWARE excerpt/crop admission DECISION, value-"
+        "checked end to end (round 11): the LITERAL streaming "
+        "decision function runs on phases=2 fingerprints of the "
+        "offset fixtures — an audio excerpt cut at 8.5 windows "
+        "(reject), an image crop at offset (20, 12) (reject), both "
+        "classes the single-grid gate ADMITS — plus unrelated hosts "
+        "(admit), an in-batch host+offset-crop pair (leader-keeps: "
+        "host admitted, crop rejected) and the unparseable honesty "
+        "rows (admit — fp=NULL presence rows never evidence a "
+        "rejection). DuckDB recomputes every phased fingerprint AND "
+        "the whole decision."
+    ),
+)
+def media_phase_excerpt_admission_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_offset_clip_df,
+        checked_image_offset_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_excerpt_rejects,
+        media_winnow_fps,
+    )
+
+    aud = checked_audio_offset_clip_df(spark).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    img = checked_image_offset_crop_df(spark).withColumn(
+        "media_id", F.col("media_id") + 3000
+    )
+    mixed = aud.unionByName(img)
+    stored = mixed.filter(F.col("media_id").isin(list(_PHASE_TWIN_STORED)))
+    batch = mixed.filter(F.col("media_id").isin(list(_PHASE_TWIN_BATCH)))
+    # Lazy fps-stage boundaries (the subclip-pairs lesson): the
+    # decision fans each fps relation out ~4 ways (population,
+    # evidence, denominator); the checkpoints decode each payload once
+    # at first execution. The streaming gate gets the same effect from
+    # its persist() on batch_wfps.
+    rejects = media_excerpt_rejects(
+        media_winnow_fps(stored, phases=2).localCheckpoint(eager=False),
+        media_winnow_fps(batch, phases=2).localCheckpoint(eager=False),
+        0.8,
+    )
+    return (
+        batch.select("media_id")
+        .join(rejects.withColumn("rej", F.lit(True)), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
+        )
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""

@@ -335,19 +335,55 @@ _ANY_KEYS = ("plane", "band", "bucket")
 _GATE_MODE_MARKER = "_GATE_MODE"
 
 
-def set_any_media_gate_mode(store_path: str, excerpt: bool) -> None:
+def _mode_string(excerpt: bool, phases: int = 1) -> str:
+    if not excerpt:
+        return "plain"
+    return "excerpt" if phases == 1 else f"excerpt:phases={phases}"
+
+
+def set_any_media_gate_mode(
+    store_path: str, excerpt: bool, phases: int = 1
+) -> None:
     """Deliberately (re)declare a unified store's admission mode —
     the explicit act `_check_gate_mode`'s refusal demands before a
     store may switch between plain and excerpt-aware ingest. After
     switching a store TO excerpt mode, the next excerpt-aware batch's
     repair pass re-fingerprints every stored item into wfps/ (one
-    payload re-read per stored row — the documented upgrade cost)."""
+    payload re-read per stored row — the documented upgrade cost).
+
+    ``phases`` (round 11) is part of the lifetime contract too — a
+    store's wfps/ index is only as phase-aware as the batches that
+    built it, so switching phases on a store that already has a
+    wfps/ index DROPS the index (that is what re-keying means): the
+    next excerpt-aware batch's repair pass rebuilds it at the new
+    phase count. Without the drop, stored items would keep their
+    old-phase fingerprints and an offset crop/excerpt of an OLD item
+    would still sail through — the exact silent weakening this
+    marker exists to refuse."""
+    import shutil
+
     os.makedirs(store_path, exist_ok=True)
-    with open(os.path.join(store_path, _GATE_MODE_MARKER), "w") as f:
-        f.write("excerpt" if excerpt else "plain")
+    marker = os.path.join(store_path, _GATE_MODE_MARKER)
+    new_mode = _mode_string(excerpt, phases)
+    old_mode = None
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            old_mode = f.read().strip()
+    wfps_path = os.path.join(store_path, "wfps")
+    if (
+        old_mode is not None
+        and old_mode != new_mode
+        and excerpt
+        and os.path.isdir(wfps_path)
+    ):
+        shutil.rmtree(wfps_path)
+    with open(marker, "w") as f:
+        f.write(new_mode)
 
 
-def _check_gate_mode(store_path: str, excerpt: bool) -> None:
+def _check_gate_mode(
+    store_path: str, excerpt: bool, phases: int = 1
+) -> None:
     """Enforce the excerpt-tier lifetime contract the round-9
     docstring could only request: a store is EITHER plain (wfps/
     never maintained) OR excerpt-aware, for its whole life, unless
@@ -359,8 +395,10 @@ def _check_gate_mode(store_path: str, excerpt: bool) -> None:
     (pre-round-10) are grandfathered by INFERENCE from the one
     durable fact on disk — wfps/ exists iff the store ever ingested
     excerpt-aware — then the marker is written so the inference
-    happens once."""
-    mode = "excerpt" if excerpt else "plain"
+    happens once (phases is unknowable from disk; grandfathered
+    stores are phases=1, the only value that existed before the
+    marker carried it)."""
+    mode = _mode_string(excerpt, phases)
     marker = os.path.join(store_path, _GATE_MODE_MARKER)
     if os.path.isfile(marker):
         with open(marker) as f:
@@ -372,7 +410,7 @@ def _check_gate_mode(store_path: str, excerpt: bool) -> None:
             else "plain"
         )
     else:
-        set_any_media_gate_mode(store_path, excerpt)
+        set_any_media_gate_mode(store_path, excerpt, phases)
         return
     if stored_mode != mode:
         raise ValueError(
@@ -380,12 +418,13 @@ def _check_gate_mode(store_path: str, excerpt: bool) -> None:
             f"but this batch requests {mode!r}: mixed-mode ingest "
             "silently weakens the gate (stale wfps/, unrejected "
             "excerpts). Keep excerpt_tau consistent for the store's "
-            "lifetime, or switch deliberately with "
+            "lifetime (excerpt_phases included), or switch "
+            "deliberately with "
             f"set_any_media_gate_mode({store_path!r}, "
-            f"excerpt={excerpt})."
+            f"excerpt={excerpt}, phases={phases})."
         )
     if not os.path.isfile(marker):
-        set_any_media_gate_mode(store_path, excerpt)
+        set_any_media_gate_mode(store_path, excerpt, phases)
 
 
 def media_signatures(
@@ -486,6 +525,7 @@ def ingest_any_media_batch(
     max_hamming: int = 3,
     excerpt_tau: float | None = None,
     excerpt_max_df: int = 50,
+    excerpt_phases: int = 1,
 ) -> None:
     """Process ONE mixed media micro-batch through the unified gate:
     per-plane signatures (image dHash / video temporal dHash / audio
@@ -516,7 +556,14 @@ def ingest_any_media_batch(
     the store's mode at first ingest and a mixed-mode batch refuses
     loudly (`_check_gate_mode`) instead of silently weakening the gate;
     switch deliberately with `set_any_media_gate_mode`, after which
-    the repair pass re-fingerprints stored items once."""
+    the repair pass re-fingerprints stored items once.
+
+    ``excerpt_phases`` (round 11, part of the same lifetime contract):
+    phase-shifted content grids for the image/audio planes so
+    NON-aligned crops and excerpts are rejected too (see
+    `media_winnow_fps`); the wfps/ index grows <= phases^2x for
+    images, <= phases x for audio, and the gate's join shapes are
+    unchanged."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 16-bit banding is lossless only "
@@ -534,10 +581,10 @@ def ingest_any_media_batch(
         ("docs", "bands", "wfps") if excerpt_tau is not None
         else ("docs", "bands"),
     )
-    _check_gate_mode(store_path, excerpt_tau is not None)
+    _check_gate_mode(store_path, excerpt_tau is not None, excerpt_phases)
     repair_any_media_band_index(spark, store_path)
     if excerpt_tau is not None:
-        repair_media_wfps_index(spark, store_path)
+        repair_media_wfps_index(spark, store_path, phases=excerpt_phases)
     stored = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
     if stored is not None:
         batch = batch.join(stored.select("media_id"), "media_id", "left_anti")
@@ -564,8 +611,12 @@ def ingest_any_media_batch(
 
             decode_kw = {
                 "video_frames": decode_mp4_frames(batch),
-                "audio_windows": decode_audio_windows(batch),
-                "image_decoded": decode_image_signature_tiles(batch),
+                "audio_windows": decode_audio_windows(
+                    batch, phases=excerpt_phases
+                ),
+                "image_decoded": decode_image_signature_tiles(
+                    batch, phases=excerpt_phases
+                ),
             }
             for df in decode_kw.values():
                 shared.append(df.persist(StorageLevel.MEMORY_AND_DISK))
@@ -583,9 +634,9 @@ def ingest_any_media_batch(
         )
         if excerpt_tau is not None:
             wfps_path = os.path.join(store_path, "wfps")
-            batch_wfps = media_winnow_fps(batch, **decode_kw).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            batch_wfps = media_winnow_fps(
+                batch, phases=excerpt_phases, **decode_kw
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             stored_wfps = (
                 spark.read.parquet(wfps_path).select(*_WFP_COLS)
                 if os.path.isdir(wfps_path)
@@ -722,6 +773,7 @@ def media_winnow_fps(
     video_frames: DataFrame | None = None,
     audio_windows: DataFrame | None = None,
     image_decoded: DataFrame | None = None,
+    phases: int = 1,
 ) -> DataFrame:
     """(media_id, plane, fp) content fingerprints for the containment
     planes: winnowing fingerprints over the sequence planes (video
@@ -735,7 +787,19 @@ def media_winnow_fps(
     smaller than one tile) carry a single fp=NULL presence row, so the
     index distinguishes 'indexed, nothing to match' from 'orphaned' —
     NULL never equi-joins, so presence rows can never evidence a
-    rejection."""
+    rejection.
+
+    ``phases`` (round 11): phase-shifted grids for the image tile and
+    audio window planes (see `_tile_token_kernel` /
+    `audio_window_token_text`) so NON-aligned crops and excerpts
+    surface too; the video plane needs none (its token unit is a
+    whole frame — every subclip is frame-aligned by construction).
+    The audio plane then emits one token document per (clip, phase),
+    so the winnowed (id, fp) pairs are deduped before the containment
+    consumers count them (phases=1 keeps the historical single-doc
+    plan untouched). When the shared ``audio_windows`` /
+    ``image_decoded`` relations are supplied they must have been
+    decoded with the SAME phases."""
     from hridaya_steam_market_tracker_spark.operators.dedup import (
         winnow_fingerprints,
     )
@@ -746,10 +810,15 @@ def media_winnow_fps(
     )
 
     toks = video_frame_token_text(batch, frames=video_frames).unionByName(
-        audio_window_token_text(batch, windows=audio_windows)
+        audio_window_token_text(batch, windows=audio_windows, phases=phases)
     )
-    fps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4).unionByName(
-        image_tile_fingerprints(batch, decoded=image_decoded)
+    wfps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
+    if phases > 1 or (
+        audio_windows is not None and "phase" in audio_windows.columns
+    ):
+        wfps = wfps.dropDuplicates(["media_id", "fp"])
+    fps = wfps.unionByName(
+        image_tile_fingerprints(batch, decoded=image_decoded, phases=phases)
     )
     ids = batch.filter(
         F.col("media_type").isin("image", "video", "audio")
@@ -819,13 +888,19 @@ def media_excerpt_rejects(
     )
 
 
-def repair_media_wfps_index(spark: SparkSession, store_path: str) -> int:
+def repair_media_wfps_index(
+    spark: SparkSession, store_path: str, phases: int = 1
+) -> int:
     """Re-index image/video/audio docs rows missing from wfps/ — the
     excerpt index's analog of `repair_any_media_band_index`, with the
     fp=NULL presence rows making 'nothing to fingerprint' a recorded
     state instead of a perpetual orphan. Also how a pre-crop-plane
     store upgrades: its image rows have no wfps rows, so the first
-    excerpt-aware batch re-fingerprints them here, once."""
+    excerpt-aware batch re-fingerprints them here, once — and how a
+    phases switch rebuilds: `set_any_media_gate_mode` drops wfps/
+    when the phase count changes, so every stored item re-enters
+    here as an orphan and is re-fingerprinted at the gate's
+    ``phases``."""
     docs_path = os.path.join(store_path, "docs")
     wfps_path = os.path.join(store_path, "wfps")
     if not os.path.isdir(docs_path):
@@ -843,7 +918,9 @@ def repair_media_wfps_index(spark: SparkSession, store_path: str) -> int:
     if orphans.isEmpty():
         return 0
     orphan_docs = docs.join(orphans, "media_id", "left_semi")
-    repaired = media_winnow_fps(orphan_docs).localCheckpoint(eager=True)
+    repaired = media_winnow_fps(orphan_docs, phases=phases).localCheckpoint(
+        eager=True
+    )
     cnt = repaired.count()
     repaired.write.mode("append").partitionBy("plane").parquet(wfps_path)
     return cnt

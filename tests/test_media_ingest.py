@@ -676,6 +676,102 @@ def test_any_media_gate_mode_lifetime_contract(spark, tmp_path):
         assert f.read() == "excerpt"  # inference recorded once
 
 
+def test_any_media_phase_aware_admission(spark, tmp_path):
+    """excerpt_phases=2 closes the ALIGNMENT blind spot (round 11):
+    an image crop at offset (20, 12) — a tile/2 lattice point, not a
+    tile boundary — and an audio excerpt cut at 8.5 windows are both
+    ADMITTED by the single-grid excerpt gate (the blindness the
+    round-10 verdict named as the largest remaining duplicate class)
+    and REJECTED by the phases=2 gate through the identical join
+    shapes. Directionality still holds at phases=2."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_offset_clip_df,
+        checked_image_offset_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+    )
+
+    for name, rows in (
+        ("img", checked_image_offset_crop_df(spark)),
+        ("aud", checked_audio_offset_clip_df(spark)),
+    ):
+        def pick(*ids):
+            return rows.filter(rows["media_id"].isin(list(ids)))
+
+        # blindness control: the single-grid excerpt gate admits the
+        # offset crop/excerpt (id 1 = the planted non-aligned copy)
+        blind = str(tmp_path / f"{name}_blind")
+        ingest_any_media_batch(pick(0), blind, excerpt_tau=0.8)
+        ingest_any_media_batch(pick(1), blind, excerpt_tau=0.8)
+        assert _stored_ids(spark, blind) == {0, 1}
+
+        # phases=2: rejected; unrelated base (id 2) admitted;
+        # undecodable honesty row (id 8) admitted docs-only
+        store = str(tmp_path / f"{name}_ph2")
+        ingest_any_media_batch(
+            pick(0), store, excerpt_tau=0.8, excerpt_phases=2
+        )
+        ingest_any_media_batch(
+            pick(1, 2, 8), store, excerpt_tau=0.8, excerpt_phases=2
+        )
+        assert _stored_ids(spark, store) == {0, 2, 8}
+
+        # directionality: crop/excerpt first, host still admitted
+        store2 = str(tmp_path / f"{name}_dir")
+        ingest_any_media_batch(
+            pick(1), store2, excerpt_tau=0.8, excerpt_phases=2
+        )
+        ingest_any_media_batch(
+            pick(0), store2, excerpt_tau=0.8, excerpt_phases=2
+        )
+        assert _stored_ids(spark, store2) == {1, 0}
+
+
+def test_any_media_phase_mode_lifetime_and_switch(spark, tmp_path):
+    """excerpt_phases is part of the _GATE_MODE lifetime contract: a
+    phases=2 store refuses a phases=1 batch (and vice versa) because
+    a mixed-phase wfps/ silently re-opens the alignment blind spot
+    for whichever items were indexed at the lower phase count. The
+    deliberate switch (set_any_media_gate_mode with the new phases)
+    DROPS wfps/ and the next batch's repair rebuilds it at the new
+    phase count — after which the offset crop of an item stored
+    BEFORE the switch is rejected too."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_offset_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+        set_any_media_gate_mode,
+    )
+
+    rows = checked_image_offset_crop_df(spark)
+
+    def pick(*ids):
+        return rows.filter(rows["media_id"].isin(list(ids)))
+
+    store = str(tmp_path / "store")
+    ingest_any_media_batch(pick(0), store, excerpt_tau=0.8, excerpt_phases=2)
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(pick(2), store, excerpt_tau=0.8)
+    with open(os.path.join(store, "_GATE_MODE")) as f:
+        assert f.read() == "excerpt:phases=2"
+
+    # a phases=1 store upgraded to phases=2: the marker switch drops
+    # wfps/, repair re-fingerprints the stored host at phases=2, and
+    # its offset crop — admitted-class under the old index — rejects
+    old = str(tmp_path / "old")
+    ingest_any_media_batch(pick(0), old, excerpt_tau=0.8)
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(
+            pick(1), old, excerpt_tau=0.8, excerpt_phases=2
+        )
+    set_any_media_gate_mode(old, excerpt=True, phases=2)
+    assert not os.path.isdir(os.path.join(old, "wfps"))  # dropped
+    ingest_any_media_batch(pick(1), old, excerpt_tau=0.8, excerpt_phases=2)
+    assert _stored_ids(spark, old) == {0}  # rebuilt index catches it
+
+
 def test_media_signatures_plane_disjointness(spark, monkeypatch):
     """Plane disjointness is structural: each plane operator receives
     ONLY its media_type's rows, so even an operator whose internal

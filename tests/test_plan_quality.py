@@ -514,6 +514,18 @@ def test_sample_first_names_all_registered(registry):
         # BM25 arm's postings/df/stats shuffles + each arm's rank
         # window + the O(arms x 50)-row fusion join and final window
         ("hybrid_rrf_search", 8),
+        # round-11 phase-shifted planes: fingerprints are one distinct
+        # over the Arrow pass (the k^2/k phase grids ride the same
+        # decode — no extra exchange)
+        ("multimodal_image_offset_tile_fingerprints", 1),
+        ("multimodal_audio_offset_clip_fingerprints", 1),
+        # containment joins: same df-capped shape as the aligned tier
+        ("multimodal_image_offset_crop_pairs", 9),
+        ("multimodal_audio_offset_excerpt_pairs", 9),
+        # the phase-aware decision twin: lazy fps-stage checkpoints
+        # truncate the decision's 4-way fan-out to the post-decode
+        # relations
+        ("media_phase_excerpt_admission_twin", 12),
     ],
 )
 def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):
