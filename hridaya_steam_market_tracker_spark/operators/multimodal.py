@@ -3413,7 +3413,11 @@ VIDEO_SHOT_SCHEMA = (
 
 
 def video_shot_segments(
-    media: DataFrame, frames: DataFrame | None = None, tau: int = 24
+    media: DataFrame,
+    frames: DataFrame | None = None,
+    tau: int = 24,
+    drift_window: int | None = None,
+    drift_tau: int | None = None,
 ) -> DataFrame:
     """Shot-boundary segmentation + per-shot keyframe election — the
     video frame-SAMPLING primitive a vision-training pipeline needs
@@ -3438,13 +3442,37 @@ def video_shot_segments(
     clustering (subset rule), so the whole segmentation is ONE shuffle
     after the decode scan; payload bytes never cross an exchange.
     ``frames`` (optional) supplies a precomputed `decode_mp4_frames`
-    relation so callers that also need tokens/hashes decode once."""
+    relation so callers that also need tokens/hashes decode once.
+
+    ``drift_window`` / ``drift_tau`` (round 11, both set to enable):
+    GRADUAL transitions — a linear dissolve spreads a shot change
+    over several frames, every per-frame step below ``tau``, so the
+    hard-cut test alone under-segments dissolve-heavy content. The
+    drift test adds a boundary at the RISING EDGE of the windowed
+    cumulative drift: frame j also cuts when
+    S(j) = sum of |level step| over the last ``drift_window`` decoded
+    frames reaches ``drift_tau`` while S(j-1) was still below it.
+    The edge condition fires ONCE per accumulation (S stays high
+    through the rest of the dissolve, then decays without an upward
+    crossing), so an 8-frame dissolve yields exactly one boundary; a
+    hard cut drives S through the threshold at the same frame its
+    own test fires, so the two rules agree there and the boundary
+    stays single. Same integer algebra (sums of integer steps,
+    integer comparisons) and the same media_id-keyed window — still
+    ONE shuffle."""
     from pyspark.sql.window import Window
 
+    if (drift_window is None) != (drift_tau is None):
+        raise ValueError(
+            "drift_window and drift_tau must be set together"
+        )
     if frames is None:
         frames = decode_mp4_frames(media)
     w = Window.partitionBy("media_id").orderBy("frame_idx")
-    toks = (
+    hard = F.col("prev").isNull() | (
+        F.abs(F.col("tok") - F.col("prev")) >= tau
+    )
+    base = (
         frames.filter(F.col("decode_ok"))
         .select(
             "media_id",
@@ -3452,13 +3480,25 @@ def video_shot_segments(
             F.round(F.col("mean_intensity") * 255).cast("int").alias("tok"),
         )
         .withColumn("prev", F.lag("tok").over(w))
-        .withColumn(
-            "cut",
-            (
-                F.col("prev").isNull()
-                | (F.abs(F.col("tok") - F.col("prev")) >= tau)
-            ).cast("long"),
+    )
+    if drift_window is not None:
+        base = (
+            base.withColumn(
+                "drift",
+                F.sum(F.abs(F.col("tok") - F.col("prev"))).over(
+                    w.rowsBetween(-(drift_window - 1), 0)
+                ),
+            )
+            .withColumn("prev_drift", F.lag("drift").over(w))
         )
+        cut_cond = hard | (
+            (F.coalesce(F.col("drift"), F.lit(0)) >= drift_tau)
+            & (F.coalesce(F.col("prev_drift"), F.lit(0)) < drift_tau)
+        )
+    else:
+        cut_cond = hard
+    toks = (
+        base.withColumn("cut", cut_cond.cast("long"))
         .withColumn(
             "shot_id",
             (
@@ -3547,6 +3587,70 @@ def checked_video_shots_df(spark, n_bases: int = 4) -> DataFrame:
     rows.append(
         (bad + 1, "video", "mp4",
          bytearray(clip(bad + 1, [100, 100, 200])), None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def checked_video_dissolve_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable GRADUAL-transition table (round 11): for each
+    base b, id b is a 56-frame MJPEG video whose constant-gray level
+    L(b, j) = 30 + 9b +
+        j                for j in [0, 16)   (shot A, +1/frame ramp)
+        15 + 9*(j - 15)  for j in [16, 24)  (8-frame linear DISSOLVE,
+                                             +9/frame — every step
+                                             below the hard-cut tau)
+        88 + (j - 24)    for j in [24, 40)  (shot B, +1/frame)
+        158 + (j - 40)   for j in [40, 56)  (HARD CUT +55 at j=40,
+                                             then shot C, +1/frame)
+    With tau=24, drift_window=8, drift_tau=24 the expected boundaries
+    are exactly {0, 17, 40}: the dissolve's windowed drift sum first
+    reaches 24 at j=17 (6*1 + 9 + 9), stays high through the rest of
+    the dissolve (no second rising edge), and decays after it without
+    an upward crossing; the hard cut at 40 drives both rules at the
+    same frame (single boundary). Hard-cut-only segmentation sees
+    only {0, 40} — the under-segmentation blindness this fixture
+    exists to close. Video id 1's frame 19 is garbage bytes: the lag
+    closes over it MID-DISSOLVE (combined step 18 < tau, drift sum
+    unchanged: 18 = 9 + 9), so the same boundaries result from one
+    fewer row. id n_bases is an unparseable digest payload (absent)."""
+    _, encode = _pixel_codec()
+    w, h = 8, 6
+
+    def level(b: int, j: int) -> int:
+        a = 30 + 9 * b
+        if j < 16:
+            return a + j
+        if j < 24:
+            return a + 15 + 9 * (j - 15)
+        if j < 40:
+            return a + 88 + (j - 24)
+        return a + 158 + (j - 40)
+
+    def clip(i: int, vals: list[int | None]) -> bytes:
+        frames = [
+            hashlib.md5(f"dissolvebad{i}_{j}".encode()).digest()
+            if v is None
+            else encode(w, h, bytes([v]) * (3 * w * h), "jpg")
+            for j, v in enumerate(vals)
+        ]
+        return synth_mp4(
+            i, len(frames), 600, with_stss=False,
+            frame_payloads=frames, codec=b"mjpa",
+        )
+
+    rows = []
+    for b in range(n_bases):
+        vals: list[int | None] = [level(b, j) for j in range(56)]
+        if b == 1:
+            vals[19] = None
+        rows.append(
+            (b, "video", "mp4", bytearray(clip(b, vals)), None, None, None)
+        )
+    bad = n_bases
+    rows.append(
+        (bad, "video", "mp4",
+         bytearray(hashlib.md5(f"vdis{bad}".encode()).digest() * 4),
+         None, None, None)
     )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

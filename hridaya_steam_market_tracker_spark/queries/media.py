@@ -3093,6 +3093,106 @@ def multimodal_video_scene_keyframes(
     )
 
 
+# Dissolve fixture restated closed-form (round 11): 56-frame clips with
+# an 8-frame +9/frame linear dissolve (every step under the hard-cut
+# tau) and one genuine +55 hard cut; (i=1, j=19) is the mid-dissolve
+# corrupt frame the lag must close over. The drift rule is the rising
+# edge of the 8-row windowed |step| sum at 24.
+_VIDEO_DISSOLVE_CTE = """
+    vals AS (
+      SELECT i, j, 30 + 9*i + CASE
+          WHEN j < 16 THEN j
+          WHEN j < 24 THEN 15 + 9*(j - 15)
+          WHEN j < 40 THEN 88 + (j - 24)
+          ELSE 158 + (j - 40) END AS v
+      FROM generate_series(0, 3) gi(i), generate_series(0, 55) gj(j)
+      WHERE NOT (i = 1 AND j = 19)
+    ),
+    lagged AS (
+      SELECT i, j, v,
+        v - lag(v) OVER (PARTITION BY i ORDER BY j) AS dlt
+      FROM vals
+    ),
+    drifted AS (
+      SELECT i, j, v, dlt,
+        sum(abs(dlt)) OVER (PARTITION BY i ORDER BY j
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+          AS drift
+      FROM lagged
+    ),
+    flagged AS (
+      SELECT i, j, v,
+        CASE WHEN dlt IS NULL OR abs(dlt) >= 24
+               OR (coalesce(drift, 0) >= 24
+                   AND coalesce(lag(drift)
+                                OVER (PARTITION BY i ORDER BY j), 0) < 24)
+             THEN 1 ELSE 0 END AS cut
+      FROM drifted
+    ),
+    shots AS (
+      SELECT i, j, v,
+        CAST(sum(cut) OVER (PARTITION BY i ORDER BY j) - 1
+             AS INTEGER) AS shot_id
+      FROM flagged
+    ),
+    scored AS (
+      SELECT i, shot_id, j, v,
+        count(*) OVER (PARTITION BY i, shot_id) AS n,
+        sum(v) OVER (PARTITION BY i, shot_id) AS s
+      FROM shots
+    ),
+    ranked AS (
+      SELECT i, shot_id, j, v,
+        row_number() OVER (PARTITION BY i, shot_id
+                           ORDER BY abs(v * n - s), j) AS rn
+      FROM scored
+    ),
+    segments AS (
+      SELECT CAST(i AS BIGINT) AS media_id, shot_id,
+        CAST(min(j) AS INTEGER) AS start_frame,
+        CAST(max(j) AS INTEGER) AS end_frame,
+        CAST(count(*) AS INTEGER) AS n_frames,
+        CAST(max(CASE WHEN rn = 1 THEN j END) AS INTEGER) AS keyframe_idx,
+        CAST(max(CASE WHEN rn = 1 THEN v END) AS INTEGER) AS keyframe_level
+      FROM ranked GROUP BY i, shot_id
+    )
+"""
+
+
+@register(
+    "multimodal_video_dissolve_segments",
+    oracle="WITH " + _VIDEO_DISSOLVE_CTE + """
+    SELECT * FROM segments
+    """,
+    doc=(
+        "GRADUAL shot transitions, value-checked end to end (round "
+        "11): a linear dissolve spreads a scene change over 8 frames "
+        "at +9/frame — every step under the hard-cut tau=24, so "
+        "hard-cut-only segmentation under-segments (blindness "
+        "asserted in tests) — and the windowed cumulative-drift "
+        "rising edge (sum of |step| over 8 decoded frames crossing "
+        "24) detects it as exactly ONE boundary at frame 17; the "
+        "genuine +55 hard cut at frame 40 still cuts (both rules "
+        "fire at the same frame — single boundary), and the "
+        "mid-dissolve corrupt frame is lag-closed without moving any "
+        "boundary. The oracle restates deltas, windowed drift sums, "
+        "rising edges, shot ids and keyframe elections closed-form. "
+        "Same integer algebra, same single media_id-keyed shuffle."
+    ),
+)
+def multimodal_video_dissolve_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_dissolve_df,
+        video_shot_segments,
+    )
+
+    return video_shot_segments(
+        checked_video_dissolve_df(spark), drift_window=8, drift_tau=24
+    )
+
+
 @register(
     "multimodal_audio_segments",
     oracle="""

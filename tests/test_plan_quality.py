@@ -497,6 +497,9 @@ def test_sample_first_names_all_registered(registry):
         # decode -> lag/cumsum window + shot windows + groupBy, ALL
         # media_id-clustered (subset rule): exactly one exchange
         ("multimodal_video_shot_segments", 1),
+        # drift windows share the media_id key (subset rule): the
+        # gradual-transition rule adds NO exchange
+        ("multimodal_video_dissolve_segments", 1),
         # + the timestamp join against the shared frames relation
         ("multimodal_video_scene_keyframes", 3),
         # decode -> islands window + run groupBy + dense renumber,

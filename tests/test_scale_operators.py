@@ -2366,6 +2366,53 @@ def test_video_shot_segments_semantics(spark):
     }
 
 
+def test_video_dissolve_segments_semantics(spark):
+    """The round-11 gradual-transition rule on real MJPEG bytes:
+    (a) BLINDNESS — hard-cut-only segmentation sees the planted
+    8-frame +9/frame dissolve as no boundary (2 shots/video: the
+    under-segmentation the drift rule exists to fix); (b) with
+    drift_window=8/drift_tau=24 the dissolve is exactly ONE boundary
+    at its drift rising edge (frame 17) and the genuine +55 hard cut
+    still fires at frame 40 with no double boundary; (c) the
+    mid-dissolve corrupt frame is closed over without moving any
+    boundary; (d) half-set drift params raise."""
+    import pytest
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_video_dissolve_df,
+        video_shot_segments,
+    )
+
+    media = checked_video_dissolve_df(spark)
+    # (a) blindness control
+    hard_only = {}
+    for r in video_shot_segments(media).collect():
+        hard_only.setdefault(r["media_id"], []).append(r)
+    assert all(len(v) == 2 for v in hard_only.values())
+    # (b)+(c) drift rule: 3 shots per video at {0, 17, 40}
+    segs = {
+        (r["media_id"], r["shot_id"]): r
+        for r in video_shot_segments(
+            media, drift_window=8, drift_tau=24
+        ).collect()
+    }
+    assert len(segs) == 4 * 3
+    assert not any(mid == 4 for mid, _ in segs)
+    for b in range(4):
+        spans = [
+            (segs[(b, s)]["start_frame"], segs[(b, s)]["end_frame"])
+            for s in range(3)
+        ]
+        assert spans == [(0, 16), (17, 39), (40, 55)]
+    assert segs[(1, 1)]["n_frames"] == 22  # lag-closed corrupt frame
+    assert all(
+        segs[(b, 1)]["n_frames"] == 23 for b in range(4) if b != 1
+    )
+    # (d) params must come together
+    with pytest.raises(ValueError, match="together"):
+        video_shot_segments(media, drift_window=8)
+
+
 def test_audio_energy_segments_semantics(spark):
     """Audio activity segmentation on real WAV bytes: (a) the planted
     silence/content structure yields exactly the planted runs; (b)
