@@ -290,6 +290,22 @@ def repair_corpus_wfps_index(spark: SparkSession, store_path: str) -> int:
     return cnt
 
 
+def _store_part_files(store_path: str) -> int:
+    """Count parquet part files across the store's components — the
+    quantity whose unbounded growth (one file set per micro-batch
+    append) is what elevates late-batch cost, NOT store content (the
+    round-6 and round-10 rehearsals both measured flat content cost
+    with file-count-driven elevation). Pure os.walk: no Spark job, no
+    listing RPC amplification beyond what every batch's read already
+    pays."""
+    total = 0
+    for comp in ("docs", "bands", "wfps"):
+        root = os.path.join(store_path, comp)
+        for _, _, files in os.walk(root):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+    return total
+
+
 def ingest_batch(
     batch_df: DataFrame,
     store_path: str,
@@ -299,6 +315,8 @@ def ingest_batch(
     threshold: float = 0.5,
     excerpt_tau: float | None = None,
     excerpt_max_df: int = 50,
+    auto_compact_files: int | None = 1024,
+    auto_compact_target_files: int = 8,
 ) -> None:
     """Process ONE micro-batch: dedup against the store and within the
     batch, then append accepted docs + their bands. Designed for
@@ -317,7 +335,20 @@ def ingest_batch(
     enforced by a ``_GATE_MODE`` marker with loud mixed-mode refusal
     (`_check_corpus_gate_mode`); switch deliberately with
     `set_corpus_gate_mode`, after which the repair pass fingerprints
-    stored docs once."""
+    stored docs once.
+
+    ``auto_compact_files`` (round 11): after the batch's appends, if
+    the store's parquet part-file count exceeds this threshold,
+    `compact_store` runs INSIDE the batch (safe — foreachBatch
+    callbacks are serial on the one writer), rewriting each component
+    down to ``auto_compact_target_files``. This makes the documented
+    bounded-growth claim SELF-ENFORCING: the round-10 text rehearsal
+    showed late-batch cost elevation from append-file growth that
+    only a manual compact_store reset; with the trigger, per-batch
+    cost stays within the early-batch band with zero operator action
+    (rep=10 rehearsal, tools/scale_rehearsal.py). None disables (the
+    epoch-cadence ``compact_every`` of `start_dedup_ingest` remains
+    available for callers that prefer a schedule)."""
     from pyspark import StorageLevel
 
     spark = batch_df.sparkSession
@@ -445,6 +476,11 @@ def ingest_batch(
             accepted_wfps.write.mode("append").parquet(
                 os.path.join(store_path, "wfps")
             )
+        if (
+            auto_compact_files is not None
+            and _store_part_files(store_path) > auto_compact_files
+        ):
+            compact_store(spark, store_path, auto_compact_target_files)
     finally:
         # In finally (not the try body): a failed parquet append must
         # not leak the persisted shingle frame into the long-lived

@@ -526,6 +526,8 @@ def ingest_any_media_batch(
     excerpt_tau: float | None = None,
     excerpt_max_df: int = 50,
     excerpt_phases: int = 1,
+    auto_compact_files: int | None = 1024,
+    auto_compact_target_files: int = 8,
 ) -> None:
     """Process ONE mixed media micro-batch through the unified gate:
     per-plane signatures (image dHash / video temporal dHash / audio
@@ -563,7 +565,13 @@ def ingest_any_media_batch(
     NON-aligned crops and excerpts are rejected too (see
     `media_winnow_fps`); the wfps/ index grows <= phases^2x for
     images, <= phases x for audio, and the gate's join shapes are
-    unchanged."""
+    unchanged.
+
+    ``auto_compact_files`` (round 11): after the batch's appends, if
+    the store's parquet part-file count exceeds this threshold,
+    `compact_any_media_store` runs inside the batch — the same
+    self-enforcing bounded-growth trigger as the text gate
+    (streaming/corpus_ingest.ingest_batch); None disables."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: 16-bit banding is lossless only "
@@ -677,6 +685,17 @@ def ingest_any_media_batch(
                 accepted_wfps.write.mode("append")
                 .partitionBy("plane")
                 .parquet(wfps_path)
+            )
+        from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+            _store_part_files,
+        )
+
+        if (
+            auto_compact_files is not None
+            and _store_part_files(store_path) > auto_compact_files
+        ):
+            compact_any_media_store(
+                spark, store_path, auto_compact_target_files
             )
     finally:
         if sigs is not None:

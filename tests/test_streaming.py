@@ -597,6 +597,63 @@ def test_corpus_store_compaction_preserves_admissions(spark, tmp_path):
     } == expected | {901}
 
 
+def test_auto_compaction_trigger_bounds_file_growth(spark, tmp_path):
+    """The round-11 self-enforcing bounded-growth trigger: with
+    auto_compact_files set low, ingest_batch compacts INSIDE the batch
+    once the store's part-file count crosses the threshold — no
+    operator action, no epoch cadence — and admissions are unchanged
+    (a near-dup of an early-stored doc still rejects, replay is still
+    a no-op). The control store (trigger disabled) fragments into
+    O(batches) files; the triggered store stays bounded."""
+    from hridaya_steam_market_tracker_spark.streaming.corpus_ingest import (
+        _store_part_files,
+        ingest_batch,
+    )
+
+    def doc(seed, tweak=None):
+        words = [f"a{seed}w{k}" for k in range(12)]
+        if tweak is not None:
+            words[-1] = f"tw{tweak}"
+        return " ".join(words)
+
+    def run(store, **kw):
+        for b in range(5):
+            rows = [(b * 10, doc(b * 10)), (b * 10 + 1, doc(b * 10 + 1))]
+            ingest_batch(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                store, **kw,
+            )
+
+    control = str(tmp_path / "control")
+    run(control, auto_compact_files=None)
+    auto = str(tmp_path / "auto")
+    run(auto, auto_compact_files=40, auto_compact_target_files=2)
+
+    assert _store_part_files(control) > 60  # O(batches) fragmentation
+    # bounded: one batch's appends past a compacted floor of <= 2 per
+    # component dir (docs + 16 band dirs), never O(batches)
+    assert _store_part_files(auto) < 60
+    expected = {b * 10 + k for b in range(5) for k in (0, 1)}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(auto + "/docs").collect()
+    } == expected
+
+    # admissions unchanged on the auto-compacted store
+    wave = [(900, doc(10, tweak=3)), (901, doc(901))]
+    batch = spark.createDataFrame(wave, "doc_id long, text string")
+    ingest_batch(batch, auto, auto_compact_files=40,
+                 auto_compact_target_files=2)
+    stored = {
+        r["doc_id"] for r in spark.read.parquet(auto + "/docs").collect()
+    }
+    assert stored == expected | {901}
+    ingest_batch(batch, auto, auto_compact_files=40,
+                 auto_compact_target_files=2)  # replay no-op
+    assert {
+        r["doc_id"] for r in spark.read.parquet(auto + "/docs").collect()
+    } == expected | {901}
+
+
 def test_half_compacted_store_fails_loudly(spark, tmp_path):
     """A compaction crash between the two swap renames leaves
     ``docs.compact.tmp`` without ``docs`` — ingest_batch must refuse
