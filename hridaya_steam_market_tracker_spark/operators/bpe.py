@@ -7,7 +7,8 @@ into the distinct-word vocabulary with counts); every training round
 then runs on the vocabulary table only — pair explode + weighted count
 + argmax, with the winning pair flowing back in as a BROADCAST ONE-ROW
 cross join (the repo's scalar pattern — no driver-side collect
-anywhere). The vocabulary is localCheckpoint-ed per round, so plan
+anywhere). The vocabulary is stage-checkpointed per round (the
+session checkpoint policy, checkpoints.py), so plan
 depth stays constant across rounds (same discipline as
 similarity.kmeans_lite, gated there by tests/test_plan_quality.py).
 
@@ -25,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
 
 SEP = "\x1f"
 END_WORD = "</w>"
@@ -73,7 +76,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
     selection time, and the total corpus token count after applying
     the merge (recounted from the vocabulary, so overlapping-pair
     effects are truthful, not freq-subtracted)."""
-    words = word_vocab(docs, text_col).localCheckpoint(eager=True)
+    words = word_vocab(docs, text_col).transform(stage_checkpoint)
     out: DataFrame | None = None
     for rnd in range(1, n_merges + 1):
         top = (
@@ -92,7 +95,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
                 ),
             )
             .select("repr", "cnt")
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint)
         )
         tokens_after = words.agg(
             F.sum(F.size(F.split(F.col("repr"), SEP)) * F.col("cnt"))
@@ -103,7 +106,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
             top.withColumn("round", F.lit(rnd).cast("int"))
             .crossJoin(F.broadcast(tokens_after))
             .select("round", "left", "right", "freq", "corpus_tokens_after")
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint)
         )
         out = row if out is None else out.unionByName(row)
     assert out is not None

@@ -19,7 +19,8 @@ Batch (not online) updates keep it order-free and distributed:
 Each round is ONE aggregation over the feature table with the current
 weights joined in as a broadcast one-row frame (the repo's scalar
 pattern — no driver-side collect of data). Features materialize once
-(localCheckpoint), so the corpus is scanned once, not once per round.
+(stage_checkpoint — the session checkpoint policy, checkpoints.py),
+so the corpus is scanned once, not once per round.
 
 Labels here are the engine's own composite quality gate (>= 0.7, the
 pipeline's established threshold); features are integerized per-mille
@@ -31,6 +32,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
 
 from hridaya_steam_market_tracker_spark.operators.text import (
     EN_STOPWORDS,
@@ -85,7 +88,7 @@ def _margin(w_prefix: str = "") -> F.Column:
 def batch_perceptron(feat: DataFrame, rounds: int = 8) -> DataFrame:
     """Train; returns the final one-row weight frame (a, b, c, d)."""
     spark = feat.sparkSession
-    feat = feat.localCheckpoint(eager=True)
+    feat = feat.transform(stage_checkpoint)
     w = spark.createDataFrame(
         [(0, 0, 0, 0)], ", ".join(f"{c} bigint" for c in WEIGHTS)
     )
@@ -109,7 +112,7 @@ def batch_perceptron(feat: DataFrame, rounds: int = 8) -> DataFrame:
                     for wc in WEIGHTS
                 ]
             )
-            .localCheckpoint(eager=True)
+            .transform(stage_checkpoint)
         )
     return w
 

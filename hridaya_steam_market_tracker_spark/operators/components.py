@@ -20,10 +20,11 @@ Scale notes (100 TB posture):
   * The edge list is repartitioned by source and cached once — every
     round reuses the same co-partitioned edges, so only the (small)
     label side moves.
-  * Each round `localCheckpoint`s the labels: iterative joins otherwise
+  * Each round stage-checkpoints the labels: iterative joins otherwise
     stack lineage, and round N replans rounds 1..N-1 (exponential plan
-    growth). On a real cluster use reliable `checkpoint()` to HDFS/S3
-    instead; local mode has no reliable checkpoint dir.
+    growth). On a real cluster set spark.hridaya.reliableCheckpoints
+    (checkpoints.py) to route every round through a reliable
+    `checkpoint()` to the DFS checkpoint dir instead.
   * Convergence is detected by counting changed labels — one cheap
     count action per round, no collect of data rows.
 """
@@ -34,6 +35,8 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
 
 
 def connected_components(
@@ -74,7 +77,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nmin", "component")
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(stage_checkpoint)
         )
         changed = (
             proposed.withColumnRenamed("component", "new_component")
@@ -154,7 +157,7 @@ def alternating_components(
     detected with (count, xor-hash, xor-hash-with-swapped-args) — two
     independent order-insensitive checksums, so a false fixpoint needs a
     simultaneous 64+64-bit collision (one tiny action per round); labels
-    localCheckpoint each round to keep lineage flat.
+    stage-checkpoint each round to keep lineage flat.
 
     The downstream star extraction is only valid on FIXPOINT edges; a
     non-converged edge set would yield wrong component minima with no
@@ -168,12 +171,12 @@ def alternating_components(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col(src) != F.col(dst))
         .distinct()
-        .localCheckpoint()
+        .transform(stage_checkpoint)
     )
     prev_sig = None
     converged = False
     for rounds in range(1, 2 * max_iter + 1):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        e = _small_star(_large_star(e)).transform(stage_checkpoint)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent, cannot overflow under ANSI mode.

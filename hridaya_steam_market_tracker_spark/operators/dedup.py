@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
+
 from hridaya_steam_market_tracker_spark.operators.text import tokens
 
 # 60-bit hash from a salted md5 — portable across engines:
@@ -734,7 +736,7 @@ def duplicate_span_pairs(
     dedicated boilerplate pass, not a pair join). Reported spans are
     exact: within the capped gram set the island algebra is lossless.
 
-    The kept postings are MATERIALIZED (localCheckpoint) before the
+    The kept postings are MATERIALIZED (stage_checkpoint) before the
     self-join: ``keep`` feeds both sides, and without a stage boundary
     Catalyst re-derives the whole subtree per side — four positional
     explodes and two gram-df aggregations of the full corpus for one
@@ -750,7 +752,7 @@ def duplicate_span_pairs(
     keep = pos.join(
         gdf.filter((F.col("df") >= 2) & (F.col("df") <= max_gram_df)).select("gram"),
         "gram",
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     a = keep.select(F.col("doc_id").alias("i"), F.col("pos").alias("pa"), "gram")
     b = keep.select(F.col("doc_id").alias("j"), F.col("pos").alias("pb"), "gram")
     cand = a.join(b, "gram").filter(F.col("i") < F.col("j"))

@@ -22,6 +22,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -449,14 +451,14 @@ def kmeans_lite(
     )
     for _ in range(iters):
         assigned = assign_cells(embeddings, centroids, id_col, vec_col, metric)
-        # localCheckpoint the k-row centroid frame each round: without it,
+        # stage-checkpoint the k-row centroid frame each round: without it,
         # round N's assignment plan nests round N-1's whole centroid plan
         # (and pq_train multiplies that by m subspaces), so lineage depth
         # grows linearly and every round re-derives all prior rounds. The
         # checkpoint materializes k tiny rows and keeps plan depth constant.
         centroids = _elementwise_mean(
             assigned.select("cell", F.col(vec_col)), "cell", vec_col
-        ).localCheckpoint(eager=True)
+        ).transform(stage_checkpoint)
     return centroids
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
+
 # Small, deterministic English stopword set (public knowledge).
 EN_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
@@ -229,7 +231,7 @@ def chargram_lang_scores(
         lc.withColumn("r_lang", F.row_number().over(wl))
         .filter(F.col("r_lang") <= k)
         .select(F.col("lang").alias("cand_lang"), "gram", "r_lang")
-    ).localCheckpoint(eager=True)
+    ).transform(stage_checkpoint)
     langs = profile.select("cand_lang").distinct()
     scored = (
         dr.crossJoin(F.broadcast(langs))
