@@ -63,65 +63,69 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-10 composition (continuation 4): the never-sampled round-10
-# queries lead — the crop tier, JPEG AC, Adam7, both excerpt admission
-# twins (media + the new TEXT corpus one), chargram language ID,
-# hybrid RRF search, and the six analysis/sampling-tier additions
-# (video shot segments + scene keyframes, audio energy segments, WHT
-# hash + near pairs) — then the cohort whose transitive fingerprints
-# changed this round (span/strip rewrite, shared-decode multimodal
-# family); r05-green rotation rows fill the remaining slots.
+# Round-11 composition: the six never-sampled round-11 queries lead
+# (phase-shifted offset crop/excerpt fingerprints + pairs, the
+# phase-aware admission twin, dissolve segmentation), then the cohort
+# whose transitive fingerprints changed this round (the
+# stage_checkpoint policy refactor touches every checkpointing
+# operator family: dedup/BPE/components/k-means/perceptron, and the
+# audio/image phase plumbing touches the media families); the r05
+# rotation cohort fills the remaining slots (the rest of it rotates
+# in next round — 40 flagged queries outrank it this time).
+# Rows-only (oracle-less) queries sort below every oracled query by
+# design (round-10 verdict ask #7): their err:no_oracle rows read as
+# failures and their value signal lives in the oracled checked twins.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    "chargram_lang_id",
-    "corpus_excerpt_admission_twin",
-    "hybrid_rrf_search",
-    "media_excerpt_admission_twin",
-    "multimodal_audio_segments",
-    "multimodal_image_crop_pairs",
-    "multimodal_image_tile_fingerprints",
-    "multimodal_image_whash_checked",
-    "multimodal_jpeg_ac_decode_checked",
-    "multimodal_png_adam7_checked",
-    "multimodal_video_scene_keyframes",
-    "multimodal_video_shot_segments",
-    "multimodal_whash_near_pairs",
-    "duplicate_span_pairs",
-    "duplicate_span_stats",
-    "clip_duplicate_spans_stats",
+    "media_phase_excerpt_admission_twin",
+    "multimodal_audio_offset_clip_fingerprints",
+    "multimodal_audio_offset_excerpt_pairs",
+    "multimodal_image_offset_crop_pairs",
+    "multimodal_image_offset_tile_fingerprints",
+    "multimodal_video_dissolve_segments",
+    "dedup_clusters",
+    "emb_cosine_near_dup",
+    "dedup_clusters_star",
+    "emb_near_dup_clusters",
+    "bpe_doc_token_stats",
+    "bpe_train_merges",
+    "cluster_weighted_sample",
+    "dedup_keep_best_quality",
+    "dedup_recall_audit",
+    "perceptron_quality_scores",
+    "pretrain_pipeline_e2e",
+    "semantic_dedup_keep_list",
+    "semantic_dedup_text_e2e",
     "any_media_ingest_admission_twin",
+    "chargram_lang_id",
+    "clip_duplicate_spans_stats",
+    "curation_pipeline_kept_docs",
+    "duplicate_span_pairs",
+    "media_excerpt_admission_twin",
     "media_ingest_admission_twin",
     "multimodal_audio_clip_fingerprints",
     "multimodal_audio_dedup_keep_list",
     "multimodal_audio_excerpt_pairs",
     "multimodal_audio_fingerprint_checked",
-    "multimodal_avc1_nal_index_checked",
-    "multimodal_avc1_sps_params_checked",
-    "multimodal_avcc_config_sps_checked",
-    "multimodal_dhash_near_pairs_checked",
+    "multimodal_audio_segments",
     "multimodal_dhash_oriented_checked",
     "multimodal_dhash_oriented_near_pairs_checked",
-    "multimodal_feature_extract",
-    "multimodal_feature_extract_checked",
-    "multimodal_hevc_nal_index_checked",
-    "multimodal_hevc_sps_params_checked",
-    "multimodal_hvcc_config_sps_checked",
+    "multimodal_image_crop_pairs",
     "multimodal_image_dedup_keep_list",
-    "multimodal_image_dhash_checked",
     "multimodal_image_exif_checked",
-    "multimodal_mjpeg_decode_checked",
-    "multimodal_mp4_frame_index_checked",
-    "multimodal_mp4_frame_sample_checked",
-    "multimodal_resize_checked",
-    "multimodal_video_clip_fingerprints",
+    "multimodal_image_tile_fingerprints",
+    "multimodal_image_whash_checked",
     "multimodal_video_dedup_keep_list",
-    "multimodal_video_subclip_pairs",
-    "multimodal_video_temporal_hash_checked",
-    "strip_then_span_stats",
-    "c8_set_equality_verify",
-    "corpus_curation_rollup",
-    "curation_pipeline_kept_docs",
-    "d11_distinct_collect_per_stream",
-    "d2_count_enabled",
+    "multimodal_whash_near_pairs",
+    "d3_windowed_union_count",
+    "d4_last_ingest_union_max",
+    "d9_feasibility_gate",
+    "dedup_exact",
+    "dedup_incremental_delta",
+    "e6_urgency_overdue",
+    "f1_union_all_per_stream_meta",
+    "f3_payload_dup_check",
+    "g1_parse_steam_price",
+    "g2_minor_units_conversion",
 )
 
 
