@@ -893,3 +893,118 @@ def clip_duplicate_spans(
         (F.size("w") - F.size(keep)).cast("long").alias("clipped_tokens"),
         F.array_join(keep, " ").alias("text_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round 11): the OFFSET-INDEPENDENT byte-level
+# member of the dedup family. Fixed-size chunking (chunk_dedup_reassemble)
+# and grid tokenization (image tiles, audio windows) share an alignment
+# contract — shift the content and every boundary moves. CDC anchors
+# boundaries to CONTENT: a position ends a chunk when the rolling hash of
+# the trailing `window` characters hits the divisor mask, so inserting a
+# prefix shifts positions but not the boundary SET within unchanged
+# content (the rsync/LBFS idea, public since Muthitacharoen et al. SOSP'01;
+# FastCDC is the modern descendant). After the first re-synchronized
+# boundary, a byte-shifted re-upload shares every chunk hash with its
+# host — no phase lattice, no blind spot.
+# ---------------------------------------------------------------------------
+
+_CDC_PRIME = 31
+_CDC_MOD = 1_000_000_007
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_pos, chunk_len, chunk_hash): split each
+    document into content-defined chunks. Position i (1-based) ends a
+    chunk when the polynomial rolling hash of characters
+    (i-window+1 .. i) — sum of code * PRIME^(window-1-k) mod MOD, codes
+    from ``ascii`` — is divisible by ``divisor`` (expected chunk length
+    ~= divisor characters); the final chunk always ends at the document
+    end. Chunks TILE the document exactly (concat of chunks == text,
+    asserted in tests); documents shorter than ``window`` (or with no
+    mask hit) are a single whole-document chunk; empty documents are
+    absent. chunk_hash is the shared 60-bit md5 recipe over the chunk
+    substring, so a DuckDB oracle recomputes every boundary and every
+    hash bit-for-bit.
+
+    No minimum-chunk guard: adjacent mask hits yield short chunks. The
+    guard would complicate the cross-engine algebra for no dedup
+    benefit — tiny chunks only add a few extra (id, hash) rows.
+
+    Scale shape: boundary detection is pure per-row array algebra in
+    the scan stage (transform/filter/aggregate over the character
+    array — O(len * window) integer ops, JVM-side, no Python); the
+    only rows that leave the scan are the chunk rows themselves
+    (~len/divisor per document). Downstream joins group on chunk_hash
+    exactly like every other (id, fp) inverted-index consumer."""
+    n = F.length(F.col(text_col)).cast("int")
+    codes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.ascii(F.col(text_col).substr(i, F.lit(1))).cast("long"),
+    )
+    powv = F.array(
+        *[
+            F.lit(pow(_CDC_PRIME, window - 1 - k, _CDC_MOD)).cast("long")
+            for k in range(window)
+        ]
+    )
+
+    def rolling(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(window - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, k: (
+                acc
+                + F.element_at(F.col("__codes"), (i - window + 1 + k).cast("int"))
+                * F.element_at(F.col("__powv"), (k + 1).cast("int"))
+            )
+            % _CDC_MOD,
+        )
+
+    ends_raw = F.filter(
+        F.transform(
+            F.when(n >= window, F.sequence(F.lit(window), n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda i: F.struct(i.alias("i"), rolling(i).alias("h")),
+        ),
+        lambda s: s["h"] % divisor == 0,
+    )
+    ends = F.transform(ends_raw, lambda s: s["i"])
+    all_ends = F.when(
+        (F.size(ends) > 0) & (F.element_at(ends, -1) == n), ends
+    ).otherwise(F.concat(ends, F.array(n)))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(all_ends)),
+        lambda m: F.struct(
+            (m - 1).cast("int").alias("chunk_idx"),
+            F.when(m == 1, F.lit(1))
+            .otherwise(F.element_at(all_ends, (m - 1).cast("int")) + 1)
+            .cast("int")
+            .alias("start_pos"),
+            F.element_at(all_ends, m.cast("int")).cast("int").alias("end_pos"),
+        ),
+    )
+    exploded = (
+        df.filter(n > 0)
+        .withColumn("__codes", codes)
+        .withColumn("__powv", powv)
+        .select(F.col(id_col), F.col(text_col), F.explode(chunks).alias("c"))
+    )
+    chunk_len = (F.col("c.end_pos") - F.col("c.start_pos") + 1).cast("int")
+    chunk_text = F.col(text_col).substr(
+        F.col("c.start_pos"), F.col("c.end_pos") - F.col("c.start_pos") + 1
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.start_pos").alias("start_pos"),
+        chunk_len.alias("chunk_len"),
+        _h60(chunk_text, 0).alias("chunk_hash"),
+    )

@@ -1611,3 +1611,187 @@ def clip_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens_before", "n_tokens_after", "clipped_tokens",
         F.md5("text_clean").alias("clean_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round 11): offset-independent byte-level dedup.
+# The oracle restates the ENTIRE pipeline — ascii codes, the polynomial
+# rolling hash (sum of code * 31^(15-k) mod 1e9+7 over each trailing
+# 16-char window; one final mod equals Spark's stepwise mod since
+# 16*255*(M-1) fits int64), divisor-64 boundary positions, chunk tiling
+# with the forced end-of-document boundary, and the shared 60-bit md5
+# chunk hash — so every boundary and every hash is cross-engine exact.
+# ---------------------------------------------------------------------------
+
+
+def _cdc_sql(src: str) -> str:
+    pw = ", ".join(
+        f"({k}, {pow(31, 15 - k, 1_000_000_007)})" for k in range(16)
+    )
+    return f"""
+    d AS (SELECT doc_id, text, length(text) AS n FROM ({src})
+          WHERE length(text) > 0),
+    pw(k, pv) AS (VALUES {pw}),
+    h AS (
+      SELECT d.doc_id, g.i,
+             sum(CAST(ascii(substr(d.text, g.i - 15 + pw.k, 1)) AS BIGINT) * pw.pv)
+               % 1000000007 AS hv
+      FROM d, generate_series(16, 8192) g(i), pw
+      WHERE g.i <= d.n
+      GROUP BY d.doc_id, g.i
+    ),
+    b AS (SELECT doc_id, list(i ORDER BY i) AS ends
+          FROM h WHERE hv % 64 = 0 GROUP BY doc_id),
+    ce AS (SELECT d.doc_id, d.text, d.n,
+                  CASE WHEN b.ends IS NULL THEN [d.n]
+                       WHEN b.ends[-1] = d.n THEN b.ends
+                       ELSE list_append(b.ends, d.n) END AS ae
+           FROM d LEFT JOIN b USING (doc_id)),
+    ch AS (SELECT doc_id, text, g.m - 1 AS chunk_idx,
+                  CASE WHEN g.m = 1 THEN 1 ELSE ae[g.m - 1] + 1 END AS sp,
+                  ae[g.m] AS ep
+           FROM ce, generate_series(1, 8192) g(m)
+           WHERE g.m <= len(ae)),
+    chunks AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             CAST(chunk_idx AS INTEGER) AS chunk_idx,
+             CAST(sp AS INTEGER) AS start_pos,
+             CAST(ep - sp + 1 AS INTEGER) AS chunk_len,
+             ('0x' || substr(md5('0:' || substr(text, sp, ep - sp + 1)),
+                             1, 15))::BIGINT AS chunk_hash
+      FROM ch)
+    """
+
+
+_CDC_SHIFT_SRC = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'zq7 ' || text AS text
+      FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register(
+    "cdc_chunks_checked",
+    oracle="WITH "
+    + _cdc_sql("SELECT doc_id, text FROM documents")
+    + """
+    SELECT * FROM chunks
+    """,
+    doc=(
+        "Content-defined chunking (the rsync/LBFS idea, Muthitacharoen "
+        "et al. SOSP'01), value-checked end to end: a position ends a "
+        "chunk when the polynomial rolling hash of its trailing "
+        "16-char window (codes * 31^k mod 1e9+7) is divisible by 64, "
+        "so boundaries anchor to CONTENT and a byte-shifted re-upload "
+        "re-synchronizes — the offset-INDEPENDENT complement to the "
+        "phase-shifted grid planes. Chunks tile each document exactly "
+        "(forced end boundary); short documents are one whole-doc "
+        "chunk; the oracle recomputes every rolling hash, boundary "
+        "and 60-bit chunk hash. Boundary detection is scan-stage "
+        "array algebra (no Python, no shuffle); only chunk rows "
+        "(~len/64 per doc) leave the scan."
+    ),
+)
+def cdc_chunks_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.content_defined_chunks(docs)
+
+
+@register(
+    "cdc_offset_dup_pairs",
+    oracle="WITH "
+    + _cdc_sql(_CDC_SHIFT_SRC)
+    + """,
+    fps AS (SELECT DISTINCT doc_id, chunk_hash AS fp FROM chunks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+    pr AS (SELECT doc_id, fp FROM fps
+           WHERE fp IN (SELECT fp FROM fps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT sh.i, sh.j, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.doc_id = sh.i
+            JOIN cnt cj ON cj.doc_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "OFFSET-independent duplicate detection via CDC chunk hashes: "
+        "every 50th document gets a planted twin with a 4-character "
+        "junk PREFIX — the arbitrary-offset class that shifts every "
+        "fixed-grid boundary — and the twins surface through the "
+        "UNCHANGED df-capped containment join because content-anchored "
+        "boundaries re-synchronize after the first mask hit (only the "
+        "pre-resync chunk differs). Natural corpus near-dups surface "
+        "too; the oracle recomputes every boundary, hash and "
+        "containment."
+    ),
+)
+def cdc_offset_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("zq7 "), F.col("text")).alias("text"),
+    )
+    fps = (
+        D.content_defined_chunks(docs.unionByName(shifted))
+        .select("doc_id", F.col("chunk_hash").alias("fp"))
+        .dropDuplicates(["doc_id", "fp"])
+        .localCheckpoint(eager=False)
+    )
+    return D.winnow_containment_pairs(
+        fps, id_col="doc_id", min_containment=0.5
+    )
+
+
+@register(
+    "cdc_dup_chunk_mass",
+    oracle="WITH "
+    + _cdc_sql("SELECT doc_id, text FROM documents")
+    + """,
+    df AS (SELECT chunk_hash, count(DISTINCT doc_id) AS ndocs
+           FROM chunks GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN df.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(sum(CASE WHEN df.ndocs >= 2 THEN c.chunk_len ELSE 0 END)
+                AS BIGINT) AS dup_bytes,
+           round(sum(CASE WHEN df.ndocs >= 2 THEN c.chunk_len ELSE 0 END)
+                 / CAST(sum(c.chunk_len) AS DOUBLE), 6) AS dup_frac
+    FROM chunks c JOIN df USING (chunk_hash)
+    GROUP BY c.doc_id
+    """,
+    doc=(
+        "Per-document corpus-duplicated BYTE mass at chunk granularity "
+        "— the byte-level screening stat of CDC dedup (the analog of "
+        "duplicate_span_stats' token-span mass): a chunk is duplicated "
+        "when its content hash appears in >= 2 distinct documents; "
+        "dup_frac = duplicated bytes / total bytes. Chunk-hash "
+        "document frequency is one map-side-combinable groupBy on the "
+        "hash; the join back is hash-keyed — no pair space anywhere."
+    ),
+)
+def cdc_dup_chunk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = D.content_defined_chunks(docs).localCheckpoint(eager=False)
+    ndocs = ch.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    dup = F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    dup_len = F.when(F.col("ndocs") >= 2, F.col("chunk_len")).otherwise(0)
+    return (
+        ch.join(ndocs, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup).cast("long").alias("dup_chunks"),
+            F.sum(dup_len).cast("long").alias("dup_bytes"),
+            F.round(
+                F.sum(dup_len) / F.sum("chunk_len").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

@@ -529,6 +529,13 @@ def test_sample_first_names_all_registered(registry):
         # truncate the decision's 4-way fan-out to the post-decode
         # relations
         ("media_phase_excerpt_admission_twin", 12),
+        # CDC boundary detection is scan-stage array algebra: the
+        # chunk relation leaves the scan with ZERO exchanges
+        ("cdc_chunks_checked", 0),
+        # df-capped containment join over the chunk-hash relation
+        ("cdc_offset_dup_pairs", 5),
+        # hash-keyed document frequency + join-back + per-doc rollup
+        ("cdc_dup_chunk_mass", 3),
     ],
 )
 def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):

@@ -2498,3 +2498,58 @@ def test_image_wht_hash_invariances(spark):
             for b in range(3) for i in range(3) for j in range(i + 1, 3)}
     want |= {(0, 12), (1, 12), (2, 12)}
     assert pairs == want
+
+
+def test_content_defined_chunks_semantics(spark):
+    """CDC's contract (round 11): (a) chunks TILE each document exactly
+    — sorted substrings concatenate back to the original text; (b) a
+    document shorter than the 16-char window (or with no mask hit) is
+    ONE whole-document chunk; (c) empty documents are absent; (d) the
+    offset property that motivates the operator — a junk PREFIX shifts
+    every position but boundaries re-synchronize at the first shared
+    mask hit, so the shifted twin shares every chunk hash after it
+    (containment >> 0) while a fixed-grid chunking of the same pair
+    would share nothing."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        content_defined_chunks,
+    )
+
+    base = " ".join(f"cdcword{k}" for k in range(120))
+    rows = [
+        (1, base),
+        (2, "XYZQW " + base),   # arbitrary 6-char offset
+        (3, "short doc"),       # < window -> single chunk
+        (4, ""),                # empty -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_defined_chunks(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # (c) empty absent
+    assert set(by_doc) == {1, 2, 3}
+    # (a) exact tiling
+    texts = dict(rows)
+    for did, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["start_pos"] == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_pos"] == a["start_pos"] + a["chunk_len"]
+        total = sum(r["chunk_len"] for r in chunks)
+        assert total == len(texts[did])
+    # (b) short doc one chunk
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 9
+    # (d) offset re-sync: both sides chunk independently up to their
+    # first SHARED boundary (the junk prefix perturbs the twin's early
+    # mask hits), after which every boundary — hence every chunk hash —
+    # coincides. A fixed-position grid would share nothing.
+    h1 = {r["chunk_hash"] for r in by_doc[1]}
+    h2 = {r["chunk_hash"] for r in by_doc[2]}
+    shared = len(h1 & h2)
+    assert shared >= 0.6 * min(len(h1), len(h2))
+    # the shared run is a contiguous TAIL of both partitions
+    tail1 = [r["chunk_hash"] for r in by_doc[1]][-shared:]
+    tail2 = [r["chunk_hash"] for r in by_doc[2]][-shared:]
+    assert tail1 == tail2
+    assert min(len(by_doc[1]), len(by_doc[2])) >= 5  # real multi-chunk split

@@ -362,6 +362,7 @@ def boilerplate_rehearsal(
 def streaming_rehearsal(
     spark, out_dir: str, n_batches: int = 20,
     excerpt_tau: float | None = None,
+    auto_compact_files: int | None = None,
 ) -> None:
     """Scale the streaming corpus-ingest path: feed the scaled document
     corpus through `ingest_batch` in n_batches hash-sliced micro-batches
@@ -417,6 +418,9 @@ def streaming_rehearsal(
         probe_df = spark.createDataFrame(excerpts + directional, schema)
 
     kwargs = {} if excerpt_tau is None else {"excerpt_tau": excerpt_tau}
+    if auto_compact_files is not None:
+        kwargs["auto_compact_files"] = auto_compact_files
+        kwargs["auto_compact_target_files"] = 4
     times = []
     for b in range(n_batches):
         batch = docs.filter(F.pmod(F.hash("doc_id"), F.lit(n_batches)) == b)
@@ -582,6 +586,9 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
         shutil.rmtree(store)
 
     kwargs = {} if excerpt_tau is None else {"excerpt_tau": excerpt_tau}
+    if auto_compact_files is not None:
+        kwargs["auto_compact_files"] = auto_compact_files
+        kwargs["auto_compact_target_files"] = 4
     times = []
     for b in range(n_batches):
         batch = media.filter(F.pmod(F.col("media_id"), F.lit(n_batches)) == b)
@@ -678,6 +685,11 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
+        "--auto-compact-files", type=int, default=None,
+        help="streaming tier: pass a part-file threshold through to "
+             "ingest_batch so the round-11 in-batch compaction trigger "
+             "fires mid-rehearsal (the bounded-growth evidence run)")
+    ap.add_argument(
         "--excerpt-tau", type=float, default=None,
         help="streaming-any-media / streaming: run the gate "
         "excerpt-aware at this tau over a corpus that ALSO plants "
@@ -715,7 +727,10 @@ def main() -> None:
         return
     generate(spark, args.sf_dir, args.out, args.rep)
     if args.tier == "streaming":
-        streaming_rehearsal(spark, args.out, excerpt_tau=args.excerpt_tau)
+        streaming_rehearsal(
+            spark, args.out, excerpt_tau=args.excerpt_tau,
+            auto_compact_files=args.auto_compact_files,
+        )
         return
     if args.tier == "boilerplate":
         boilerplate_rehearsal(spark, args.out, args.rep, args.passes)
