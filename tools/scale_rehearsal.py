@@ -534,7 +534,10 @@ def streaming_media_rehearsal(spark, out_dir: str, rep: int,
 
 def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
                                   n_batches: int = 10,
-                                  excerpt_tau: float | None = None) -> None:
+                                  excerpt_tau: float | None = None,
+                                  excerpt_phases: int = 1,
+                                  auto_compact_files: int | None = None,
+                                  ) -> None:
     """Scale the UNIFIED media gate: a rep-scaled MIXED corpus (media_id
     cycles image/video/audio; within each modality every 4th item is
     that plane's twin class — rotated re-upload / brightness re-encode /
@@ -586,6 +589,8 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
         shutil.rmtree(store)
 
     kwargs = {} if excerpt_tau is None else {"excerpt_tau": excerpt_tau}
+    if excerpt_phases != 1:
+        kwargs["excerpt_phases"] = excerpt_phases
     if auto_compact_files is not None:
         kwargs["auto_compact_files"] = auto_compact_files
         kwargs["auto_compact_target_files"] = 4
@@ -620,7 +625,9 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
             bands = _any_bands(media_signatures(batch)).localCheckpoint(
                 eager=True
             )
-            wfps = media_winnow_fps(batch).localCheckpoint(eager=True)
+            wfps = media_winnow_fps(
+                batch, phases=excerpt_phases
+            ).localCheckpoint(eager=True)
             rej = media_admission_rejects(
                 stored_bands, bands, keys=_ANY_KEYS
             ).unionByName(
@@ -685,6 +692,11 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
+        "--excerpt-phases", type=int, default=1,
+        help="streaming-any-media: run the gate phase-aware (round 11) "
+             "— the flat-cost re-verification with the ~phases^2-grown "
+             "image tile index and phases-grown audio token docs")
+    ap.add_argument(
         "--auto-compact-files", type=int, default=None,
         help="streaming tier: pass a part-file threshold through to "
              "ingest_batch so the round-11 in-batch compaction trigger "
@@ -722,7 +734,9 @@ def main() -> None:
         return
     if args.tier == "streaming-any-media":
         streaming_any_media_rehearsal(
-            spark, args.out, args.rep, excerpt_tau=args.excerpt_tau
+            spark, args.out, args.rep, excerpt_tau=args.excerpt_tau,
+            excerpt_phases=args.excerpt_phases,
+            auto_compact_files=args.auto_compact_files,
         )
         return
     generate(spark, args.sf_dir, args.out, args.rep)
