@@ -772,6 +772,47 @@ def test_any_media_phase_mode_lifetime_and_switch(spark, tmp_path):
     assert _stored_ids(spark, old) == {0}  # rebuilt index catches it
 
 
+def test_phased_audio_decode_preserves_base_consumers(spark):
+    """A phases=2 `decode_audio_windows` relation must be a strict
+    SUPERSET view for the base-grid consumers: the whole-clip Goertzel
+    signature and the energy segmentation pin themselves to phase 0
+    and come out bit-identical to the unphased path, while the token
+    plane gains one extra document per decodable clip (the offset-64
+    grid) and keeps every base document byte-for-byte."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_energy_segments,
+        audio_goertzel_fingerprint,
+        audio_window_token_text,
+        checked_audio_clip_df,
+        decode_audio_windows,
+    )
+
+    aud = checked_audio_clip_df(spark)
+    w1 = decode_audio_windows(aud).localCheckpoint(eager=True)
+    w2 = decode_audio_windows(aud, phases=2).localCheckpoint(eager=True)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(audio_goertzel_fingerprint(aud, windows=w1)) == rows(
+        audio_goertzel_fingerprint(aud, windows=w2)
+    )
+    assert rows(audio_energy_segments(aud, windows=w1)) == rows(
+        audio_energy_segments(aud, windows=w2)
+    )
+    t1 = rows(audio_window_token_text(aud, windows=w1))
+    t2 = rows(audio_window_token_text(aud, windows=w2))
+    assert set(t1) <= set(t2)
+    per_clip1 = {}
+    per_clip2 = {}
+    for mid, _ in t1:
+        per_clip1[mid] = per_clip1.get(mid, 0) + 1
+    for mid, _ in t2:
+        per_clip2[mid] = per_clip2.get(mid, 0) + 1
+    assert set(per_clip1) == set(per_clip2)
+    assert all(per_clip2[m] == per_clip1[m] + 1 for m in per_clip1)
+
+
 def test_media_signatures_plane_disjointness(spark, monkeypatch):
     """Plane disjointness is structural: each plane operator receives
     ONLY its media_type's rows, so even an operator whose internal
