@@ -1009,85 +1009,3 @@ def content_defined_chunks(
         _h60(chunk_text, 0).alias("chunk_hash"),
     )
 
-
-def decontaminate(
-    train: DataFrame,
-    eval_df: DataFrame,
-    n: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Train/eval DECONTAMINATION — the benchmark-hygiene gate every
-    published pretraining pipeline runs (the public GPT-3 appendix-C
-    13-gram collision rule; n is a parameter because later work uses
-    8-15): a training document is CONTAMINATED when it shares any
-    word n-gram with any document of the held-out evaluation set.
-    One row per training doc: its distinct n-gram count, how many of
-    those collide with the eval set, how many distinct eval docs it
-    collides with, and the boolean flag. Directional by definition —
-    eval docs are the reference and are never flagged or modified;
-    training docs shorter than n words have zero n-grams and are
-    clean by vacuity (they cannot reproduce an eval passage of
-    length n).
-
-    Scale shape: both sides reduce to DISTINCT n-gram postings at the
-    scan (per-row array algebra, like `shingles`); the collision join
-    is an equi-join on the gram string keyed by the eval side —
-    benchmark suites are tiny next to a training corpus, so the eval
-    postings broadcast and the training corpus is never shuffled; the
-    per-doc rollup groups on the training id. No pair space, no
-    payload re-read."""
-    t_toks = tokens(F.lower(F.col(text_col)))
-    t_grams = F.array_distinct(
-        F.when(
-            F.size(t_toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t_toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(t_toks, (i + k).cast("int"))
-                        for k in range(n)
-                    ],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
-    tg = train.select(
-        F.col(id_col).alias("train_id"), F.explode_outer(t_grams).alias("gram")
-    )
-    eg = (
-        eval_df.select(
-            F.col(id_col).alias("eval_id"),
-            F.explode(t_grams).alias("gram"),
-        )
-        .dropDuplicates(["eval_id", "gram"])
-    )
-    hits = (
-        tg.filter(F.col("gram").isNotNull())
-        .join(F.broadcast(eg), "gram")
-        .groupBy("train_id")
-        .agg(
-            F.countDistinct("gram").cast("long").alias("contaminated_grams"),
-            F.countDistinct("eval_id").cast("long").alias("n_eval_docs"),
-        )
-    )
-    totals = tg.groupBy("train_id").agg(
-        F.count("gram").cast("long").alias("n_grams")
-    )
-    return (
-        totals.join(hits, "train_id", "left")
-        .select(
-            F.col("train_id").alias(id_col),
-            "n_grams",
-            F.coalesce("contaminated_grams", F.lit(0))
-            .cast("long")
-            .alias("contaminated_grams"),
-            F.coalesce("n_eval_docs", F.lit(0))
-            .cast("long")
-            .alias("n_eval_docs"),
-            (F.coalesce("contaminated_grams", F.lit(0)) > 0).alias(
-                "contaminated"
-            ),
-        )
-    )

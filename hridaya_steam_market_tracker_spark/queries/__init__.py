@@ -63,10 +63,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-11 composition: the ten never-sampled round-11 queries lead
-# (CDC chunking x3, decontamination, phase-shifted offset
-# crop/excerpt fingerprints + pairs, the phase-aware admission twin,
-# dissolve segmentation), then
+# Round-11 composition: the nine never-sampled round-11 queries lead
+# (CDC chunking x3, phase-shifted offset crop/excerpt fingerprints +
+# pairs, the phase-aware admission twin, dissolve segmentation), then
 # the cohort
 # whose transitive fingerprints changed this round (the
 # stage_checkpoint policy refactor touches every checkpointing
@@ -81,7 +80,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "cdc_chunks_checked",
     "cdc_dup_chunk_mass",
     "cdc_offset_dup_pairs",
-    "decontamination_flags",
     "media_phase_excerpt_admission_twin",
     "multimodal_audio_offset_clip_fingerprints",
     "multimodal_audio_offset_excerpt_pairs",
@@ -128,6 +126,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "dedup_exact",
     "dedup_incremental_delta",
     "e6_urgency_overdue",
+    "f1_union_all_per_stream_meta",
 )
 
 

@@ -1796,61 +1796,3 @@ def cdc_dup_chunk_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
-_DECON_GRAMS = (
-    "list_distinct([array_to_string(w[i:i+7], ' ') "
-    "for i in range(1, len(w) - 6)])"
-)
-
-
-@register(
-    "decontamination_flags",
-    oracle=f"""
-    WITH tr AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
-      UNION ALL
-      SELECT doc_id + 3000000 AS doc_id, text || ' zq extra tail' AS text
-      FROM documents WHERE doc_id % 74 = 0
-    ),
-    ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0),
-    tw AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM tr),
-    ew AS (SELECT doc_id, {_TOKS_LOWER} AS w FROM ev),
-    tg AS (SELECT doc_id, unnest({_DECON_GRAMS}) AS gram FROM tw),
-    eg AS (SELECT DISTINCT doc_id AS eval_id, unnest({_DECON_GRAMS}) AS gram
-           FROM ew),
-    tot AS (SELECT doc_id, len({_DECON_GRAMS}) AS n_grams FROM tw),
-    hits AS (SELECT tg.doc_id,
-                    count(DISTINCT tg.gram) AS cg,
-                    count(DISTINCT eg.eval_id) AS ne
-             FROM tg JOIN eg USING (gram) GROUP BY tg.doc_id)
-    SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
-           CAST(tot.n_grams AS BIGINT) AS n_grams,
-           CAST(coalesce(hits.cg, 0) AS BIGINT) AS contaminated_grams,
-           CAST(coalesce(hits.ne, 0) AS BIGINT) AS n_eval_docs,
-           coalesce(hits.cg, 0) > 0 AS contaminated
-    FROM tot LEFT JOIN hits USING (doc_id)
-    """,
-    doc=(
-        "Train/eval DECONTAMINATION (the public GPT-3 appendix-C "
-        "n-gram collision rule, n=8 here): every 37th document plays "
-        "the held-out eval set, the rest are the training corpus PLUS "
-        "planted contaminated rows (an eval doc's full text with a "
-        "junk tail — all of its 8-grams collide), and each training "
-        "doc reports its distinct 8-gram count, colliding-gram count, "
-        "colliding eval-doc count and the flag. Directional: eval "
-        "docs are never flagged; sub-8-word docs are clean by vacuity "
-        "on both sides. Eval postings broadcast (benchmarks are tiny "
-        "next to a training corpus); the training side shuffles only "
-        "for its own per-doc rollup."
-    ),
-)
-def decontamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    train = docs.filter(F.col("doc_id") % 37 != 0).unionByName(
-        docs.filter(F.col("doc_id") % 74 == 0).select(
-            (F.col("doc_id") + 3000000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zq extra tail")).alias("text"),
-        )
-    )
-    ev = docs.filter(F.col("doc_id") % 37 == 0)
-    return D.decontaminate(train, ev, n=8)

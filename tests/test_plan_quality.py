@@ -536,9 +536,6 @@ def test_sample_first_names_all_registered(registry):
         ("cdc_offset_dup_pairs", 5),
         # hash-keyed document frequency + join-back + per-doc rollup
         ("cdc_dup_chunk_mass", 3),
-        # eval postings broadcast; the training side shuffles only for
-        # its own per-doc rollups (hits + totals + the outer join)
-        ("decontamination_flags", 4),
     ],
 )
 def test_media_neardup_tier_shuffle_budget(spark, registry, name, max_shuffles):
