@@ -1916,6 +1916,30 @@ IMAGE_TILE_SCHEMA = (
 )
 
 
+def _phase_offsets(extent: int, phases: int) -> list[int]:
+    """THE phase-offset lattice shared by every phased media plane —
+    image tile grids (`_tile_token_kernel`, per axis over ``tile``)
+    and audio window grids (`decode_audio_windows` /
+    `audio_window_token_text`, over ``window``). Exactly ``phases``
+    offsets, a * (extent // phases) for a in [0, phases): [0] at
+    phases=1 (the historical single grid). Deriving BOTH audio paths
+    (shared decode and payload) and the image kernel from this one
+    expression pins them to the same lattice; previously the payload
+    path enumerated range(0, window, window // phases), which yields
+    an EXTRA offset for non-divisor phase counts (phases=3,
+    window=128 -> 4 grids vs 3) — so a re-fingerprint via the payload
+    path could silently disagree with the batch gate's shared decode.
+    Non-divisor or out-of-range phase counts now raise loudly instead
+    of producing an inconsistent index (the opaque range(..., 0)
+    ValueError for phases > extent included)."""
+    if phases < 1 or phases > extent or extent % phases:
+        raise ValueError(
+            f"phases={phases} must divide extent={extent} "
+            f"(1 <= phases <= extent)"
+        )
+    return [a * (extent // phases) for a in range(phases)]
+
+
 def _tile_token_kernel(tile: int, phases: int = 1):
     """Numpy tile-token core shared by `image_tile_tokens` and
     `decode_image_signature_tiles` (captured by value like
@@ -1941,7 +1965,10 @@ def _tile_token_kernel(tile: int, phases: int = 1):
     (tile_x, tile_y) are per-phase grid coordinates; multi-phase
     output is therefore only meaningful to SET consumers (the
     fingerprint plane), which is why the oracled token-relation
-    queries stay phases=1."""
+    queries stay phases=1. Constructed driver-side: a phase count
+    that doesn't divide ``tile`` raises here (see `_phase_offsets`),
+    not as an opaque executor error."""
+    offs = _phase_offsets(tile, phases)
 
     def tile_tokens(w: int, h: int, rgb) -> list[tuple[int, int, int]]:
         import numpy as np
@@ -1949,9 +1976,8 @@ def _tile_token_kernel(tile: int, phases: int = 1):
         px = None
         wgt = np.arange(1, 3 * tile * tile + 1, dtype=np.int64)
         out: list[tuple[int, int, int]] = []
-        step = tile // phases
-        for oy in range(0, tile, step) if phases > 1 else (0,):
-            for ox in range(0, tile, step) if phases > 1 else (0,):
+        for oy in offs:
+            for ox in offs:
                 tw, th = (w - ox) // tile, (h - oy) // tile
                 if tw == 0 or th == 0:
                     continue
@@ -2017,6 +2043,35 @@ def image_tile_tokens(
     SIGNATURE (the excerpt-aware streaming gate) decodes each payload
     once."""
     if decoded is not None:
+        # Phases validation (round-12, mirroring the audio plane's
+        # `phase`-column detection): the tiles ride the decoded
+        # relation's structs, which are content-only and carry no
+        # per-row phase tag — so a relation decoded with a DIFFERENT
+        # phase count than the caller believes would silently yield a
+        # partially-phased index. The marker column
+        # `decode_image_signature_tiles` stamps is checked IN-PLAN by
+        # wiring it through the live pixels_ok column (a dropped
+        # validator column would be pruned); a mismatch raises on
+        # first evaluation. Marker-less relations (pre-round-12 /
+        # hand-built) are accepted as before.
+        if "phases" in decoded.columns:
+            decoded = decoded.withColumn(
+                "pixels_ok",
+                F.when(
+                    F.col("phases") == F.lit(phases), F.col("pixels_ok")
+                ).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "image_tile_tokens: decoded relation "
+                                "was built with phases="
+                            ),
+                            F.col("phases").cast("string"),
+                            F.lit(f", caller expects phases={phases}"),
+                        )
+                    )
+                ),
+            )
         # explode_outer of a NULL/empty array keeps one null-element
         # row — exactly the per-image presence row the Python path
         # emits for undecodable (pixels_ok=false) / smaller-than-one-
@@ -2277,6 +2332,9 @@ def decode_image_signature_tiles(
     grid_h: int = 8,
     tile: int = 8,
     phases: int = 1,
+    include_cdt: bool = False,
+    cdt_k: int = 8,
+    cdt_divisor: int = 64,
 ) -> DataFrame:
     """ONE image decode feeding both image planes — the image analog
     of `decode_mp4_frames` / `decode_audio_windows`: per image, the
@@ -2298,12 +2356,24 @@ def decode_image_signature_tiles(
     ``phases`` > 1 carries the phase-shifted grids' tile structs too
     (phase-aware excerpt gate; see `_tile_token_kernel` — tile coords
     are per-phase, tokens content-only, so the fingerprint consumer
-    is unchanged)."""
+    is unchanged). ``include_cdt`` (round 12) additionally carries the
+    content-defined anchor structs (`_cdt_anchor_kernel` at
+    ``cdt_k``/``cdt_divisor``) in a ``cdt`` column — the CDT-mode
+    streaming gate's one-decode path — stamped with `cdt_k` /
+    `cdt_divisor` marker columns that `image_cdt_anchor_tokens`
+    validates in-plan, mirroring the `phases` marker."""
     pixel_decode, _ = _pixel_codec()
     dhash_bits = _dhash_kernel(grid_w, grid_h)
     upright = _orientation_transform()
     orientation_of = _orientation_reader()
     tile_tokens = _tile_token_kernel(tile, phases)
+    cdt_anchors = (
+        _cdt_anchor_kernel(cdt_k, cdt_divisor) if include_cdt else None
+    )
+    cols = [
+        "media_id", "orientation", "width", "height",
+        "hash_hi", "hash_lo", "sig_ok", "pixels_ok", "tiles",
+    ] + (["cdt"] if include_cdt else [])
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2320,6 +2390,7 @@ def decode_image_signature_tiles(
                     recs.append(
                         (mid, None, None, None, None, None, False, False,
                          None)
+                        + ((None,) if include_cdt else ())
                     )
                     continue
                 try:
@@ -2331,18 +2402,36 @@ def decode_image_signature_tiles(
                     {"tile_x": tx, "tile_y": ty, "tok": tok}
                     for tx, ty, tok in tile_tokens(w2, h2, rgb2)
                 ]
-                recs.append((mid, *sig, True, tiles))
-            yield pd.DataFrame.from_records(
-                recs,
-                columns=[
-                    "media_id", "orientation", "width", "height",
-                    "hash_hi", "hash_lo", "sig_ok", "pixels_ok", "tiles",
-                ],
-            )
+                row = (mid, *sig, True, tiles)
+                if include_cdt:
+                    row += ([
+                        {"ax": ax, "ay": ay, "tok": tok}
+                        for ax, ay, tok in cdt_anchors(w2, h2, rgb2)
+                    ],)
+                recs.append(row)
+            yield pd.DataFrame.from_records(recs, columns=cols)
 
-    return media.filter(F.col("media_type") == "image").select(
+    # Phases marker (round-12): unlike the audio plane, whose phased
+    # windows carry a detectable `phase` column, the tile structs are
+    # content-only BY DESIGN (cross-phase joins are the point — see
+    # `_tile_token_kernel`), so without a marker a consumer handed a
+    # relation decoded with the WRONG phase count would silently
+    # build a partially-phased index. The constant column lets
+    # `image_tile_tokens` validate in-plan (JVM literal, zero Python
+    # cost, pruned wherever unused).
+    schema = IMAGE_SIG_TILE_SCHEMA + (
+        ", cdt array<struct<ax:int,ay:int,tok:long>>"
+        if include_cdt
+        else ""
+    )
+    out = media.filter(F.col("media_type") == "image").select(
         "media_id", "format", "payload"
-    ).mapInPandas(op, schema=IMAGE_SIG_TILE_SCHEMA)
+    ).mapInPandas(op, schema=schema).withColumn("phases", F.lit(phases))
+    if include_cdt:
+        out = out.withColumn("cdt_k", F.lit(cdt_k)).withColumn(
+            "cdt_divisor", F.lit(cdt_divisor)
+        )
+    return out
 
 
 def image_tile_fingerprints(
@@ -2367,7 +2456,9 @@ def image_tile_fingerprints(
     frequency cap. ``decoded`` (optional): precomputed
     `decode_image_signature_tiles` relation (one decode shared with
     the signature plane; it must have been decoded with the SAME
-    ``phases``, since the tiles ride its carried structs).
+    ``phases``, since the tiles ride its carried structs — enforced
+    in-plan against the relation's `phases` marker column, see
+    `image_tile_tokens`).
     ``phases`` > 1 unions the phase-shifted grids' tokens into the
     same distinct (media_id, fp) set — tokens are content-only, so
     the downstream containment join needs no change and a crop at
@@ -2496,6 +2587,275 @@ def checked_image_offset_crop_df(spark, n_bases: int = 4) -> DataFrame:
         (2 * n_bases, "image", "png",
          bytearray(hashlib.md5(b"offset-crop-honesty").digest() * 4),
          None, None, None)
+    )
+    return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined image tiling (round 12): OFFSET-INDEPENDENT crop
+# fingerprints — the 2-D analog of text's content-defined chunking
+# (operators/dedup.py content_defined_chunks, the rsync/LBFS divisor
+# rule, Muthitacharoen et al. SOSP'01). The phase grids shrink the
+# crop-alignment blind spot to the tile/phases lattice at a phases^2
+# index cost; anchoring on CONTENT removes the lattice entirely at a
+# CONSTANT index cost. Note the verdict-sketched global-projection
+# anchors (rolling hash over whole-row/column pixel sums) do NOT work
+# for general crops — a crop restricted in BOTH axes changes every row
+# and column sum — so anchors here are fully LOCAL: the polynomial
+# rolling hash of each k x k pixel neighborhood.
+# ---------------------------------------------------------------------------
+
+IMAGE_CDT_SCHEMA = (
+    "media_id long, ax int, ay int, tok long, decode_ok boolean"
+)
+
+_CDT_M = 1_000_000_007
+
+
+def _cdt_anchor_kernel(k: int = 8, divisor: int = 64):
+    """Numpy core of the content-defined tiling: for every position
+    (x, y) of the EXIF-upright raster with a full k x k neighborhood,
+    the separable polynomial rolling hash
+
+        T(x, y) = sum_{dx,dy} gray(x+dx, y+dy) * 31^dx * 37^dy
+                  mod 1e9+7,   gray = r + g + b
+
+    and (x, y) is an ANCHOR iff T % divisor == 0 — the 1-D CDC
+    divisor rule lifted to 2-D. T depends ONLY on the k x k block's
+    bytes, so a crop at ANY pixel offset (no lattice) anchors at
+    exactly the host positions that fall fully inside it, with
+    identical T values: the crop's anchor-token set is a strict
+    SUBSET of the host's and containment through the unchanged
+    winnowing join is exactly 1.0. Expected density 1/divisor of
+    positions (~W*H/64 anchors at the default — the same index mass
+    as the 8x8 tile grid, and CONSTANT in the covered offset class,
+    vs the grids' phases^2 growth for a still-lattice-bound cover).
+    Integer-exact and DuckDB-recomputable: pass 1 accumulates
+    gray*31^dx (<= 765 * (M-1), 8 terms < 2^63) then mods; pass 2
+    accumulates Rx*37^dy (<= (M-1)^2, 8 terms < 2^63) then mods —
+    equal to the single-mod full sum by modular algebra."""
+    wx = [pow(31, d, _CDT_M) for d in range(k)]
+    wy = [pow(37, d, _CDT_M) for d in range(k)]
+
+    def anchors(w: int, h: int, rgb) -> list[tuple[int, int, int]]:
+        import numpy as np
+
+        if w < k or h < k:
+            return []
+        gray = (
+            np.frombuffer(bytes(rgb), dtype=np.uint8)
+            .reshape(h, w, 3)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        rx = np.zeros((h, w - k + 1), dtype=np.int64)
+        for d in range(k):
+            rx += gray[:, d : d + w - k + 1] * wx[d]
+        rx %= _CDT_M
+        t = np.zeros((h - k + 1, w - k + 1), dtype=np.int64)
+        for d in range(k):
+            t += rx[d : d + h - k + 1, :] * wy[d]
+        t %= _CDT_M
+        ys, xs = np.nonzero(t % divisor == 0)
+        return [
+            (int(x), int(y), int(t[y, x])) for y, x in zip(ys, xs)
+        ]
+
+    return anchors
+
+
+def image_cdt_anchor_tokens(
+    media: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    decoded: DataFrame | None = None,
+) -> DataFrame:
+    """(media_id, ax, ay, tok): content-defined tile anchors over the
+    EXIF-upright raster — `image_tile_tokens`' offset-independent
+    sibling (see `_cdt_anchor_kernel`). Same presence-row discipline
+    as the tile plane: undecodable payloads keep one decode_ok=false
+    NULL row; decodable images with no anchor (smaller than k, or no
+    mask hit) keep one decode_ok=true NULL row. Same upright
+    discipline too — a camera-rotated re-upload anchors identically
+    to its upright twin (rotate-before-hash, inherited from
+    `image_dhash_oriented`). One Arrow-batched scan; payload bytes
+    never cross an exchange; ~W*H/divisor anchor rows per image.
+
+    ``decoded`` (optional): precomputed `decode_image_signature_tiles`
+    relation built with ``include_cdt=True`` — the anchors are then a
+    JVM-side explode of its carried ``cdt`` structs (the CDT-mode
+    streaming gate's one-decode path), validated IN-PLAN against its
+    `cdt_k`/`cdt_divisor` marker columns exactly like the grid
+    plane's `phases` marker (a relation anchored under different
+    parameters would silently build the wrong index)."""
+    if decoded is not None:
+        if "cdt" not in decoded.columns:
+            raise ValueError(
+                "decoded relation carries no cdt anchors: build it "
+                "with decode_image_signature_tiles(include_cdt=True)"
+            )
+        decoded = decoded.withColumn(
+            "pixels_ok",
+            F.when(
+                (F.col("cdt_k") == F.lit(k))
+                & (F.col("cdt_divisor") == F.lit(divisor)),
+                F.col("pixels_ok"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "image_cdt_anchor_tokens: decoded relation "
+                            "was anchored with (k, divisor)=("
+                        ),
+                        F.col("cdt_k").cast("string"),
+                        F.lit(", "),
+                        F.col("cdt_divisor").cast("string"),
+                        F.lit(f"), caller expects ({k}, {divisor})"),
+                    )
+                )
+            ),
+        )
+        e = F.explode_outer(
+            F.when(F.col("pixels_ok"), F.col("cdt"))
+        ).alias("t")
+        return decoded.select("media_id", "pixels_ok", e).select(
+            "media_id",
+            F.col("t.ax").alias("ax"),
+            F.col("t.ay").alias("ay"),
+            F.col("t.tok").alias("tok"),
+            F.col("pixels_ok").alias("decode_ok"),
+        )
+    pixel_decode, _ = _pixel_codec()
+    upright = _orientation_transform()
+    orientation_of = _orientation_reader()
+    anchor_fn = _cdt_anchor_kernel(k, divisor)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                data = bytes(payload or b"")
+                try:
+                    ori = orientation_of(data, fmt)
+                    w, h, rgb = pixel_decode(data, fmt)
+                    w, h, rgb = upright(w, h, rgb, ori)
+                except (NotImplementedError, ValueError, IndexError):
+                    recs.append((mid, None, None, None, False))
+                    continue
+                found = anchor_fn(w, h, rgb)
+                if not found:
+                    recs.append((mid, None, None, None, True))
+                    continue
+                recs.extend(
+                    (mid, ax, ay, tok, True) for ax, ay, tok in found
+                )
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=["media_id", "ax", "ay", "tok", "decode_ok"],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "format", "payload")
+        .mapInPandas(op, schema=IMAGE_CDT_SCHEMA)
+    )
+
+
+def image_cdt_fingerprints(
+    media: DataFrame,
+    k: int = 8,
+    divisor: int = 64,
+    decoded: DataFrame | None = None,
+) -> DataFrame:
+    """(media_id, fp): distinct 60-bit fingerprints of an image's
+    content-defined anchor tokens — the drop-in OFFSET-INDEPENDENT
+    replacement for `image_tile_fingerprints` in the containment
+    planes (`winnow_containment_pairs`, the streaming excerpt gate's
+    wfps index). Anchors are a SET keyed by content alone, so a crop
+    at ANY offset — (13, 7) included, off every tile/phases lattice —
+    scores containment exactly 1.0 against its host, where the phase
+    grids are structurally blind off their lattice. Same md5-derived
+    60-bit recipe as every other plane (`_h60`, seed 0): DuckDB
+    recomputes every fp bit-for-bit."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import _h60
+
+    toks = image_cdt_anchor_tokens(media, k, divisor, decoded=decoded)
+    return (
+        toks.filter(F.col("decode_ok") & F.col("tok").isNotNull())
+        .select(
+            "media_id", _h60(F.col("tok").cast("string"), 0).alias("fp")
+        )
+        .dropDuplicates(["media_id", "fp"])
+    )
+
+
+def checked_image_cdt_crop_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable ARBITRARY-OFFSET image crop table — the round-12
+    fixture the phase grids cannot cover: for each base b, id 2b is the
+    same 64x48 closed-form host as `checked_image_crop_df`
+    (v(b, x, y) = (x*x*(3 + b%5) + y*y*(7 + b%3) + x*y + 13*b) % 251),
+    and id 2b+1 is its 32x24 crop at offset (13, 7) — off EVERY
+    tile/phases lattice (13 and 7 are coprime to any tile/phases step
+    dividing 8), so grid tokens at ANY phase count share nothing while
+    the content-defined anchors re-synchronize exactly (verified
+    subset property: every crop anchor token is a host anchor token;
+    4-9 anchors per crop at divisor 64). id 2*n_bases is an
+    unparseable digest blob (honest failure); id 2*n_bases + 1 is the
+    SAME (13, 7) crop of base 0 stored camera-ROTATED (PNG eXIf
+    orientation 6) — its upright anchors must equal id 1's exactly
+    (rotate-before-hash, inherited)."""
+    import hashlib
+    import struct
+    import zlib
+
+    _, encode = _pixel_codec()
+    w, h = 64, 48
+    cw, ch, x0, y0 = 32, 24, 13, 7
+
+    def v(b: int, x: int, y: int) -> int:
+        return (
+            x * x * (3 + b % 5) + y * y * (7 + b % 3) + x * y + 13 * b
+        ) % 251
+
+    def png_of(rows: list[list[int]]) -> bytearray:
+        sh, sw = len(rows), len(rows[0])
+        rgb = bytes(p for r in rows for p in r for _ in range(3))
+        return bytearray(encode(sw, sh, rgb, "png"))
+
+    def crop_rows(b: int) -> list[list[int]]:
+        return [
+            [v(b, x0 + x, y0 + y) for x in range(cw)] for y in range(ch)
+        ]
+
+    rows_out = []
+    for b in range(n_bases):
+        host = [[v(b, x, y) for x in range(w)] for y in range(h)]
+        rows_out.append((2 * b, "image", "png", png_of(host), w, h, None))
+        rows_out.append(
+            (2 * b + 1, "image", "png", png_of(crop_rows(b)), cw, ch, None)
+        )
+    rows_out.append(
+        (2 * n_bases, "image", "png",
+         bytearray(hashlib.md5(b"cdt-crop-honesty").digest() * 4),
+         None, None, None)
+    )
+    # Rotated storage of base 0's crop: stored = rot90ccw(upright)
+    # (forward camera transform for EXIF orientation 6), real eXIf.
+    stored = [list(r) for r in zip(*crop_rows(0))][::-1]
+    payload = png_of(stored)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    tiff = _tiff_exif_bytes(6, "2024:05:01 00:00:00", motorola=False)
+    payload = payload[:33] + chunk(b"eXIf", tiff) + payload[33:]
+    rows_out.append(
+        (2 * n_bases + 1, "image", "png", payload, cw, ch, None)
     )
     return spark.createDataFrame(rows_out, MEDIA_SCHEMA)
 
@@ -5212,7 +5572,7 @@ def decode_audio_windows(
     token/winnowing containment machinery surfaces it (see
     `audio_window_token_text`). phases=1 keeps the historical schema
     exactly — zero churn for the signature/segment consumers."""
-    offsets = [a * (window // phases) for a in range(phases)]
+    offsets = _phase_offsets(window, phases)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -5525,6 +5885,14 @@ def audio_window_token_text(
             ).alias("text"),
         )
 
+    # Driver-side, from the SAME expression as the shared decode
+    # (`_phase_offsets`): the payload path previously enumerated
+    # range(0, window, window // phases), which produced an EXTRA
+    # grid for non-divisor phase counts — a silent lattice mismatch
+    # between a wfps re-fingerprint and the batch gate's shared
+    # decode. Non-divisor counts now raise here instead.
+    offsets = _phase_offsets(window, phases)
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import struct
@@ -5545,7 +5913,7 @@ def audio_window_token_text(
             if chan0.size // window == 0:
                 raise ValueError("shorter than one window")
             out = []
-            for off in range(0, window, window // phases):
+            for off in offsets:
                 sub = chan0[off:]
                 nw = sub.size // window
                 if nw == 0:
@@ -5799,6 +6167,178 @@ def checked_audio_offset_clip_df(spark, n_bases: int = 4) -> DataFrame:
     rows.append(
         (bad, "audio", "mp3",
          bytearray(hashlib.md5(f"aoclip{bad}".encode()).digest() * 4),
+         None, None, None)
+    )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined audio anchors (round 12): the 1-D member of the
+# offset-independent family — image crops got 2-D content-defined
+# tiles (`image_cdt_anchor_tokens`), audio excerpts get the same
+# divisor rule over the raw sample stream. The phased window grids
+# cover only window/phases-lattice cut offsets; anchoring on the
+# CONTENT of each k-sample neighborhood covers EVERY cut offset at
+# constant index mass. (The verdict-sketched energy-extrema anchors
+# over Goertzel WINDOW powers cannot do this — the windows themselves
+# are the grid; anchors must live at sample granularity.)
+# ---------------------------------------------------------------------------
+
+AUDIO_CDT_SCHEMA = "media_id long, apos int, tok long, decode_ok boolean"
+
+
+def audio_cdt_anchor_tokens(
+    media: DataFrame, k: int = 16, divisor: int = 64
+) -> DataFrame:
+    """(media_id, apos, tok): content-defined anchors over channel-0
+    samples — a position p is an anchor iff the polynomial rolling
+    hash of its k-sample neighborhood
+
+        T(p) = sum_{d<k} (s[p+d] + 32768) * 31^d  mod 1e9+7
+
+    satisfies T % divisor == 0 (the rsync/LBFS divisor rule of
+    `content_defined_chunks`, anchor-POINT form: like the image CDT
+    plane, the fingerprint is the anchored neighborhood itself, not a
+    chunk tiling, so an excerpt cut at ANY sample offset anchors at
+    exactly the host positions fully inside it with identical T
+    values — its token set is a strict SUBSET of the host's and
+    containment is exactly 1.0, no boundary re-sync slack). Samples
+    hash via their unsigned-16 shift so the executor-side numpy mod
+    and the DuckDB oracle mod agree on negative samples. Expected
+    density 1/divisor of positions (~n/64 — the window grid's own
+    index mass, constant vs phases). Presence rows mirror the window
+    plane: undecodable -> one decode_ok=false NULL row; decodable but
+    shorter than k or mask-miss -> one decode_ok=true NULL row.
+    Arrow-batched scan, vectorized over positions; payload bytes
+    never cross an exchange."""
+    wts = [pow(31, d, _CDT_M) for d in range(k)]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+
+        def chan0_of(payload: bytes, fmt: str | None) -> "np.ndarray":
+            if fmt != "wav":
+                raise NotImplementedError(f"no audio codec for {fmt!r}")
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                if wf.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM supported")
+                nf = wf.getnframes()
+                ch = wf.getnchannels()
+                raw = wf.readframes(nf)
+            chan0 = np.frombuffer(raw, dtype="<i2")[::ch].astype(np.int64)
+            if chan0.size == 0:
+                raise ValueError("empty PCM stream")
+            return chan0
+
+        for pdf in batches:
+            recs = []
+            for mid, payload, fmt in zip(
+                pdf["media_id"], pdf["payload"], pdf["format"]
+            ):
+                try:
+                    s = chan0_of(bytes(payload or b""), fmt)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    EOFError,
+                    struct.error,
+                    wave.Error,
+                ):
+                    recs.append((mid, None, None, False))
+                    continue
+                n = s.size
+                if n < k:
+                    recs.append((mid, None, None, True))
+                    continue
+                u = s + 32768
+                t = np.zeros(n - k + 1, dtype=np.int64)
+                for d in range(k):
+                    t += u[d : d + n - k + 1] * wts[d]
+                t %= _CDT_M
+                idx = np.nonzero(t % divisor == 0)[0]
+                if idx.size == 0:
+                    recs.append((mid, None, None, True))
+                    continue
+                recs.extend(
+                    (mid, int(p), int(t[p]), True) for p in idx
+                )
+            yield pd.DataFrame.from_records(
+                recs, columns=["media_id", "apos", "tok", "decode_ok"]
+            )
+
+    return media.filter(F.col("media_type") == "audio").select(
+        "media_id", "format", "payload"
+    ).mapInPandas(op, schema=AUDIO_CDT_SCHEMA)
+
+
+def audio_cdt_fingerprints(
+    media: DataFrame, k: int = 16, divisor: int = 64
+) -> DataFrame:
+    """(media_id, fp): distinct 60-bit fingerprints of a clip's
+    content-defined anchor tokens — the offset-INDEPENDENT drop-in
+    for the phased `audio_window_token_text` winnowing plane in the
+    containment consumers (same `_h60` seed-0 recipe, DuckDB-exact).
+    An excerpt at ANY sample offset scores containment exactly 1.0
+    against its host through the unchanged df-capped join."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import _h60
+
+    toks = audio_cdt_anchor_tokens(media, k, divisor)
+    return (
+        toks.filter(F.col("decode_ok") & F.col("tok").isNotNull())
+        .select(
+            "media_id", _h60(F.col("tok").cast("string"), 0).alias("fp")
+        )
+        .dropDuplicates(["media_id", "fp"])
+    )
+
+
+def checked_audio_cdt_excerpt_df(spark, n_bases: int = 4) -> DataFrame:
+    """Oracle-checkable ARBITRARY-OFFSET audio excerpt table — the
+    round-12 fixture off every window/phases lattice: 4,096-sample
+    closed-form hosts
+    (x(b, t) = ((t*t*(11 + b%7) + t*(37 + b%101) + 17*b) % 4099) - 2049
+    — modulus 4099 is PRIME and exceeds the clip length, so unlike the
+    phase fixtures' mod-1025 samples the stream has no period and every
+    anchor token is distinct; a periodic host's anchor SET collapses to
+    one period's worth and gets spuriously contained in its own
+    excerpt), and id 2b+1 excerpts samples 1037..2572 — offset 1037 is
+    coprime to every window/phases step dividing 128, so phased window
+    grids at ANY phase count share no tokens with the host while the
+    content-defined anchors re-synchronize exactly (22-27 anchors per
+    excerpt at divisor 64, all STRICT subsets of the host's 57-66). id
+    2*n_bases is an undecodable 'mp3' digest blob (honest failure)."""
+    import io
+    import struct
+    import wave
+
+    def x(b: int, t: int) -> int:
+        return ((t * t * (11 + b % 7) + t * (37 + b % 101) + 17 * b)
+                % 4099) - 2049
+
+    def wav(samples: list[int]) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        return buf.getvalue()
+
+    rows = []
+    for b in range(n_bases):
+        host = [x(b, t) for t in range(4096)]
+        rows.append((2 * b, "audio", "wav", bytearray(wav(host)),
+                     None, None, None))
+        rows.append((2 * b + 1, "audio", "wav",
+                     bytearray(wav(host[1037:2573])), None, None, None))
+    bad = 2 * n_bases
+    rows.append(
+        (bad, "audio", "mp3",
+         bytearray(hashlib.md5(f"acdt{bad}".encode()).digest() * 4),
          None, None, None)
     )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -63,70 +63,69 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-11 composition: the nine never-sampled round-11 queries lead
-# (CDC chunking x3, phase-shifted offset crop/excerpt fingerprints +
-# pairs, the phase-aware admission twin, dissolve segmentation), then
-# the cohort
-# whose transitive fingerprints changed this round (the
-# stage_checkpoint policy refactor touches every checkpointing
-# operator family: dedup/BPE/components/k-means/perceptron, and the
-# audio/image phase plumbing touches the media families); the r05
-# rotation cohort fills the remaining slots (the rest of it rotates
-# in next round — 40 flagged queries outrank it this time).
+# Round-12 composition: the four never-sampled content-defined-tiling
+# queries lead (image/audio CDT anchors + containment pairs), then
+# the two de-skew rewrites (ccnet terciles, vocab growth blocked
+# prefix sum) and the cohort whose transitive fingerprints changed
+# this round (the multimodal phase-lattice validation + shared-decode
+# CDT plumbing touches every media family; the CDC oracle guard
+# touches the cdc trio; stage_checkpoint's stage_key touches the
+# checkpointing operator families); the staleness rotation fills the
+# remaining slots.
 # Rows-only (oracle-less) queries sort below every oracled query by
 # design (round-10 verdict ask #7): their err:no_oracle rows read as
 # failures and their value signal lives in the oracled checked twins.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    "multimodal_audio_cdt_anchors_checked",
+    "multimodal_audio_cdt_excerpt_pairs",
+    "multimodal_image_cdt_anchors_checked",
+    "multimodal_image_cdt_crop_pairs",
+    "ccnet_perplexity_buckets",
+    "vocab_growth_curve",
+    "any_media_ingest_admission_twin",
+    "bpe_doc_token_stats",
+    "bpe_train_merges",
     "cdc_chunks_checked",
     "cdc_dup_chunk_mass",
     "cdc_offset_dup_pairs",
-    "media_phase_excerpt_admission_twin",
-    "multimodal_audio_offset_clip_fingerprints",
-    "multimodal_audio_offset_excerpt_pairs",
-    "multimodal_image_offset_crop_pairs",
-    "multimodal_image_offset_tile_fingerprints",
-    "multimodal_video_dissolve_segments",
-    "dedup_clusters",
-    "emb_cosine_near_dup",
-    "dedup_clusters_star",
-    "emb_near_dup_clusters",
-    "bpe_doc_token_stats",
-    "bpe_train_merges",
-    "cluster_weighted_sample",
-    "dedup_keep_best_quality",
-    "dedup_recall_audit",
-    "perceptron_quality_scores",
-    "pretrain_pipeline_e2e",
-    "semantic_dedup_keep_list",
-    "semantic_dedup_text_e2e",
-    "any_media_ingest_admission_twin",
     "chargram_lang_id",
     "clip_duplicate_spans_stats",
+    "cluster_weighted_sample",
     "curation_pipeline_kept_docs",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_keep_best_quality",
+    "dedup_recall_audit",
     "duplicate_span_pairs",
+    "emb_cosine_near_dup",
+    "emb_near_dup_clusters",
     "media_excerpt_admission_twin",
     "media_ingest_admission_twin",
+    "media_phase_excerpt_admission_twin",
     "multimodal_audio_clip_fingerprints",
     "multimodal_audio_dedup_keep_list",
     "multimodal_audio_excerpt_pairs",
     "multimodal_audio_fingerprint_checked",
+    "multimodal_audio_offset_clip_fingerprints",
+    "multimodal_audio_offset_excerpt_pairs",
     "multimodal_audio_segments",
     "multimodal_dhash_oriented_checked",
     "multimodal_dhash_oriented_near_pairs_checked",
     "multimodal_image_crop_pairs",
     "multimodal_image_dedup_keep_list",
     "multimodal_image_exif_checked",
+    "multimodal_image_offset_crop_pairs",
+    "multimodal_image_offset_tile_fingerprints",
     "multimodal_image_tile_fingerprints",
     "multimodal_image_whash_checked",
     "multimodal_video_dedup_keep_list",
     "multimodal_whash_near_pairs",
-    "d3_windowed_union_count",
-    "d4_last_ingest_union_max",
-    "d9_feasibility_gate",
-    "dedup_exact",
-    "dedup_incremental_delta",
-    "e6_urgency_overdue",
-    "f1_union_all_per_stream_meta",
+    "perceptron_quality_scores",
+    "pretrain_pipeline_e2e",
+    "semantic_dedup_keep_list",
+    "semantic_dedup_text_e2e",
+    "f3_payload_dup_check",
+    "g1_parse_steam_price",
 )
 
 

@@ -1116,15 +1116,15 @@ def html_text_extract_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2020): per-source terciles of the corpus-trained bigram-LM "
         "per-token log-likelihood, keep = head+middle (the published "
         "selection rule). Ordering is on the rounded exact-integer-"
-        "derived avg_logprob with doc_id tie-break, so the NTILE "
-        "assignment is cross-engine deterministic; one window over the "
-        "already-scored docs — the bucketing itself adds a single "
-        "source-keyed shuffle."
+        "derived avg_logprob with doc_id tie-break, so the assignment "
+        "is cross-engine deterministic. The oracle states the rule as "
+        "NTILE(3); the Spark side replicates NTILE's rank arithmetic "
+        "EXACTLY from a per-(source, score) histogram instead of "
+        "sorting each whole source in one window partition — the "
+        "round-11 scale flag (see _ccnet_buckets_exact)."
     ),
 )
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from hridaya_steam_market_tracker_spark.operators.lm import (
         bigram_lm_doc_scores as _score,
     )
@@ -1132,11 +1132,128 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     scores = _score(docs).select("doc_id", "avg_logprob", "perplexity")
     joined = scores.join(docs.select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    return _ccnet_buckets_exact(joined)
+
+
+def _ccnet_buckets_exact(joined: DataFrame) -> DataFrame:
+    """Exact per-source tercile assignment WITHOUT a whole-source sort —
+    the de-skewed replacement for `ntile(3) OVER (PARTITION BY source
+    ORDER BY avg_logprob DESC, doc_id ASC)`, reproducing its output
+    bit-for-bit (the DuckDB oracle still SAYS ntile; this is the same
+    function computed scale-safely):
+
+      rank(row)  = |rows of the source with higher avg_logprob|
+                   + row_number within the (source, avg_logprob) tie
+                     group ordered by doc_id
+      bucket     = 1 + (rank > C1) + (rank > C2), where with n docs,
+                   base = n div 3, rem = n mod 3 the NTILE boundaries
+                   are C1 = base + (rem>=1), C2 = 2*base + (rem>=1)
+                   + (rem>=2).
+
+    Skew posture: the old plan sorted EVERY doc of a source inside one
+    window task (sources are low-cardinality, so at 100x that task is
+    a straggler/2-GB hazard). Here the docs relation is shuffled ONCE
+    by (source, avg_logprob) — the tie-group row_number and the
+    histogram groupBy share that partitioning — so the largest single
+    sort is the largest TIE GROUP (equal rounded scores), not the
+    largest source; the only per-source-partitioned work is the
+    cumulative count over the (source, avg_logprob) HISTOGRAM, whose
+    width is the distinct rounded scores of the source (round(.,9)
+    micro-nat-derived — far below doc count; still the documented
+    bound of the exact tier), and the broadcast-joined one-row-per-
+    source boundary table. Corpus tier for unbounded sources:
+    `ccnet_buckets_approx` (percentile_approx cutoffs — no per-source
+    sort of ANY width, at the cost of the exact-size guarantee)."""
+    from pyspark.sql import Window
+
+    tie_w = Window.partitionBy("source", "avg_logprob").orderBy(
+        F.col("doc_id").asc()
     )
-    bucket = F.ntile(3).over(w)
-    return joined.select(
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("avg_logprob").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hist = (
+        joined.groupBy("source", "avg_logprob")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "source",
+            "avg_logprob",
+            (F.sum("c").over(cum_w) - F.col("c")).alias("before"),
+            "c",
+        )
+    )
+    cuts = hist.groupBy("source").agg(
+        F.sum("c").alias("n")
+    ).select(
+        "source",
+        (
+            F.expr("n div 3")
+            + (F.col("n") % 3 >= 1).cast("long")
+        ).alias("c1"),
+        (
+            2 * F.expr("n div 3")
+            + (F.col("n") % 3 >= 1).cast("long")
+            + (F.col("n") % 3 >= 2).cast("long")
+        ).alias("c2"),
+    )
+    rank = (F.col("before") + F.row_number().over(tie_w)).alias("rank")
+    bucket = (
+        F.lit(1)
+        + (F.col("rank") > F.col("c1")).cast("int")
+        + (F.col("rank") > F.col("c2")).cast("int")
+    )
+    return (
+        joined.join(hist.drop("c"), ["source", "avg_logprob"])
+        .join(F.broadcast(cuts), "source")
+        .select("doc_id", "source", "avg_logprob", "perplexity",
+                "c1", "c2", rank)
+        .select(
+            "doc_id",
+            "source",
+            "avg_logprob",
+            "perplexity",
+            bucket.cast("int").alias("bucket"),
+            F.when(bucket == 1, "head")
+            .when(bucket == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket_label"),
+            (bucket <= 2).alias("keep"),
+        )
+    )
+
+
+def ccnet_buckets_approx(
+    joined: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """Corpus-scale tier of the CCNet bucketing: per-source tercile
+    CUTOFF SCORES from `percentile_approx` (one mergeable sketch
+    aggregate — no per-source sort of any width, no histogram), docs
+    assigned by comparing avg_logprob against the broadcast cutoffs.
+    Same output shape as the exact tier; the trade is the exact
+    NTILE size guarantee — bucket POPULATIONS drift by the sketch
+    error and TIES on a cutoff score all land in the better
+    (lower-numbered) bucket together (no doc_id split), which is the
+    honest semantics of a cutoff-comparison rule. Use when a single source's distinct-score
+    histogram itself would skew (the exact tier's documented bound);
+    `accuracy` is Spark's percentile_approx knob (error <= 1/accuracy
+    of the source's doc count)."""
+    cuts = joined.groupBy("source").agg(
+        F.percentile_approx(
+            "avg_logprob", [2.0 / 3.0, 1.0 / 3.0], accuracy
+        ).alias("q")
+    ).select(
+        "source",
+        F.col("q")[0].alias("q_head"),
+        F.col("q")[1].alias("q_mid"),
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("avg_logprob") < F.col("q_head")).cast("int")
+        + (F.col("avg_logprob") < F.col("q_mid")).cast("int")
+    )
+    return joined.join(F.broadcast(cuts), "source").select(
         "doc_id",
         "source",
         "avg_logprob",
@@ -1614,11 +1731,15 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count vs cumulative distinct-type count in doc_id ingestion "
         "order — the diagnostic that tells a corpus builder whether new "
         "data still contributes novel vocabulary or has saturated "
-        "(V ~ k*N^b flattening), PER SOURCE so the running sums ride a "
-        "source-partitioned window (no single-partition global sort). "
-        "Computed without any per-prefix rescan: each type attributes "
-        "to its FIRST document (min-aggregate), then two running sums "
-        "over the per-doc rollup — doc-count rows, not tokens."
+        "(V ~ k*N^b flattening), PER SOURCE. Computed without any "
+        "per-prefix rescan: each type attributes to its FIRST document "
+        "(min-aggregate), then the running sums are a BLOCKED prefix "
+        "sum (round-12 de-skew, the sequence-packing bucketed-cumsum "
+        "shape): per-(source, doc_id-block) partials, a per-source "
+        "window over BLOCK rollup rows only (doc_count/4096 rows), "
+        "and within-block windows bounded by the 4096-doc block — no "
+        "whole source's docs ever sort in one window task. The oracle "
+        "states the same function as a plain windowed running sum."
     ),
 )
 def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,19 +1757,46 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
-    w = (
+    rolled = per_doc.join(new_types, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        F.expr("doc_id div 4096").alias("blk"),
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    # Blocked prefix sum: exclusive per-source offsets over the BLOCK
+    # rollup (tiny relation), inclusive within-block running sums
+    # (partitions bounded by the block size), summed back. Identical
+    # values to a whole-source running sum — without its single-task
+    # sort of every doc of the largest source.
+    blk_tot = rolled.groupBy("source", "blk").agg(
+        F.sum("n_tok").alias("t_tok"), F.sum("n_new").alias("t_new")
+    )
+    off_w = (
         Window.partitionBy("source")
+        .orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    blk_off = blk_tot.select(
+        "source",
+        "blk",
+        F.coalesce(F.sum("t_tok").over(off_w), F.lit(0)).alias("off_tok"),
+        F.coalesce(F.sum("t_new").over(off_w), F.lit(0)).alias("off_new"),
+    )
+    in_w = (
+        Window.partitionBy("source", "blk")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        per_doc.join(new_types, ["source", "doc_id"], "left")
-        .select(
-            "source",
-            "doc_id",
-            F.sum("n_tok").over(w).cast("long").alias("cum_tokens"),
-            F.sum(F.coalesce("n_new", F.lit(0))).over(w).cast("long").alias("cum_vocab"),
-        )
+    return rolled.join(blk_off, ["source", "blk"]).select(
+        "source",
+        "doc_id",
+        (F.col("off_tok") + F.sum("n_tok").over(in_w))
+        .cast("long")
+        .alias("cum_tokens"),
+        (F.col("off_new") + F.sum("n_new").over(in_w))
+        .cast("long")
+        .alias("cum_vocab"),
     )
 
 

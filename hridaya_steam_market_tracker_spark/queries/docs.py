@@ -1621,6 +1621,12 @@ def clip_duplicate_spans_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16*255*(M-1) fits int64), divisor-64 boundary positions, chunk tiling
 # with the forced end-of-document boundary, and the shared 60-bit md5
 # chunk hash — so every boundary and every hash is cross-engine exact.
+# The oracle's generate_series scans are capped at 8192 positions/chunks
+# (DuckDB series bounds must be constants — no lateral/subquery args);
+# the Spark operator has NO cap, so a longer document would silently
+# mismatch. The `d` CTE therefore error()s LOUDLY on any document over
+# 8192 chars (sf0.01 fixture max is 577) instead of reporting a false
+# mismatch after a larger-SF regeneration.
 # ---------------------------------------------------------------------------
 
 
@@ -1630,7 +1636,12 @@ def _cdc_sql(src: str) -> str:
     )
     return f"""
     d AS (SELECT doc_id, text, length(text) AS n FROM ({src})
-          WHERE length(text) > 0),
+          WHERE length(text) > 0
+            AND (CASE WHEN length(text) > 8192 THEN error(
+                   'cdc oracle generate_series cap 8192 exceeded by a '
+                   || length(text) || '-char document — raise both '
+                   || 'series bounds in _cdc_sql')
+                 ELSE true END)),
     pw(k, pv) AS (VALUES {pw}),
     h AS (
       SELECT d.doc_id, g.i,

@@ -2447,6 +2447,292 @@ def multimodal_image_offset_crop_pairs(
     )
 
 
+# Content-defined tile anchors of checked_image_cdt_crop_df recomputed
+# closed-form (round 12): the fixture plants each 32x24 crop at offset
+# (13, 7) — off EVERY tile/phases lattice — and the oracle re-derives
+# every anchor from the pixel formula: gray = 3*v (the fixtures store
+# r=g=b=v), T(ax, ay) = sum over the 8x8 neighborhood of
+# gray * (31^dx * 37^dy mod 1e9+7), one final mod (64 terms of
+# <= 765*(M-1) fit BIGINT, so one mod equals Spark's stepwise mod),
+# anchor iff T % 64 = 0. id 9 is the camera-rotated storage of id 1's
+# crop: its UPRIGHT pixels are id 1's, so the oracle assigns it id 1's
+# formula (rotate-before-hash, same rule the tile plane pins). id 8
+# (undecodable blob) is absent by construction.
+_IMAGE_CDT_PW = ", ".join(
+    f"({dx}, {dy}, {pow(31, dx, 1_000_000_007) * pow(37, dy, 1_000_000_007) % 1_000_000_007})"
+    for dx in range(8)
+    for dy in range(8)
+)
+
+_IMAGE_CDT_CTE = f"""
+    ids AS (
+      SELECT i, CASE WHEN i = 9 THEN 0 ELSE i // 2 END AS b
+      FROM generate_series(0, 9) gi(i) WHERE i != 8
+    ),
+    px AS (
+      SELECT i, x, y,
+        CASE WHEN i % 2 = 0
+          THEN (x*x*(3 + b % 5) + y*y*(7 + b % 3) + x*y + 13*b) % 251
+          ELSE ((x+13)*(x+13)*(3 + b % 5) + (y+7)*(y+7)*(7 + b % 3)
+                + (x+13)*(y+7) + 13*b) % 251
+        END AS v,
+        CASE WHEN i % 2 = 0 THEN 64 ELSE 32 END AS iw,
+        CASE WHEN i % 2 = 0 THEN 48 ELSE 24 END AS ih
+      FROM ids,
+           generate_series(0, 63) gx(x),
+           generate_series(0, 47) gy(y)
+      WHERE i % 2 = 0 OR (x < 32 AND y < 24)
+    ),
+    pw(dx, dy, pv) AS (VALUES {_IMAGE_CDT_PW}),
+    t AS (
+      SELECT p.i AS media_id, p.x - pw.dx AS ax, p.y - pw.dy AS ay,
+             sum(CAST(3 * p.v AS BIGINT) * pw.pv) % 1000000007 AS tok
+      FROM px p, pw
+      WHERE p.x - pw.dx BETWEEN 0 AND p.iw - 8
+        AND p.y - pw.dy BETWEEN 0 AND p.ih - 8
+      GROUP BY 1, 2, 3
+    ),
+    anchors AS (
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(ax AS INTEGER) AS ax, CAST(ay AS INTEGER) AS ay,
+             CAST(tok AS BIGINT) AS tok
+      FROM t WHERE tok % 64 = 0
+    ),
+    cfps AS (
+      SELECT DISTINCT media_id,
+             {_VH60_SQL.format(g="CAST(tok AS VARCHAR)")} AS fp
+      FROM anchors
+    )
+"""
+
+
+@register(
+    "multimodal_image_cdt_anchors_checked",
+    oracle="WITH "
+    + _IMAGE_CDT_CTE
+    + """
+    SELECT media_id, ax, ay, tok FROM anchors
+    """,
+    doc=(
+        "CONTENT-DEFINED image tile anchors (round 12), value-checked "
+        "end to end: every (position, token) where the polynomial "
+        "rolling hash of the 8x8 pixel neighborhood of the really-"
+        "decoded EXIF-upright raster satisfies the divisor-64 mask — "
+        "the 2-D generalization of content_defined_chunks' rsync rule "
+        "and the offset-INDEPENDENT complement to the phase grids "
+        "(operators/multimodal.image_cdt_anchor_tokens). The oracle "
+        "recomputes every hash from the closed-form pixels, the "
+        "camera-rotated row anchors as its upright twin, and the "
+        "undecodable blob is absent (honest per-row failure)."
+    ),
+)
+def multimodal_image_cdt_anchors_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_cdt_crop_df,
+        image_cdt_anchor_tokens,
+    )
+
+    return (
+        image_cdt_anchor_tokens(checked_image_cdt_crop_df(spark))
+        .filter(F.col("decode_ok") & F.col("tok").isNotNull())
+        .select("media_id", "ax", "ay", "tok")
+    )
+
+
+@register(
+    "multimodal_image_cdt_crop_pairs",
+    oracle="WITH "
+    + _IMAGE_CDT_CTE
+    + """,
+    cnt AS (SELECT media_id, count(*) AS n FROM cfps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM cfps
+           WHERE fp IN (SELECT fp FROM cfps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT sh.i, sh.j, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "ARBITRARY-OFFSET cropped-image containment, value-checked end "
+        "to end — the round-12 close of the last admitted duplicate "
+        "class: a 32x24 crop at offset (13, 7) sits off EVERY "
+        "tile/phases lattice (the phase grids share ZERO tokens with "
+        "it at any phase count), but content-defined anchors depend "
+        "only on each 8x8 block's bytes, so the crop's anchor set is "
+        "an exact SUBSET of its host's and the pair surfaces at "
+        "containment exactly 1.0 through the UNCHANGED df-capped "
+        "winnow_containment_pairs join — at CONSTANT index mass "
+        "(~W*H/64, the tile grid's own density), not phases^2. The "
+        "camera-rotated crop pairs with both its host and its upright "
+        "twin; unrelated bases produce no rows."
+    ),
+)
+def multimodal_image_cdt_crop_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_cdt_crop_df,
+        image_cdt_fingerprints,
+    )
+
+    # Lazy stage boundary (the subclip-pairs lesson): the containment
+    # join fans the fingerprint relation out four ways; the checkpoint
+    # materializes the decode-stage fingerprints once.
+    fps = image_cdt_fingerprints(
+        checked_image_cdt_crop_df(spark)
+    ).localCheckpoint(eager=False)
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
+# Content-defined audio anchors of checked_audio_cdt_excerpt_df
+# recomputed closed-form (round 12): hosts are the 4,096-sample clips
+# x(b, t) = ((t*t*(11 + b%7) + t*(37 + b%101) + 17*b) % 4099) - 2049
+# (prime modulus > clip length -> aperiodic, every anchor distinct),
+# excerpts cut samples 1037..2572 (off every window/phases lattice).
+# T(p) = sum_{d<16} (x(b, p + off + d) + 32768) * 31^d mod 1e9+7 —
+# terms <= 65535 * (M-1) and 16 of them fit BIGINT, so one final mod
+# equals Spark's stepwise mod; the +32768 unsigned shift keeps every
+# term nonnegative so DuckDB's sign-of-dividend % agrees with numpy.
+# Anchor iff T % 64 = 0. id 8 (undecodable mp3 blob) is absent.
+_AUDIO_CDT_PW = ", ".join(
+    f"({d}, {pow(31, d, 1_000_000_007)})" for d in range(16)
+)
+
+_AUDIO_CDT_CTE = f"""
+    ids AS (
+      SELECT i, i // 2 AS b,
+             CASE WHEN i % 2 = 0 THEN 4096 ELSE 1536 END AS n,
+             CASE WHEN i % 2 = 0 THEN 0 ELSE 1037 END AS off
+      FROM generate_series(0, 7) gi(i)
+    ),
+    t AS (
+      SELECT ids.i AS media_id, g.p AS apos,
+             sum(CAST(((((g.p + off + pw.d) * (g.p + off + pw.d)
+                         * (11 + b % 7)
+                       + (g.p + off + pw.d) * (37 + b % 101)
+                       + 17 * b) % 4099) - 2049 + 32768) AS BIGINT)
+                 * pw.pv) % 1000000007 AS tok
+      FROM ids, generate_series(0, 4080) g(p),
+           (VALUES {_AUDIO_CDT_PW}) pw(d, pv)
+      WHERE g.p <= n - 16
+      GROUP BY 1, 2
+    ),
+    aanchors AS (
+      SELECT CAST(media_id AS BIGINT) AS media_id,
+             CAST(apos AS INTEGER) AS apos, CAST(tok AS BIGINT) AS tok
+      FROM t WHERE tok % 64 = 0
+    ),
+    afps AS (
+      SELECT DISTINCT media_id,
+             {_VH60_SQL.format(g="CAST(tok AS VARCHAR)")} AS fp
+      FROM aanchors
+    )
+"""
+
+
+@register(
+    "multimodal_audio_cdt_anchors_checked",
+    oracle="WITH "
+    + _AUDIO_CDT_CTE
+    + """
+    SELECT media_id, apos, tok FROM aanchors
+    """,
+    doc=(
+        "CONTENT-DEFINED audio anchors (round 12), value-checked end "
+        "to end: every (sample position, token) where the polynomial "
+        "rolling hash of the 16-sample neighborhood of the really-"
+        "decoded channel-0 stream satisfies the divisor-64 mask — the "
+        "1-D member of the offset-independent family "
+        "(operators/multimodal.audio_cdt_anchor_tokens), anchor-POINT "
+        "form so an excerpt's token set is a strict subset of its "
+        "host's at ANY cut offset. The oracle recomputes every hash "
+        "from the closed-form samples; the undecodable blob is absent."
+    ),
+)
+def multimodal_audio_cdt_anchors_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_cdt_anchor_tokens,
+        checked_audio_cdt_excerpt_df,
+    )
+
+    return (
+        audio_cdt_anchor_tokens(checked_audio_cdt_excerpt_df(spark))
+        .filter(F.col("decode_ok") & F.col("tok").isNotNull())
+        .select("media_id", "apos", "tok")
+    )
+
+
+@register(
+    "multimodal_audio_cdt_excerpt_pairs",
+    oracle="WITH "
+    + _AUDIO_CDT_CTE
+    + """,
+    cnt AS (SELECT media_id, count(*) AS n FROM afps GROUP BY media_id),
+    pr AS (SELECT media_id, fp FROM afps
+           WHERE fp IN (SELECT fp FROM afps GROUP BY fp
+                        HAVING count(*) <= 50)),
+    sh AS (SELECT a.media_id AS i, b.media_id AS j,
+                  count(*) AS n_shared
+           FROM pr a JOIN pr b ON a.fp = b.fp AND a.media_id < b.media_id
+           GROUP BY 1, 2)
+    SELECT sh.i, sh.j, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6)
+             AS containment
+    FROM sh JOIN cnt ci ON ci.media_id = sh.i
+            JOIN cnt cj ON cj.media_id = sh.j
+    WHERE round(n_shared / CAST(least(ci.n, cj.n) AS DOUBLE), 6) >= 0.5
+    """,
+    doc=(
+        "ARBITRARY-OFFSET audio excerpt containment, value-checked end "
+        "to end — the 1-D close of the round-12 offset-independence "
+        "push: an excerpt cut at sample 1037 (coprime to every "
+        "window/phases step) shares ZERO tokens with its host under "
+        "the phased window grids at any phase count, but its "
+        "content-defined anchor set is an exact SUBSET of the host's, "
+        "so the pair surfaces at containment exactly 1.0 through the "
+        "unchanged df-capped winnow_containment_pairs join — no "
+        "boundary re-sync slack (anchor-point form, not chunk "
+        "tiling). Unrelated bases produce no rows."
+    ),
+)
+def multimodal_audio_cdt_excerpt_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_cdt_fingerprints,
+        checked_audio_cdt_excerpt_df,
+    )
+
+    # Lazy stage boundary (the subclip-pairs lesson): the containment
+    # join fans the fingerprint relation out four ways; the checkpoint
+    # materializes the decode-stage fingerprints once.
+    fps = audio_cdt_fingerprints(
+        checked_audio_cdt_excerpt_df(spark)
+    ).localCheckpoint(eager=False)
+    return winnow_containment_pairs(
+        fps, id_col="media_id", min_containment=0.5
+    )
+
+
 @register(
     "multimodal_jpeg_ac_decode_checked",
     oracle=f"""

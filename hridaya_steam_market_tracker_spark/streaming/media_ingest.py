@@ -335,14 +335,33 @@ _ANY_KEYS = ("plane", "band", "bucket")
 _GATE_MODE_MARKER = "_GATE_MODE"
 
 
-def _mode_string(excerpt: bool, phases: int = 1) -> str:
+def _mode_string(
+    excerpt: bool, phases: int = 1, image_plane: str = "grid",
+    audio_plane: str = "window",
+) -> str:
+    if image_plane not in ("grid", "cdt"):
+        raise ValueError(
+            f"image_plane={image_plane!r}: expected 'grid' (phase-"
+            "shifted tile grids) or 'cdt' (content-defined tiling)"
+        )
+    if audio_plane not in ("window", "cdt"):
+        raise ValueError(
+            f"audio_plane={audio_plane!r}: expected 'window' (phased "
+            "window tokens) or 'cdt' (content-defined anchors)"
+        )
     if not excerpt:
         return "plain"
-    return "excerpt" if phases == 1 else f"excerpt:phases={phases}"
+    mode = "excerpt" if phases == 1 else f"excerpt:phases={phases}"
+    if image_plane != "grid":
+        mode += f":image={image_plane}"
+    if audio_plane != "window":
+        mode += f":audio={audio_plane}"
+    return mode
 
 
 def set_any_media_gate_mode(
-    store_path: str, excerpt: bool, phases: int = 1
+    store_path: str, excerpt: bool, phases: int = 1,
+    image_plane: str = "grid", audio_plane: str = "window",
 ) -> None:
     """Deliberately (re)declare a unified store's admission mode —
     the explicit act `_check_gate_mode`'s refusal demands before a
@@ -364,7 +383,7 @@ def set_any_media_gate_mode(
 
     os.makedirs(store_path, exist_ok=True)
     marker = os.path.join(store_path, _GATE_MODE_MARKER)
-    new_mode = _mode_string(excerpt, phases)
+    new_mode = _mode_string(excerpt, phases, image_plane, audio_plane)
     old_mode = None
     if os.path.isfile(marker):
         with open(marker) as f:
@@ -382,7 +401,8 @@ def set_any_media_gate_mode(
 
 
 def _check_gate_mode(
-    store_path: str, excerpt: bool, phases: int = 1
+    store_path: str, excerpt: bool, phases: int = 1,
+    image_plane: str = "grid", audio_plane: str = "window",
 ) -> None:
     """Enforce the excerpt-tier lifetime contract the round-9
     docstring could only request: a store is EITHER plain (wfps/
@@ -398,7 +418,7 @@ def _check_gate_mode(
     happens once (phases is unknowable from disk; grandfathered
     stores are phases=1, the only value that existed before the
     marker carried it)."""
-    mode = _mode_string(excerpt, phases)
+    mode = _mode_string(excerpt, phases, image_plane, audio_plane)
     marker = os.path.join(store_path, _GATE_MODE_MARKER)
     if os.path.isfile(marker):
         with open(marker) as f:
@@ -410,7 +430,9 @@ def _check_gate_mode(
             else "plain"
         )
     else:
-        set_any_media_gate_mode(store_path, excerpt, phases)
+        set_any_media_gate_mode(
+            store_path, excerpt, phases, image_plane, audio_plane
+        )
         return
     if stored_mode != mode:
         raise ValueError(
@@ -421,10 +443,13 @@ def _check_gate_mode(
             "lifetime (excerpt_phases included), or switch "
             "deliberately with "
             f"set_any_media_gate_mode({store_path!r}, "
-            f"excerpt={excerpt}, phases={phases})."
+            f"excerpt={excerpt}, phases={phases}, "
+            f"image_plane={image_plane!r}, audio_plane={audio_plane!r})."
         )
     if not os.path.isfile(marker):
-        set_any_media_gate_mode(store_path, excerpt, phases)
+        set_any_media_gate_mode(
+            store_path, excerpt, phases, image_plane, audio_plane
+        )
 
 
 def media_signatures(
@@ -526,6 +551,8 @@ def ingest_any_media_batch(
     excerpt_tau: float | None = None,
     excerpt_max_df: int = 50,
     excerpt_phases: int = 1,
+    excerpt_image_plane: str = "grid",
+    excerpt_audio_plane: str = "window",
     auto_compact_files: int | None = 1024,
     auto_compact_target_files: int = 8,
 ) -> None:
@@ -567,6 +594,16 @@ def ingest_any_media_batch(
     images, <= phases x for audio, and the gate's join shapes are
     unchanged.
 
+    ``excerpt_image_plane`` (round 12, same lifetime contract):
+    ``"cdt"`` switches the image content plane to CONTENT-DEFINED
+    anchors (`image_cdt_fingerprints`) — crops at ANY pixel offset
+    are rejected, not just tile/phases lattice points, at ~constant
+    index mass instead of phases^2. Recorded in the ``_GATE_MODE``
+    marker; switching planes on a live store drops and rebuilds
+    wfps/ exactly like a phases switch. ``excerpt_audio_plane``
+    (round 12) is the 1-D twin: ``"cdt"`` rejects audio excerpts cut
+    at ANY sample offset via content-defined sample anchors.
+
     ``auto_compact_files`` (round 11): after the batch's appends, if
     the store's parquet part-file count exceeds this threshold,
     `compact_any_media_store` runs inside the batch — the same
@@ -589,10 +626,17 @@ def ingest_any_media_batch(
         ("docs", "bands", "wfps") if excerpt_tau is not None
         else ("docs", "bands"),
     )
-    _check_gate_mode(store_path, excerpt_tau is not None, excerpt_phases)
+    _check_gate_mode(
+        store_path, excerpt_tau is not None, excerpt_phases,
+        excerpt_image_plane, excerpt_audio_plane,
+    )
     repair_any_media_band_index(spark, store_path)
     if excerpt_tau is not None:
-        repair_media_wfps_index(spark, store_path, phases=excerpt_phases)
+        repair_media_wfps_index(
+            spark, store_path, phases=excerpt_phases,
+            image_plane=excerpt_image_plane,
+            audio_plane=excerpt_audio_plane,
+        )
     stored = spark.read.parquet(docs_path) if os.path.isdir(docs_path) else None
     if stored is not None:
         batch = batch.join(stored.select("media_id"), "media_id", "left_anti")
@@ -623,7 +667,8 @@ def ingest_any_media_batch(
                     batch, phases=excerpt_phases
                 ),
                 "image_decoded": decode_image_signature_tiles(
-                    batch, phases=excerpt_phases
+                    batch, phases=excerpt_phases,
+                    include_cdt=(excerpt_image_plane == "cdt"),
                 ),
             }
             for df in decode_kw.values():
@@ -643,7 +688,9 @@ def ingest_any_media_batch(
         if excerpt_tau is not None:
             wfps_path = os.path.join(store_path, "wfps")
             batch_wfps = media_winnow_fps(
-                batch, phases=excerpt_phases, **decode_kw
+                batch, phases=excerpt_phases,
+                image_plane=excerpt_image_plane,
+                audio_plane=excerpt_audio_plane, **decode_kw
             ).persist(StorageLevel.MEMORY_AND_DISK)
             stored_wfps = (
                 spark.read.parquet(wfps_path).select(*_WFP_COLS)
@@ -793,6 +840,8 @@ def media_winnow_fps(
     audio_windows: DataFrame | None = None,
     image_decoded: DataFrame | None = None,
     phases: int = 1,
+    image_plane: str = "grid",
+    audio_plane: str = "window",
 ) -> DataFrame:
     """(media_id, plane, fp) content fingerprints for the containment
     planes: winnowing fingerprints over the sequence planes (video
@@ -818,27 +867,77 @@ def media_winnow_fps(
     consumers count them (phases=1 keeps the historical single-doc
     plan untouched). When the shared ``audio_windows`` /
     ``image_decoded`` relations are supplied they must have been
-    decoded with the SAME phases."""
+    decoded with the SAME phases.
+
+    ``image_plane`` (round 12): ``"grid"`` keeps the (phase-shifted)
+    tile-grid fingerprints; ``"cdt"`` fingerprints images by
+    CONTENT-DEFINED anchors instead (`image_cdt_fingerprints`) — the
+    offset-INDEPENDENT plane, so a crop at ANY pixel offset is
+    rejected, not just tile/phases lattice points, at ~the single
+    grid's index mass. ``phases`` then applies to the audio plane
+    only (CDT needs no phases — that is the point), and the shared
+    ``image_decoded`` relation is ignored for the fp plane (its tile
+    structs are grid tokens) UNLESS it was built with
+    ``include_cdt=True`` — then its carried anchor structs are the
+    one-decode path; a cdt-less shared relation falls back to the fp
+    plane's own Arrow pass over image payloads.
+
+    ``audio_plane`` (round 12): the 1-D twin — ``"cdt"`` fingerprints
+    audio by content-defined SAMPLE anchors
+    (`audio_cdt_fingerprints`) instead of the phased window
+    tokenization, so an excerpt cut at ANY sample offset is rejected;
+    ``phases`` and the shared ``audio_windows`` relation are then
+    ignored for the fp plane (same documented extra decode as the
+    image CDT mode)."""
     from hridaya_steam_market_tracker_spark.operators.dedup import (
         winnow_fingerprints,
     )
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        audio_cdt_fingerprints,
         audio_window_token_text,
+        image_cdt_fingerprints,
         image_tile_fingerprints,
         video_frame_token_text,
     )
 
-    toks = video_frame_token_text(batch, frames=video_frames).unionByName(
-        audio_window_token_text(batch, windows=audio_windows, phases=phases)
-    )
+    if image_plane not in ("grid", "cdt"):
+        raise ValueError(
+            f"image_plane={image_plane!r}: expected 'grid' or 'cdt'"
+        )
+    if audio_plane not in ("window", "cdt"):
+        raise ValueError(
+            f"audio_plane={audio_plane!r}: expected 'window' or 'cdt'"
+        )
+    toks = video_frame_token_text(batch, frames=video_frames)
+    if audio_plane == "window":
+        toks = toks.unionByName(
+            audio_window_token_text(
+                batch, windows=audio_windows, phases=phases
+            )
+        )
     wfps = winnow_fingerprints(toks, id_col="media_id", k=3, w=4)
-    if phases > 1 or (
-        audio_windows is not None and "phase" in audio_windows.columns
+    if audio_plane == "window" and (
+        phases > 1
+        or (audio_windows is not None and "phase" in audio_windows.columns)
     ):
         wfps = wfps.dropDuplicates(["media_id", "fp"])
-    fps = wfps.unionByName(
-        image_tile_fingerprints(batch, decoded=image_decoded, phases=phases)
-    )
+    if audio_plane == "cdt":
+        wfps = wfps.unionByName(audio_cdt_fingerprints(batch))
+    if image_plane == "cdt":
+        # one-decode path: the shared relation carries the anchors
+        # when built with include_cdt=True; otherwise the fps plane
+        # pays its own Arrow pass (documented mode cost)
+        cdt_decoded = (
+            image_decoded
+            if image_decoded is not None and "cdt" in image_decoded.columns
+            else None
+        )
+        ifps = image_cdt_fingerprints(batch, decoded=cdt_decoded)
+    else:
+        ifps = image_tile_fingerprints(
+            batch, decoded=image_decoded, phases=phases
+        )
+    fps = wfps.unionByName(ifps)
     ids = batch.filter(
         F.col("media_type").isin("image", "video", "audio")
     ).select("media_id", F.col("media_type").alias("plane"))
@@ -908,7 +1007,8 @@ def media_excerpt_rejects(
 
 
 def repair_media_wfps_index(
-    spark: SparkSession, store_path: str, phases: int = 1
+    spark: SparkSession, store_path: str, phases: int = 1,
+    image_plane: str = "grid", audio_plane: str = "window",
 ) -> int:
     """Re-index image/video/audio docs rows missing from wfps/ — the
     excerpt index's analog of `repair_any_media_band_index`, with the
@@ -937,9 +1037,10 @@ def repair_media_wfps_index(
     if orphans.isEmpty():
         return 0
     orphan_docs = docs.join(orphans, "media_id", "left_semi")
-    repaired = media_winnow_fps(orphan_docs, phases=phases).localCheckpoint(
-        eager=True
-    )
+    repaired = media_winnow_fps(
+        orphan_docs, phases=phases, image_plane=image_plane,
+        audio_plane=audio_plane,
+    ).localCheckpoint(eager=True)
     cnt = repaired.count()
     repaired.write.mode("append").partitionBy("plane").parquet(wfps_path)
     return cnt

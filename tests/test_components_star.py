@@ -95,3 +95,63 @@ def test_reliable_checkpoint_policy(spark, tmp_path):
         assert _labels(alternating_components(nodes, edges)) == default_labels
     finally:
         spark.conf.set(RELIABLE_CONF, "false")
+
+
+def test_reliable_stage_resumes_across_sessions(spark, tmp_path):
+    """The round-12 driver-loss story (the round-11 knob only covered
+    executor loss): a NAMED reliable stage written by one session —
+    here a genuinely separate driver process — is resumed by a NEW
+    session from the checkpoint-dir files alone, with identical rows.
+    Spark's own DataFrame.checkpoint files cannot do this (their RDD
+    metadata dies with the writing driver), which is exactly why
+    stage_checkpoint(stage_key=...) snapshots named stages as
+    rename-committed parquet. A never-written key resumes as None
+    (recompute branch), and a stage_key without a checkpoint dir
+    raises."""
+    import os
+    import subprocess
+    import sys
+
+    from hridaya_steam_market_tracker_spark.checkpoints import (
+        resume_stage_checkpoint,
+        stage_checkpoint,
+    )
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = str(tmp_path / "ckpt")
+    writer = f"""
+from pyspark.sql import SparkSession, functions as F
+from hridaya_steam_market_tracker_spark.checkpoints import (
+    RELIABLE_CONF, stage_checkpoint)
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config(RELIABLE_CONF, "true").getOrCreate())
+spark.sparkContext.setCheckpointDir({ckpt!r})
+labels = spark.range(32).select(
+    F.col("id").alias("doc_id"), (F.col("id") % 5).alias("label"))
+out = stage_checkpoint(labels, stage_key="components_round_3")
+assert out.count() == 32
+spark.stop()
+"""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    subprocess.run(
+        [sys.executable, "-c", writer], check=True, env=env,
+        capture_output=True,
+    )
+    # the writing driver is DEAD; resume from the files alone
+    spark.sparkContext.setCheckpointDir(ckpt)
+    resumed = resume_stage_checkpoint(spark, "components_round_3")
+    assert resumed is not None
+    got = sorted((r["doc_id"], r["label"]) for r in resumed.collect())
+    assert got == [(i, i % 5) for i in range(32)]
+    # unknown key -> None (the recompute branch)
+    assert resume_stage_checkpoint(spark, "never_written") is None
+    # a local-policy stage_checkpoint(stage_key=...) ignores the key
+    # (no DFS traffic on the fast path): no new stages/ entry appears
+    before = set(os.listdir(os.path.join(ckpt, "stages")))
+    stage_checkpoint(
+        spark.range(3).select(F.col("id").alias("v")),
+        stage_key="local_mode_ignored",
+    ).count()
+    assert set(os.listdir(os.path.join(ckpt, "stages"))) == before

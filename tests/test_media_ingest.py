@@ -992,3 +992,121 @@ def test_shared_decode_relations_match_default_paths(spark):
         d = sorted((tuple(r) for r in default.collect()), key=key)
         f = sorted((tuple(r) for r in fused.collect()), key=key)
         assert d == f, f"fused path diverged: {default.columns}"
+
+
+def test_any_media_cdt_gate_closes_arbitrary_offset_crop(spark, tmp_path):
+    """excerpt_image_plane='cdt' (round 12) closes the LAST admitted
+    duplicate class: an image crop at offset (13, 7) — off EVERY
+    tile/phases lattice — is ADMITTED by the phases=2 grid gate (the
+    round-11 residual blindness) and REJECTED by the content-defined
+    plane through the identical join shapes, the camera-rotated copy
+    of the same crop included. Directionality, undecodable honesty,
+    the _GATE_MODE lifetime contract and the switch-drops-wfps rule
+    all hold for the new plane."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_cdt_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+        set_any_media_gate_mode,
+    )
+
+    rows = checked_image_cdt_crop_df(spark)
+
+    def pick(*ids):
+        return rows.filter(rows["media_id"].isin(list(ids)))
+
+    # blindness control: even the phases=2 grid gate admits (13, 7)
+    blind = str(tmp_path / "blind")
+    ingest_any_media_batch(pick(0), blind, excerpt_tau=0.8,
+                           excerpt_phases=2)
+    ingest_any_media_batch(pick(1), blind, excerpt_tau=0.8,
+                           excerpt_phases=2)
+    assert _stored_ids(spark, blind) == {0, 1}
+
+    # cdt: crop AND its camera-rotated copy rejected; unrelated base
+    # admitted; undecodable honesty row admitted docs-only
+    store = str(tmp_path / "cdt")
+    ingest_any_media_batch(pick(0), store, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt")
+    ingest_any_media_batch(pick(1, 2, 8, 9), store, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt")
+    assert _stored_ids(spark, store) == {0, 2, 8}
+    with open(os.path.join(store, "_GATE_MODE")) as f:
+        assert f.read() == "excerpt:image=cdt"
+
+    # lifetime contract: a cdt store refuses a grid batch
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(pick(4), store, excerpt_tau=0.8)
+
+    # directionality: crop first, host still admitted
+    store2 = str(tmp_path / "dir")
+    ingest_any_media_batch(pick(1), store2, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt")
+    ingest_any_media_batch(pick(0), store2, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt")
+    assert _stored_ids(spark, store2) == {1, 0}
+
+    # plane switch drops wfps/ and the rebuild catches the crop of a
+    # host stored under the OLD (grid) plane
+    old = str(tmp_path / "old")
+    ingest_any_media_batch(pick(0), old, excerpt_tau=0.8)
+    set_any_media_gate_mode(old, excerpt=True, image_plane="cdt")
+    assert not os.path.isdir(os.path.join(old, "wfps"))
+    ingest_any_media_batch(pick(1), old, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt")
+    assert _stored_ids(spark, old) == {0}
+
+
+def test_any_media_cdt_gate_closes_arbitrary_offset_audio_excerpt(
+    spark, tmp_path
+):
+    """excerpt_audio_plane='cdt' (round 12), the 1-D twin of the image
+    CDT gate: an audio excerpt cut at sample 1037 — off every
+    window/phases lattice — is ADMITTED by the phases=2 window gate
+    and REJECTED by the content-defined sample anchors through the
+    identical join shapes. Directionality, undecodable honesty and
+    the _GATE_MODE lifetime contract hold; image grid + audio cdt
+    compose in one mode string."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_cdt_excerpt_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+    )
+
+    rows = checked_audio_cdt_excerpt_df(spark)
+
+    def pick(*ids):
+        return rows.filter(rows["media_id"].isin(list(ids)))
+
+    # blindness control: the phases=2 window gate admits offset 1037
+    blind = str(tmp_path / "blind")
+    ingest_any_media_batch(pick(0), blind, excerpt_tau=0.8,
+                           excerpt_phases=2)
+    ingest_any_media_batch(pick(1), blind, excerpt_tau=0.8,
+                           excerpt_phases=2)
+    assert _stored_ids(spark, blind) == {0, 1}
+
+    # cdt: excerpt rejected; unrelated base admitted; undecodable
+    # honesty row admitted docs-only
+    store = str(tmp_path / "cdt")
+    ingest_any_media_batch(pick(0), store, excerpt_tau=0.8,
+                           excerpt_audio_plane="cdt")
+    ingest_any_media_batch(pick(1, 2, 8), store, excerpt_tau=0.8,
+                           excerpt_audio_plane="cdt")
+    assert _stored_ids(spark, store) == {0, 2, 8}
+    with open(os.path.join(store, "_GATE_MODE")) as f:
+        assert f.read() == "excerpt:audio=cdt"
+
+    # lifetime contract: the cdt store refuses a window-plane batch
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(pick(4), store, excerpt_tau=0.8)
+
+    # directionality: excerpt first, host still admitted
+    store2 = str(tmp_path / "dir")
+    ingest_any_media_batch(pick(1), store2, excerpt_tau=0.8,
+                           excerpt_audio_plane="cdt")
+    ingest_any_media_batch(pick(0), store2, excerpt_tau=0.8,
+                           excerpt_audio_plane="cdt")
+    assert _stored_ids(spark, store2) == {1, 0}

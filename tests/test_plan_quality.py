@@ -529,6 +529,14 @@ def test_sample_first_names_all_registered(registry):
         # truncate the decision's 4-way fan-out to the post-decode
         # relations
         ("media_phase_excerpt_admission_twin", 12),
+        # round-12 content-defined planes: anchors are pure Arrow
+        # scan-stage output (zero exchanges — the fingerprint distinct
+        # belongs to the pairs queries), containment joins the same
+        # df-capped shape as every other plane
+        ("multimodal_image_cdt_anchors_checked", 0),
+        ("multimodal_audio_cdt_anchors_checked", 0),
+        ("multimodal_image_cdt_crop_pairs", 9),
+        ("multimodal_audio_cdt_excerpt_pairs", 9),
         # CDC boundary detection is scan-stage array algebra: the
         # chunk relation leaves the scan with ZERO exchanges
         ("cdc_chunks_checked", 0),
@@ -610,3 +618,56 @@ def test_audio_excerpt_tier_shuffle_budget(spark, registry, name, max_shuffles):
         and "Reused" not in line
     )
     assert shuffles <= max_shuffles
+
+
+def test_ccnet_buckets_no_whole_source_sort(spark, registry):
+    """Round-12 de-skew gate (the round-11 verdict's one perf flag):
+    `ccnet_perplexity_buckets` must NOT bucket via ntile over a
+    whole-source window — a source's every doc sorted in ONE task.
+    The de-skewed plan's only source-partitioned Window is the
+    cumulative count over the (source, avg_logprob) HISTOGRAM (its
+    subtree aggregates before the window), and the doc-level window
+    is partitioned by (source, avg_logprob) — tie groups, never a
+    whole source."""
+    plan = _plan(registry, spark, "ccnet_perplexity_buckets")
+    assert "ntile" not in plan
+    lines = plan.splitlines()
+    import re
+
+    def part_cols(line: str) -> list[str]:
+        # Window [funcs], [partition spec], [order spec]; spec elements
+        # may wrap the column (knownfloatingpointnormalized(...)), so
+        # pull the attribute name out of each element by its #exprId.
+        specs = re.findall(r"\[([^\[\]]*)\]", line)
+        if len(specs) < 3:
+            return []
+        out = []
+        for el in specs[-2].split(","):
+            m = re.search(r"(\w+)#\d+", el)
+            if m:
+                out.append(m.group(1))
+        return out
+
+    win_lines = [
+        (i, ln) for i, ln in enumerate(lines) if re.search(r"\bWindow\b", ln)
+    ]
+    assert win_lines, "expected Window nodes in the ccnet plan"
+    saw_source_only = saw_tie_group = False
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b", ln):
+            continue
+        cols = part_cols(ln)
+        if cols == ["source"]:
+            saw_source_only = True
+            # subtree (serialized after the parent) must aggregate to
+            # the (source, avg_logprob) histogram before this window
+            subtree = "\n".join(lines[i + 1:])
+            assert re.search(
+                r"HashAggregate\(keys=\[source#\d+L?, avg_logprob#\d+",
+                subtree,
+            ), "source-only Window must sit above the score histogram"
+        elif cols[:2] == ["source", "avg_logprob"]:
+            saw_tie_group = True
+        else:
+            raise AssertionError(f"unexpected Window partitioning: {ln}")
+    assert saw_source_only and saw_tie_group

@@ -2553,3 +2553,278 @@ def test_content_defined_chunks_semantics(spark):
     tail2 = [r["chunk_hash"] for r in by_doc[2]][-shared:]
     assert tail1 == tail2
     assert min(len(by_doc[1]), len(by_doc[2])) >= 5  # real multi-chunk split
+
+
+def test_phase_lattice_validation(spark):
+    """Round-12 lattice contract: (a) every phased plane derives its
+    offsets from the ONE `_phase_offsets` expression, so a non-divisor
+    phase count raises loudly in EVERY path (previously the audio
+    payload path enumerated range(0, window, window//phases) — one
+    EXTRA grid at phases=3/window=128 — while the shared decode built
+    exactly `phases`, so a wfps re-fingerprint could silently disagree
+    with the batch gate); (b) at a divisor count the payload path and
+    the shared-decode path emit byte-identical phased documents; (c)
+    the image decoded relation carries a `phases` marker and
+    `image_tile_tokens` raises in-plan on a mismatch, while marker-less
+    (pre-round-12 / hand-built) relations stay accepted."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        _phase_offsets,
+        _tile_token_kernel,
+        audio_window_token_text,
+        checked_audio_clip_df,
+        checked_image_crop_df,
+        decode_audio_windows,
+        decode_image_signature_tiles,
+        image_tile_fingerprints,
+        image_tile_tokens,
+    )
+
+    # (a) one lattice, loud failures
+    assert _phase_offsets(128, 1) == [0]
+    assert _phase_offsets(128, 2) == [0, 64]
+    assert _phase_offsets(8, 4) == [0, 2, 4, 6]
+    for extent, ph in ((128, 3), (8, 3), (8, 0), (8, 9)):
+        with pytest.raises(ValueError, match="must divide"):
+            _phase_offsets(extent, ph)
+    with pytest.raises(ValueError, match="must divide"):
+        _tile_token_kernel(8, 3)
+    aud = checked_audio_clip_df(spark)
+    with pytest.raises(ValueError, match="must divide"):
+        decode_audio_windows(aud, phases=3)
+    with pytest.raises(ValueError, match="must divide"):
+        audio_window_token_text(aud, phases=3)
+
+    # (b) payload path == shared-decode path at phases=2
+    via_shared = audio_window_token_text(
+        aud, windows=decode_audio_windows(aud, phases=2)
+    )
+    via_payload = audio_window_token_text(aud, phases=2)
+    key = lambda t: (t[0], t[1])
+    assert sorted(
+        ((r["media_id"], r["text"]) for r in via_shared.collect()), key=key
+    ) == sorted(
+        ((r["media_id"], r["text"]) for r in via_payload.collect()), key=key
+    )
+
+    # (c) image phases marker: match passes, mismatch raises in-plan,
+    # marker-less accepted (documented tolerance), fingerprints inherit
+    media = checked_image_crop_df(spark)
+    dec1 = decode_image_signature_tiles(media)
+    assert "phases" in dec1.columns
+    assert image_tile_tokens(media, decoded=dec1).count() > 0
+    with pytest.raises(Exception, match="phases"):
+        image_tile_tokens(media, decoded=dec1, phases=2).collect()
+    with pytest.raises(Exception, match="phases"):
+        image_tile_fingerprints(media, decoded=dec1, phases=2).collect()
+    legacy = dec1.drop("phases")
+    assert image_tile_tokens(media, decoded=legacy, phases=2).count() > 0
+    dec2 = decode_image_signature_tiles(media, phases=2)
+    assert image_tile_fingerprints(media, decoded=dec2, phases=2).count() > 0
+
+
+def test_cdc_oracle_cap_guard_fails_loudly():
+    """The CDC oracle's generate_series scans are hard-capped at 8192
+    positions (DuckDB series bounds must be constants); the Spark
+    operator has no cap, so a longer document used to mean a SILENT
+    false mismatch. The round-12 guard error()s instead: short corpora
+    still produce chunk rows, an 8193+-char document aborts the oracle
+    with a message naming the cap."""
+    import duckdb
+    import pandas as pd
+
+    from hridaya_steam_market_tracker_spark.queries import load_all
+
+    sql = load_all()["cdc_chunks_checked"].oracle
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world " * 12, "x"]}),
+    )
+    assert len(con.execute(sql).fetchall()) >= 2
+    con2 = duckdb.connect()
+    con2.register(
+        "documents", pd.DataFrame({"doc_id": [1], "text": ["y" * 8193]})
+    )
+    with pytest.raises(duckdb.Error, match="8192"):
+        con2.execute(sql).fetchall()
+
+
+def test_ccnet_buckets_approx_tier_semantics(spark):
+    """The corpus-scale tier of the CCNet bucketing
+    (`ccnet_buckets_approx`): broadcast percentile_approx cutoffs, no
+    per-source sort of ANY width. Contract vs the exact tier: same
+    output shape and label/keep rule, buckets monotone in score within
+    a source, populations within sketch slack of n/3, and high
+    agreement with the exact NTILE replication away from the cutoffs."""
+    import collections
+
+    from hridaya_steam_market_tracker_spark.queries.curation_ext import (
+        _ccnet_buckets_exact,
+        ccnet_buckets_approx,
+    )
+
+    rows = [
+        (
+            i,
+            float(-(i % 97)) - (i // 97) * 0.001,
+            float(i % 7 + 1),
+            f"src{i % 3}",
+        )
+        for i in range(300)
+    ]
+    joined = spark.createDataFrame(
+        rows, "doc_id long, avg_logprob double, perplexity double, source string"
+    )
+    exact = {r["doc_id"]: r for r in _ccnet_buckets_exact(joined).collect()}
+    approx = {r["doc_id"]: r for r in ccnet_buckets_approx(joined).collect()}
+    assert set(exact) == set(approx) == set(range(300))
+    by_src: dict[str, list] = {}
+    for r in approx.values():
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) == 3
+    for rs in by_src.values():
+        rs.sort(key=lambda r: -r["avg_logprob"])
+        buckets = [r["bucket"] for r in rs]
+        assert buckets == sorted(buckets)  # monotone in score
+        sizes = collections.Counter(buckets)
+        n = len(rs)
+        assert set(sizes) == {1, 2, 3}
+        for b in (1, 2, 3):
+            assert abs(sizes[b] - n / 3) <= max(3, 0.1 * n)
+    for r in approx.values():
+        assert r["bucket_label"] == {1: "head", 2: "middle", 3: "tail"}[
+            r["bucket"]
+        ]
+        assert r["keep"] == (r["bucket"] <= 2)
+    agree = sum(
+        exact[d]["bucket"] == approx[d]["bucket"] for d in exact
+    )
+    assert agree >= 0.9 * len(exact)
+
+
+def test_image_cdt_offset_independence_and_grid_blindness(spark):
+    """The round-12 content-defined tiling contract: (a) a crop at ANY
+    pixel offset — not just tile/phases lattice points — has anchor
+    containment exactly 1.0 against its host (its anchor-token set is
+    a strict subset, since anchors depend only on each 8x8 block's
+    bytes); (b) the phases=2 grid plane is structurally BLIND to an
+    off-lattice crop (zero shared fingerprints) — the class the CDT
+    plane closes; (c) index mass stays ~constant vs the single tile
+    grid (not phases^2); (d) presence-row honesty matches the tile
+    plane (undecodable -> decode_ok=false, smaller-than-k ->
+    decode_ok=true NULL row)."""
+    import hashlib
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+        image_cdt_anchor_tokens,
+        image_cdt_fingerprints,
+        image_tile_fingerprints,
+    )
+
+    _, encode = _pixel_codec()
+    w, h, cw, ch = 64, 48, 32, 24
+
+    def v(x, y):
+        return (x * x * 3 + y * y * 7 + x * y) % 251
+
+    def png_of(x0, y0, pw_, ph_):
+        rgb = bytes(
+            p
+            for yy in range(ph_)
+            for xx in range(pw_)
+            for p in (v(x0 + xx, y0 + yy),) * 3
+        )
+        return bytearray(encode(pw_, ph_, rgb, "png"))
+
+    offsets = [(13, 7), (1, 1), (21, 15), (5, 19)]
+    rows = [(0, "image", "png", png_of(0, 0, w, h), w, h, None)]
+    rows += [
+        (i + 1, "image", "png", png_of(x0, y0, cw, ch), cw, ch, None)
+        for i, (x0, y0) in enumerate(offsets)
+    ]
+    rows.append(
+        (90, "image", "png",
+         bytearray(hashlib.md5(b"cdt-honesty").digest() * 4),
+         None, None, None)
+    )
+    rows.append(  # 4x4: decodes, smaller than the 8x8 anchor block
+        (91, "image", "png",
+         bytearray(encode(4, 4, bytes(range(48)), "png")), 4, 4, None)
+    )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # (a) every arbitrary-offset crop is a strict anchor subset
+    fps = {
+        r["media_id"]: set()
+        for r in media.filter("media_id <= 4").select("media_id").collect()
+    }
+    for r in image_cdt_fingerprints(media).collect():
+        fps.setdefault(r["media_id"], set()).add(r["fp"])
+    for i in range(1, len(offsets) + 1):
+        assert fps[i], f"crop {i} produced no anchors"
+        assert fps[i] <= fps[0], f"crop {i} not contained in host"
+
+    # (b) the phases=2 grid shares NOTHING with the (13, 7) crop
+    gfps2: dict[int, set] = {}
+    for r in image_tile_fingerprints(media, phases=2).collect():
+        gfps2.setdefault(r["media_id"], set()).add(r["fp"])
+    assert not (gfps2[1] & gfps2[0]), "grid should be blind at (13, 7)"
+
+    # (c) constant index mass: host CDT anchors within 2x of the
+    # single-grid tile count (48 tiles), vs 4x for phases=2
+    gfps1: dict[int, set] = {}
+    for r in image_tile_fingerprints(media).collect():
+        gfps1.setdefault(r["media_id"], set()).add(r["fp"])
+    assert len(fps[0]) <= 2 * len(gfps1[0])
+    assert len(gfps2[0]) > 2 * len(gfps1[0])  # the cost CDT avoids
+
+    # (d) presence honesty
+    pres = {
+        r["media_id"]: (r["decode_ok"], r["tok"])
+        for r in image_cdt_anchor_tokens(media)
+        .filter("media_id >= 90")
+        .collect()
+    }
+    assert pres[90] == (False, None)
+    assert pres[91] == (True, None)
+
+
+def test_image_cdt_shared_decode_identity(spark):
+    """The CDT-mode one-decode path (round 12): anchors exploded from a
+    decode_image_signature_tiles(include_cdt=True) relation must equal
+    the direct Arrow path bit-for-bit (presence rows included), the
+    carried parameters are validated in-plan (a k/divisor mismatch
+    raises, like the grid plane's phases marker), a cdt-less relation
+    refuses loudly, and the grid consumers are unaffected by the extra
+    columns."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_image_cdt_crop_df,
+        decode_image_signature_tiles,
+        image_cdt_anchor_tokens,
+        image_cdt_fingerprints,
+        image_tile_tokens,
+    )
+
+    media = checked_image_cdt_crop_df(spark)
+    dec = decode_image_signature_tiles(media, include_cdt=True)
+
+    def rows(df):
+        return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+    assert rows(image_cdt_anchor_tokens(media)) == rows(
+        image_cdt_anchor_tokens(media, decoded=dec)
+    )
+    assert rows(image_cdt_fingerprints(media)) == rows(
+        image_cdt_fingerprints(media, decoded=dec)
+    )
+    with pytest.raises(Exception, match="cdt"):
+        image_cdt_anchor_tokens(media, divisor=32, decoded=dec).collect()
+    with pytest.raises(ValueError, match="include_cdt"):
+        image_cdt_anchor_tokens(
+            media, decoded=decode_image_signature_tiles(media)
+        )
+    assert rows(image_tile_tokens(media)) == rows(
+        image_tile_tokens(media, decoded=dec)
+    )
