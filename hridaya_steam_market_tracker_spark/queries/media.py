@@ -3074,6 +3074,131 @@ def media_phase_excerpt_admission_twin(
     )
 
 
+_CDT_TWIN_STORED = (2000, 3000)
+_CDT_TWIN_BATCH = (2001, 2002, 2008, 3001, 3002, 3004, 3005, 3008, 3009)
+
+
+def _cdt_twin_oracle() -> str:
+    """DuckDB restatement of the `media_excerpt_rejects` decision over
+    the CONTENT-DEFINED fingerprint relations of the round-12
+    arbitrary-offset fixtures — the gate twin proving the off-lattice
+    crop/excerpt classes are rejected by the literal streaming
+    decision function under the CDT planes. Same decision SQL as
+    `_phase_twin_oracle` (df<=50 prune, unpruned denominator,
+    stored + lower-id leader-keeps, distinct fps, >= tau); the
+    fingerprints come from the CDT anchor CTEs that oracle the
+    anchors/pairs queries bit-for-bit."""
+    stored = ", ".join(f"({i})" for i in _CDT_TWIN_STORED)
+    batch = ", ".join(f"({i})" for i in _CDT_TWIN_BATCH)
+    return f"""
+    WITH a2fps AS (
+      SELECT media_id + 2000 AS media_id, 'audio' AS plane, fp
+      FROM (WITH {_AUDIO_CDT_CTE}
+            SELECT media_id, fp FROM afps)
+    ),
+    i2fps AS (
+      SELECT media_id + 3000 AS media_id, 'image' AS plane, fp
+      FROM (WITH {_IMAGE_CDT_CTE}
+            SELECT media_id, fp FROM cfps)
+    ),
+    allf AS (SELECT * FROM a2fps UNION ALL SELECT * FROM i2fps),
+    stored(sid) AS (VALUES {stored}),
+    batch(bid) AS (VALUES {batch}),
+    pop AS (SELECT plane, fp FROM allf
+            WHERE media_id IN (SELECT sid FROM stored)
+               OR media_id IN (SELECT bid FROM batch)),
+    rare AS (SELECT plane, fp FROM pop GROUP BY 1, 2
+             HAVING count(*) <= 50),
+    bf AS (SELECT media_id, plane, fp FROM allf
+           WHERE media_id IN (SELECT bid FROM batch)),
+    nfp AS (SELECT media_id, count(*) AS n FROM bf GROUP BY 1),
+    bfp AS (SELECT bf.* FROM bf JOIN rare USING (plane, fp)),
+    sfpp AS (SELECT a.media_id, a.plane, a.fp FROM allf a
+             JOIN rare USING (plane, fp)
+             WHERE a.media_id IN (SELECT sid FROM stored)),
+    sh AS (
+      SELECT b.media_id AS j, b.fp
+      FROM bfp b
+      JOIN (SELECT * FROM sfpp UNION ALL SELECT * FROM bfp) a
+        ON a.plane = b.plane AND a.fp = b.fp
+      WHERE a.media_id IN (SELECT sid FROM stored)
+         OR a.media_id < b.media_id
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT j, count(*) AS n_shared FROM sh GROUP BY 1)
+    SELECT CAST(bid AS BIGINT) AS media_id,
+           coalesce(ns.n_shared / CAST(nfp.n AS DOUBLE) < 0.8, TRUE)
+             AS admitted
+    FROM batch
+    LEFT JOIN nfp ON nfp.media_id = bid
+    LEFT JOIN ns ON ns.j = bid
+    """
+
+
+@register(
+    "media_cdt_excerpt_admission_twin",
+    oracle=_cdt_twin_oracle(),
+    doc=(
+        "The CONTENT-DEFINED crop/excerpt admission DECISION, value-"
+        "checked end to end (round 12): the LITERAL streaming decision "
+        "function runs on CDT-plane fingerprints of the arbitrary-"
+        "offset fixtures — an audio excerpt cut at sample 1037 "
+        "(reject) and an image crop at offset (13, 7) (reject), both "
+        "off EVERY tile/window/phases lattice and therefore ADMITTED "
+        "by every grid gate including phases=2 — plus unrelated hosts "
+        "(admit), an in-batch host+crop pair (leader-keeps: host "
+        "admitted, crop rejected), the camera-rotated copy of the "
+        "stored host's crop (reject — rotate-before-hash), and the "
+        "unparseable honesty rows (admit — fp=NULL presence rows "
+        "never evidence a rejection). DuckDB recomputes every CDT "
+        "anchor fingerprint AND the whole decision."
+    ),
+)
+def media_cdt_excerpt_admission_twin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        checked_audio_cdt_excerpt_df,
+        checked_image_cdt_crop_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        media_excerpt_rejects,
+        media_winnow_fps,
+    )
+
+    aud = checked_audio_cdt_excerpt_df(spark).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    img = checked_image_cdt_crop_df(spark).withColumn(
+        "media_id", F.col("media_id") + 3000
+    )
+    mixed = aud.unionByName(img)
+    stored = mixed.filter(F.col("media_id").isin(list(_CDT_TWIN_STORED)))
+    batch = mixed.filter(F.col("media_id").isin(list(_CDT_TWIN_BATCH)))
+    # Lazy fps-stage boundaries (the subclip-pairs lesson): the
+    # decision fans each fps relation out ~4 ways (population,
+    # evidence, denominator); the checkpoints decode each payload once
+    # at first execution. The streaming gate gets the same effect from
+    # its persist() on batch_wfps.
+    rejects = media_excerpt_rejects(
+        media_winnow_fps(
+            stored, image_plane="cdt", audio_plane="cdt"
+        ).localCheckpoint(eager=False),
+        media_winnow_fps(
+            batch, image_plane="cdt", audio_plane="cdt"
+        ).localCheckpoint(eager=False),
+        0.8,
+    )
+    return (
+        batch.select("media_id")
+        .join(rejects.withColumn("rej", F.lit(True)), "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(~F.col("rej"), F.lit(True)).alias("admitted"),
+        )
+    )
+
+
 @register(
     "multimodal_audio_zcr_checked",
     oracle="""

@@ -529,6 +529,8 @@ def test_sample_first_names_all_registered(registry):
         # truncate the decision's 4-way fan-out to the post-decode
         # relations
         ("media_phase_excerpt_admission_twin", 12),
+        # the round-12 content-defined decision twin: same shape
+        ("media_cdt_excerpt_admission_twin", 12),
         # round-12 content-defined planes: anchors are pure Arrow
         # scan-stage output (zero exchanges — the fingerprint distinct
         # belongs to the pairs queries), containment joins the same

@@ -536,6 +536,8 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
                                   n_batches: int = 10,
                                   excerpt_tau: float | None = None,
                                   excerpt_phases: int = 1,
+                                  image_plane: str = "grid",
+                                  audio_plane: str = "window",
                                   auto_compact_files: int | None = None,
                                   ) -> None:
     """Scale the UNIFIED media gate: a rep-scaled MIXED corpus (media_id
@@ -591,6 +593,10 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
     kwargs = {} if excerpt_tau is None else {"excerpt_tau": excerpt_tau}
     if excerpt_phases != 1:
         kwargs["excerpt_phases"] = excerpt_phases
+    if image_plane != "grid":
+        kwargs["excerpt_image_plane"] = image_plane
+    if audio_plane != "window":
+        kwargs["excerpt_audio_plane"] = audio_plane
     if auto_compact_files is not None:
         kwargs["auto_compact_files"] = auto_compact_files
         kwargs["auto_compact_target_files"] = 4
@@ -626,7 +632,8 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
                 eager=True
             )
             wfps = media_winnow_fps(
-                batch, phases=excerpt_phases
+                batch, phases=excerpt_phases,
+                image_plane=image_plane, audio_plane=audio_plane,
             ).localCheckpoint(eager=True)
             rej = media_admission_rejects(
                 stored_bands, bands, keys=_ANY_KEYS
@@ -673,6 +680,7 @@ def streaming_any_media_rehearsal(spark, out_dir: str, rep: int,
     print(json.dumps({
         "metric": "streaming_any_media_rehearsal", "rep": rep, "items": n,
         "excerpt_tau": excerpt_tau,
+        "image_plane": image_plane, "audio_plane": audio_plane,
         "admitted_per_type": per_type,
         "admitted": sum(per_type.values()),
         "rejected": n - sum(per_type.values()),
@@ -691,6 +699,13 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_sf1")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--image-plane", default="grid", choices=("grid", "cdt"),
+        help="round-12 content-defined image plane for the any-media "
+             "excerpt rehearsal (constant index mass, no offset lattice)")
+    ap.add_argument(
+        "--audio-plane", default="window", choices=("window", "cdt"),
+        help="round-12 content-defined audio plane (1-D twin)")
     ap.add_argument(
         "--excerpt-phases", type=int, default=1,
         help="streaming-any-media: run the gate phase-aware (round 11) "
@@ -736,6 +751,8 @@ def main() -> None:
         streaming_any_media_rehearsal(
             spark, args.out, args.rep, excerpt_tau=args.excerpt_tau,
             excerpt_phases=args.excerpt_phases,
+            image_plane=args.image_plane,
+            audio_plane=args.audio_plane,
             auto_compact_files=args.auto_compact_files,
         )
         return
