@@ -1132,7 +1132,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     scores = _score(docs).select("doc_id", "avg_logprob", "perplexity")
     joined = scores.join(docs.select("doc_id", "source"), "doc_id")
-    return _ccnet_buckets_exact(joined)
+    # Lazy stage boundary (the subclip-pairs lesson): the de-skewed
+    # bucketing consumes the scored relation three ways (histogram,
+    # boundary totals, assignment join) and the bigram-LM scoring
+    # subtree is the expensive part — materialize it once.
+    from hridaya_steam_market_tracker_spark.checkpoints import (
+        stage_checkpoint,
+    )
+
+    return _ccnet_buckets_exact(stage_checkpoint(joined, eager=False))
 
 
 def _ccnet_buckets_exact(joined: DataFrame) -> DataFrame:
@@ -1153,15 +1161,16 @@ def _ccnet_buckets_exact(joined: DataFrame) -> DataFrame:
     Skew posture: the old plan sorted EVERY doc of a source inside one
     window task (sources are low-cardinality, so at 100x that task is
     a straggler/2-GB hazard). Here the docs relation is shuffled ONCE
-    by (source, avg_logprob) — the tie-group row_number and the
-    histogram groupBy share that partitioning — so the largest single
-    sort is the largest TIE GROUP (equal rounded scores), not the
-    largest source; the only per-source-partitioned work is the
-    cumulative count over the (source, avg_logprob) HISTOGRAM, whose
-    width is the distinct rounded scores of the source (round(.,9)
-    micro-nat-derived — far below doc count; still the documented
-    bound of the exact tier), and the broadcast-joined one-row-per-
-    source boundary table. Corpus tier for unbounded sources:
+    by (source, avg_logprob) — the tie-group row_number exchanges it,
+    and the histogram aggregate AND the assignment join both sit
+    above that same reused exchange — so the largest single sort is
+    the largest TIE GROUP (equal rounded scores), not the largest
+    source; the only per-source-partitioned work is two window sums
+    over the (source, avg_logprob) HISTOGRAM (running count + total,
+    one small exchange), whose width is the distinct rounded scores
+    of the source (round(.,9) micro-nat-derived — far below doc
+    count; still the documented bound of the exact tier). Corpus tier
+    for unbounded sources:
     `ccnet_buckets_approx` (percentile_approx cutoffs — no per-source
     sort of ANY width, at the cost of the exact-size guarantee)."""
     from pyspark.sql import Window
@@ -1174,39 +1183,55 @@ def _ccnet_buckets_exact(joined: DataFrame) -> DataFrame:
         .orderBy(F.col("avg_logprob").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE full shuffle of the scored docs: the tie-group row_number
+    # exchanges by (source, avg_logprob), and BOTH the histogram
+    # aggregate and the assignment join are derived from that ranked
+    # relation, so they sit above the same exchange (reused — the
+    # expensive scoring subtree below it runs once) instead of each
+    # re-shuffling the full relation.
+    ranked = joined.select(
+        "doc_id", "source", "avg_logprob", "perplexity",
+        F.row_number().over(tie_w).alias("tie_rank"),
+    )
+    # The per-source total (hence the NTILE boundaries C1/C2) rides a
+    # second window over the SAME histogram exchange (full frame, no
+    # order) instead of a separate aggregate + broadcast join — the
+    # boundary table IS the histogram row.
+    full_w = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     hist = (
-        joined.groupBy("source", "avg_logprob")
+        ranked.groupBy("source", "avg_logprob")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(
             "source",
             "avg_logprob",
             (F.sum("c").over(cum_w) - F.col("c")).alias("before"),
-            "c",
+            F.sum("c").over(full_w).alias("n"),
+        )
+        .select(
+            "source",
+            "avg_logprob",
+            "before",
+            (
+                F.expr("n div 3")
+                + (F.col("n") % 3 >= 1).cast("long")
+            ).alias("c1"),
+            (
+                2 * F.expr("n div 3")
+                + (F.col("n") % 3 >= 1).cast("long")
+                + (F.col("n") % 3 >= 2).cast("long")
+            ).alias("c2"),
         )
     )
-    cuts = hist.groupBy("source").agg(
-        F.sum("c").alias("n")
-    ).select(
-        "source",
-        (
-            F.expr("n div 3")
-            + (F.col("n") % 3 >= 1).cast("long")
-        ).alias("c1"),
-        (
-            2 * F.expr("n div 3")
-            + (F.col("n") % 3 >= 1).cast("long")
-            + (F.col("n") % 3 >= 2).cast("long")
-        ).alias("c2"),
-    )
-    rank = (F.col("before") + F.row_number().over(tie_w)).alias("rank")
+    rank = (F.col("before") + F.col("tie_rank")).alias("rank")
     bucket = (
         F.lit(1)
         + (F.col("rank") > F.col("c1")).cast("int")
         + (F.col("rank") > F.col("c2")).cast("int")
     )
     return (
-        joined.join(hist.drop("c"), ["source", "avg_logprob"])
-        .join(F.broadcast(cuts), "source")
+        ranked.join(hist, ["source", "avg_logprob"])
         .select("doc_id", "source", "avg_logprob", "perplexity",
                 "c1", "c2", rank)
         .select(

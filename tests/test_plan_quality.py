@@ -637,14 +637,22 @@ def test_ccnet_buckets_no_whole_source_sort(spark, registry):
     import re
 
     def part_cols(line: str) -> list[str]:
-        # Window [funcs], [partition spec], [order spec]; spec elements
-        # may wrap the column (knownfloatingpointnormalized(...)), so
-        # pull the attribute name out of each element by its #exprId.
+        # Window [funcs], [partition spec][, order spec] — the order
+        # spec is absent for unordered full-frame windows, so pick the
+        # partition spec by position: last unless the last looks like
+        # an ordering (ASC/DESC). Spec elements may wrap the column
+        # (knownfloatingpointnormalized(...)), so pull the attribute
+        # name out of each element by its #exprId.
         specs = re.findall(r"\[([^\[\]]*)\]", line)
-        if len(specs) < 3:
+        if len(specs) < 2:
             return []
+        part = (
+            specs[-2]
+            if re.search(r"\b(ASC|DESC)\b", specs[-1])
+            else specs[-1]
+        )
         out = []
-        for el in specs[-2].split(","):
+        for el in part.split(","):
             m = re.search(r"(\w+)#\d+", el)
             if m:
                 out.append(m.group(1))
