@@ -489,6 +489,82 @@ def ngram_decontaminate(
     )
 
 
+def minhash_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FUZZY train/eval decontamination — the near-duplicate complement
+    of `ngram_decontaminate`: the exact n-gram rule (GPT-3 appendix C)
+    misses paraphrase-level contamination where no single long gram
+    survives but the documents are near-identical as SETS; here a
+    training doc is contaminated when its shingle-set Jaccard against
+    ANY eval doc reaches ``threshold``. Output one row per
+    (contaminated train doc, matching eval doc):
+    (doc_id, eval_doc_id, jaccard).
+
+    Scale shape — the cross-relation LSH form: both sides MinHash-sign
+    and band (`banded_buckets`), but the candidate join is
+    train-bands x BROADCAST(eval-bands) — eval suites are tiny next to
+    a training corpus, so the corpus side never shuffles to find
+    candidates and the train x train pair space is never touched
+    (unlike dedup, decontamination needs no within-train pairs). Exact
+    Jaccard verifies candidates only, so the output equals the exact
+    cross-threshold pair set w.h.p. (16 bands x 2 rows: p > 0.99 at
+    j = 0.5 — same s-curve as `minhash_near_duplicates`, which the
+    oracle value-checks)."""
+    from pyspark import StorageLevel
+
+    t_sets = (
+        _spread(train, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e_sets = (
+        eval_df.select(
+            F.col(id_col).alias("doc_id"),
+            shingles(F.col(text_col), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    t_bands = banded_buckets(
+        signatures_from_sets(t_sets, num_hashes), num_hashes, bands
+    )
+    e_bands = banded_buckets(
+        signatures_from_sets(e_sets, num_hashes), num_hashes, bands
+    )
+    cands = (
+        t_bands.join(F.broadcast(e_bands.withColumnRenamed(
+            "doc_id", "eval_doc_id"
+        )), ["band", "bucket"])
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )
+    a = t_sets.select("doc_id", F.col("sh").alias("sh_t"))
+    b = e_sets.select(
+        F.col("doc_id").alias("eval_doc_id"), F.col("sh").alias("sh_e")
+    )
+    paired = cands.join(a, "doc_id").join(F.broadcast(b), "eval_doc_id")
+    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
+    union = F.size("sh_t") + F.size("sh_e") - inter
+    jac = inter.cast("double") / union
+    return (
+        paired.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_doc_id", "jaccard")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -76,6 +76,7 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # design (round-10 verdict ask #7): their err:no_oracle rows read as
 # failures and their value signal lives in the oracled checked twins.
 _SAMPLE_FIRST: tuple[str, ...] = (
+    "fuzzy_decontaminate_pairs",
     "media_cdt_excerpt_admission_twin",
     "multimodal_audio_cdt_anchors_checked",
     "multimodal_audio_cdt_excerpt_pairs",
@@ -125,7 +126,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "pretrain_pipeline_e2e",
     "semantic_dedup_keep_list",
     "semantic_dedup_text_e2e",
-    "f3_payload_dup_check",
 )
 
 

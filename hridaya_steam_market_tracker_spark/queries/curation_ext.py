@@ -131,6 +131,50 @@ def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_decontaminate_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_LOWER} AS w FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct([array_to_string(w[i:i+2], ' ')
+                                 for i in range(1, len(w) - 1)]) AS s
+           FROM d WHERE len(w) >= 3),
+    tr AS (SELECT doc_id, s FROM sh
+           WHERE source NOT IN ('src18', 'src19')),
+    ev AS (SELECT doc_id AS eval_doc_id, s FROM sh
+           WHERE source IN ('src18', 'src19'))
+    SELECT tr.doc_id, ev.eval_doc_id,
+           round(CAST(len(list_intersect(tr.s, ev.s)) AS DOUBLE)
+                 / (len(tr.s) + len(ev.s)
+                    - len(list_intersect(tr.s, ev.s))), 6) AS jaccard
+    FROM tr JOIN ev
+      ON CAST(len(list_intersect(tr.s, ev.s)) AS DOUBLE)
+         / (len(tr.s) + len(ev.s) - len(list_intersect(tr.s, ev.s)))
+         >= 0.5
+    """,
+    doc=(
+        "FUZZY decontamination (round 12): training docs (src0-17) "
+        "whose trigram-shingle Jaccard against ANY held-out doc "
+        "(src18/19) reaches 0.5 — the near-duplicate complement of "
+        "the exact 5-gram rule, catching paraphrase-level "
+        "contamination where no long gram survives. Spark side is the "
+        "cross-relation LSH shape (train bands x BROADCAST eval "
+        "bands, exact-Jaccard verify on candidates only — the train "
+        "corpus never self-joins and never shuffles to find "
+        "candidates); the oracle is the exact cross-threshold pair "
+        "set, which the 16x2 banding catches with p > 0.99 at the "
+        "threshold."
+    ),
+)
+def fuzzy_decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.minhash_decontaminate(
+        docs.filter(~F.col("source").isin(*_EVAL_SOURCES)),
+        docs.filter(F.col("source").isin(*_EVAL_SOURCES)),
+        threshold=0.5,
+    )
+
+
 # DuckDB twin of operators.dedup._h60(gram, seed=0): 60-bit md5 prefix.
 _H60_SQL = "('0x' || substr(md5('0:' || {g}), 1, 15))::BIGINT"
 

@@ -70,6 +70,7 @@ def test_q4_semi_join_not_inner_plus_distinct(spark, registry):
     [
         "text_quality_stats",
         "dedup_minhash_lsh",
+        "fuzzy_decontaminate_pairs",
         "simhash_near_pairs",
         "ann_cosine_topk",
         "sessionize_events",
@@ -350,6 +351,11 @@ def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
         # exchange over the tiny eval side only, inside the broadcast
         # build); the corpus side itself never shuffles for membership
         ("decontaminate_train_test", 2),
+        # cross-relation LSH decontamination: train side's one spread
+        # exchange + candidate distinct + verify rollup; the eval
+        # bands/sets ride broadcasts (train never shuffles to find
+        # candidates, train x train pair space never touched)
+        ("fuzzy_decontaminate_pairs", 3),
         # spread + gram-df groupBy + join-back/doc rollup
         ("duplicate_span_stats", 3),
         # (doc,gram) count + doc rank window + score groupBy + argmin
