@@ -2828,3 +2828,47 @@ def test_image_cdt_shared_decode_identity(spark):
     assert rows(image_tile_tokens(media)) == rows(
         image_tile_tokens(media, decoded=dec)
     )
+
+
+def test_minhash_decontaminate_catches_paraphrase_overlap(spark):
+    """Fuzzy decontamination (round 12): a training doc that shares
+    most of its trigram-shingle SET with an eval doc is flagged even
+    when no long n-gram survives intact (the class the exact GPT-3
+    rule misses); unrelated docs are not flagged; output equals the
+    exact cross-threshold pair set (the LSH candidates are verified by
+    exact Jaccard)."""
+    from hridaya_steam_market_tracker_spark.operators.dedup import (
+        minhash_decontaminate,
+    )
+
+    base = [f"tok{k}" for k in range(40)]
+    # train doc 1: the eval text with every 8th token swapped — long
+    # gram runs are broken (max shared 5-gram run < 8 tokens) but the
+    # trigram SET overlap stays high
+    para = list(base)
+    for k in range(0, 40, 8):
+        para[k] = f"swap{k}"
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(para)),
+            (2, " ".join(f"other{k}" for k in range(40))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, " ".join(base))], "doc_id long, text string"
+    )
+    got = minhash_decontaminate(train, eval_df, threshold=0.4).collect()
+    assert {(r["doc_id"], r["eval_doc_id"]) for r in got} == {(1, 100)}
+    assert all(0.4 <= r["jaccard"] <= 1.0 for r in got)
+
+    # exact cross-Jaccard agreement on the same inputs
+    def tri_set(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    j = len(tri_set(para) & tri_set(base)) / len(
+        tri_set(para) | tri_set(base)
+    )
+    assert abs(got[0]["jaccard"] - round(j, 6)) < 1e-9
