@@ -36,11 +36,14 @@ to the historical ``localCheckpoint`` behavior.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 RELIABLE_CONF = "spark.hridaya.reliableCheckpoints"
+
+_LOG = logging.getLogger(__name__)
 
 
 def stage_checkpoint(
@@ -68,12 +71,36 @@ def stage_checkpoint(
     write + scan per named boundary (vs block-level checkpoint
     writes), and ``eager`` is effectively true (the snapshot is the
     materialization). Under the default local policy ``stage_key``
-    is ignored — no hidden DFS traffic on the fast path."""
+    is ignored — no hidden DFS traffic on the fast path.
+
+    Key discipline for iterative tiers (round-12 ADVICE): the snapshot
+    is written to ``<path>.__inprogress__`` and RENAMED over the final
+    path, so round N+1 MAY derive from a snapshot read of the SAME key
+    — the write never targets the path being scanned, avoiding Spark's
+    "Cannot overwrite a path that is also being read from" failure.
+    The rename atomically retires the old snapshot; any OTHER still-lazy
+    DataFrame over the old files becomes invalid at that instant, which
+    is exactly the per-round-overwrite semantics the name promises.
+    Per-round UNIQUE keys (``f"components_round_{i}"``, as the resume
+    test does) remain the recommended shape for resumable tiers — a
+    reused key keeps only the latest round, so a driver restart resumes
+    from that round's snapshot, not from scratch. Completed tiers
+    should `prune_stage_checkpoints` their keys — snapshots are plain
+    parquet dirs and nothing deletes them implicitly."""
     spark = df.sparkSession
     if (spark.conf.get(RELIABLE_CONF, "false") or "false").lower() == "true":
         if stage_key is not None:
             path = _stage_path(spark, stage_key)
-            df.write.mode("overwrite").parquet(path)
+            tmp = path + ".__inprogress__"
+            df.write.mode("overwrite").parquet(tmp)
+            fs, jpath = _hadoop_fs(spark, path)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+            _, jtmp = _hadoop_fs(spark, tmp)
+            if not fs.rename(jtmp, jpath):
+                raise IOError(
+                    f"stage_checkpoint: rename {tmp} -> {path} failed"
+                )
             return spark.read.parquet(path)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
@@ -88,17 +115,80 @@ def resume_stage_checkpoint(
     BPE / k-means rounds on a 1000-executor cluster). A partial write
     is invisible — parquet commit is rename-based and the read
     requires the _SUCCESS marker — so resume-or-recompute is a safe
-    branch."""
+    branch.
+
+    Committer requirement (round-12 ADVICE): the gate assumes the
+    output committer writes _SUCCESS
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=true``, the
+    Hadoop default). Some object-store committer setups disable the
+    marker; there every resume would silently recompute, so the probe
+    logs a loud warning when parquet data files exist without the
+    marker instead of quietly returning None."""
     path = _stage_path(spark, stage_key)
-    # Hadoop-FS existence probe (works for file: and DFS schemes alike)
-    jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
-    fs = marker.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    )
+    fs, jdir = _hadoop_fs(spark, path)
+    _, marker = _hadoop_fs(spark, path + "/_SUCCESS")
     if not fs.exists(marker):
+        if fs.exists(jdir) and any(
+            f.getPath().getName().endswith(".parquet")
+            for f in fs.listStatus(jdir)
+        ):
+            _LOG.warning(
+                "resume_stage_checkpoint(%r): parquet files exist at %s "
+                "but no _SUCCESS marker — either the write died mid-job "
+                "(recompute is correct) or the committer runs with "
+                "mapreduce.fileoutputcommitter.marksuccessfuljobs=false, "
+                "in which case resume will NEVER fire; set it true for "
+                "named-stage resume.",
+                stage_key,
+                path,
+            )
         return None
     return spark.read.parquet(path)
+
+
+def prune_stage_checkpoints(
+    spark: SparkSession, stage_keys: list[str] | None = None
+) -> list[str]:
+    """Delete named-stage snapshots a completed tier no longer needs
+    (round-12 ADVICE: per-round keys accumulate parquet dirs with no
+    implicit cleanup). ``stage_keys=None`` prunes EVERY stage under
+    ``<checkpoint parent>/stages`` — the end-of-pipeline sweep; a list
+    prunes just those keys (missing keys are no-ops). In-progress tmp
+    dirs (``*.__inprogress__``) of listed keys are swept too. Returns
+    the paths actually deleted."""
+    removed: list[str] = []
+    if stage_keys is None:
+        ckpt_dir = spark.sparkContext.getCheckpointDir()
+        if not ckpt_dir:
+            return removed
+        base = os.path.dirname(ckpt_dir.rstrip("/")) + "/stages"
+        fs, jbase = _hadoop_fs(spark, base)
+        if not fs.exists(jbase):
+            return removed
+        for st in fs.listStatus(jbase):
+            if fs.delete(st.getPath(), True):
+                removed.append(st.getPath().toString())
+        return removed
+    for key in stage_keys:
+        for path in (
+            _stage_path(spark, key),
+            _stage_path(spark, key) + ".__inprogress__",
+        ):
+            fs, jpath = _hadoop_fs(spark, path)
+            if fs.exists(jpath) and fs.delete(jpath, True):
+                removed.append(path)
+    return removed
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for a string path — works for file: and DFS
+    schemes alike; the FS is resolved from the path's own scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    return fs, jpath
 
 
 def _stage_path(spark: SparkSession, stage_key: str) -> str:

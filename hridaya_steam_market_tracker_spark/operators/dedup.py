@@ -494,8 +494,8 @@ def minhash_decontaminate(
     eval_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int = 64,
+    bands: int = 32,
     n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
@@ -515,9 +515,13 @@ def minhash_decontaminate(
     candidates and the train x train pair space is never touched
     (unlike dedup, decontamination needs no within-train pairs). Exact
     Jaccard verifies candidates only, so the output equals the exact
-    cross-threshold pair set w.h.p. (16 bands x 2 rows: p > 0.99 at
-    j = 0.5 — same s-curve as `minhash_near_duplicates`, which the
-    oracle value-checks)."""
+    cross-threshold pair set w.h.p. (32 bands x 2 rows: p > 0.9999 at
+    j = 0.5, rising to > 0.99999 by j = 0.55 — a deliberately tighter
+    margin than `minhash_near_duplicates`' 16x2, because this op is
+    value-checked against the EXACT pair-set oracle and a boundary
+    pair missed by banding reads as a correctness flake, not a recall
+    trade; the extra bands ride the already-broadcast eval side and
+    one more map pass over train signatures)."""
     from pyspark import StorageLevel
 
     t_sets = (
@@ -558,10 +562,14 @@ def minhash_decontaminate(
     inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
     union = F.size("sh_t") + F.size("sh_e") - inter
     jac = inter.cast("double") / union
+    # Filter on the UNROUNDED jaccard — the exact-pair-set oracle joins
+    # on the raw ratio, so rounding-before-filtering would admit a pair
+    # sitting within 5e-7 below threshold that the oracle excludes
+    # (round-12 ADVICE). Rounding happens only in the projection, where
+    # both sides round identically.
     return (
-        paired.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_id", "eval_doc_id", "jaccard")
+        paired.filter(jac >= threshold)
+        .select("doc_id", "eval_doc_id", F.round(jac, 6).alias("jaccard"))
     )
 
 

@@ -162,8 +162,9 @@ def decontaminate_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bands, exact-Jaccard verify on candidates only — the train "
         "corpus never self-joins and never shuffles to find "
         "candidates); the oracle is the exact cross-threshold pair "
-        "set, which the 16x2 banding catches with p > 0.99 at the "
-        "threshold."
+        "set, which the 32x2 banding catches with p > 0.9999 at the "
+        "threshold (tightened round 13 so a boundary pair can't read "
+        "as a correctness flake)."
     ),
 )
 def fuzzy_decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1334,6 +1335,44 @@ def ccnet_buckets_approx(
         .alias("bucket_label"),
         (bucket <= 2).alias("keep"),
     )
+
+
+@register(
+    "ccnet_buckets_approx",
+    # Rows-only by design (the approx_percentiles_per_stream class):
+    # the cutoffs come from Spark's percentile_approx sketch, whose
+    # rank-interpolation-free estimates are engine-specific — DuckDB
+    # cannot reproduce them bit-for-bit. Value semantics are pinned in
+    # pytest as an ERROR BOUND against the exact tier instead
+    # (tests/test_scale_operators.py::test_ccnet_buckets_approx_tier_semantics).
+    oracle=None,
+    doc=(
+        "Corpus-scale tier of the CCNet bucketing: per-source tercile "
+        "CUTOFF SCORES via one mergeable percentile_approx sketch — "
+        "no per-source sort of ANY width, no distinct-score histogram "
+        "— with docs assigned by comparing avg_logprob to the "
+        "broadcast cutoffs. This is the tier the exact query's "
+        "docstring points 100-TB users to when a single source's "
+        "distinct-score histogram itself would skew; the trade is the "
+        "exact NTILE size guarantee (populations drift by sketch "
+        "error; cutoff-score ties land together). Error-bounded vs "
+        "the exact tier in pytest; rows-only at the driver."
+    ),
+)
+def ccnet_buckets_approx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.checkpoints import (
+        stage_checkpoint,
+    )
+    from hridaya_steam_market_tracker_spark.operators.lm import (
+        bigram_lm_doc_scores as _score,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    scores = _score(docs).select("doc_id", "avg_logprob", "perplexity")
+    joined = scores.join(docs.select("doc_id", "source"), "doc_id")
+    # Same lazy stage boundary as the exact tier: the sketch aggregate
+    # and the assignment join both consume the scored relation.
+    return ccnet_buckets_approx(stage_checkpoint(joined, eager=False))
 
 
 # The capstone: the full modern pretraining curation recipe as ONE

@@ -155,3 +155,69 @@ spark.stop()
         stage_key="local_mode_ignored",
     ).count()
     assert set(os.listdir(os.path.join(ckpt, "stages"))) == before
+
+
+def test_stage_checkpoint_same_key_chain_and_prune(spark, tmp_path, caplog):
+    """Round-12 ADVICE trio on the named-stage tier: (a) round N+1 may
+    derive from a snapshot READ of the SAME stage_key — the snapshot is
+    written to <path>.__inprogress__ and renamed over the final path,
+    so the write never targets the path being scanned (previously
+    Spark's 'Cannot overwrite a path that is also being read from');
+    (b) a dir holding parquet data files but no _SUCCESS marker resumes
+    as None WITH a loud marksuccessfuljobs warning, never silently;
+    (c) prune_stage_checkpoints deletes completed stages (named keys
+    and the sweep-all form) and reports what it removed."""
+    import logging
+    import os
+
+    from hridaya_steam_market_tracker_spark.checkpoints import (
+        RELIABLE_CONF,
+        prune_stage_checkpoints,
+        resume_stage_checkpoint,
+        stage_checkpoint,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    spark.conf.set(RELIABLE_CONF, "true")
+    try:
+        # (a) three rounds through ONE reused key, each derived from a
+        # fresh snapshot read of the previous round's files
+        df = spark.range(8).select(
+            F.col("id").alias("doc_id"), F.lit(0).alias("round")
+        )
+        out = stage_checkpoint(df, stage_key="chain")
+        for _ in range(2):
+            prev = resume_stage_checkpoint(spark, "chain")
+            assert prev is not None
+            out = stage_checkpoint(
+                prev.withColumn("round", F.col("round") + 1),
+                stage_key="chain",
+            )
+        assert [r["round"] for r in out.select("round").distinct().collect()] == [2]
+        stages_dir = os.path.join(ckpt, "stages")
+        assert os.path.isdir(os.path.join(stages_dir, "chain"))
+        assert not os.path.isdir(
+            os.path.join(stages_dir, "chain.__inprogress__")
+        )
+
+        # (b) strip _SUCCESS: resume -> None plus the committer warning
+        os.remove(os.path.join(stages_dir, "chain", "_SUCCESS"))
+        with caplog.at_level(
+            logging.WARNING, logger="hridaya_steam_market_tracker_spark.checkpoints"
+        ):
+            assert resume_stage_checkpoint(spark, "chain") is None
+        assert any(
+            "marksuccessfuljobs" in rec.message for rec in caplog.records
+        )
+
+        # (c) prune: named key, then the sweep-all form
+        stage_checkpoint(df, stage_key="done_tier")
+        removed = prune_stage_checkpoints(spark, ["done_tier", "absent"])
+        assert any(p.endswith("/stages/done_tier") for p in removed)
+        assert not os.path.exists(os.path.join(stages_dir, "done_tier"))
+        stage_checkpoint(df, stage_key="sweep_me")
+        assert prune_stage_checkpoints(spark)  # sweeps 'chain' + 'sweep_me'
+        assert os.listdir(stages_dir) == []
+    finally:
+        spark.conf.set(RELIABLE_CONF, "false")
