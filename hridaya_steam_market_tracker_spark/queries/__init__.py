@@ -63,69 +63,68 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # tests/test_sample_order.py asserts this head EQUALS the derived order, so
 # neither a rewrite nor a hand-reorder can ship un-resampled. Regenerate with
 # `python tools/sample_order.py`.
-# Round-12 composition: the four never-sampled content-defined-tiling
-# queries lead (image/audio CDT anchors + containment pairs), then
-# the two de-skew rewrites (ccnet terciles, vocab growth blocked
-# prefix sum) and the cohort whose transitive fingerprints changed
-# this round (the multimodal phase-lattice validation + shared-decode
-# CDT plumbing touches every media family; the CDC oracle guard
-# touches the cdc trio; stage_checkpoint's stage_key touches the
-# checkpointing operator families); the staleness rotation fills the
-# remaining slots.
-# Rows-only (oracle-less) queries sort below every oracled query by
-# design (round-10 verdict ask #7): their err:no_oracle rows read as
-# failures and their value signal lives in the oracled checked twins.
+# Round-13 composition (cost-aware — the r12 empty-record lesson): the
+# twelve never-driver-sampled queries lead (the six r12 CDT/fuzzy
+# queries whose r12 record came back empty, plus the five new hybrid/
+# density queries and the avc1 I_PCM decode), then the cohort whose transitive fingerprints
+# changed this round (the hybrid plumbing touches every media family;
+# the stage_checkpoint rename + dedup banding changes touch the
+# checkpointing and dedup families); the staleness rotation fills the
+# rest. WITHIN each tier the order is measured per-query cost, CHEAP
+# FIRST (tools/query_costs.json) — total expected head runtime ~298 s
+# at sf0.01 under load (PLANS.md round-13 note) — so a time-budgeted
+# driver run records as many rows as possible before any cutoff.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    "fuzzy_decontaminate_pairs",
-    "media_cdt_excerpt_admission_twin",
-    "multimodal_audio_cdt_anchors_checked",
-    "multimodal_audio_cdt_excerpt_pairs",
     "multimodal_image_cdt_anchors_checked",
+    "multimodal_audio_cdt_anchors_checked",
     "multimodal_image_cdt_crop_pairs",
+    "multimodal_audio_cdt_density_checked",
+    "multimodal_audio_cdt_excerpt_pairs",
+    "multimodal_audio_hybrid_excerpt_pairs",
+    "media_cdt_excerpt_admission_twin",
+    "fuzzy_decontaminate_pairs",
+    "multimodal_image_hybrid_crop_pairs",
+    "multimodal_avc1_ipcm_decode_checked",
+    "multimodal_image_cdt_density_checked",
+    "media_hybrid_admission_twin",
     "ccnet_perplexity_buckets",
     "vocab_growth_curve",
-    "any_media_ingest_admission_twin",
-    "bpe_doc_token_stats",
-    "bpe_train_merges",
-    "cdc_chunks_checked",
-    "cdc_dup_chunk_mass",
-    "cdc_offset_dup_pairs",
-    "chargram_lang_id",
-    "clip_duplicate_spans_stats",
-    "cluster_weighted_sample",
-    "curation_pipeline_kept_docs",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_keep_best_quality",
-    "dedup_recall_audit",
-    "duplicate_span_pairs",
-    "emb_cosine_near_dup",
-    "emb_near_dup_clusters",
-    "media_excerpt_admission_twin",
-    "media_ingest_admission_twin",
-    "media_phase_excerpt_admission_twin",
-    "multimodal_audio_clip_fingerprints",
-    "multimodal_audio_dedup_keep_list",
-    "multimodal_audio_excerpt_pairs",
     "multimodal_audio_fingerprint_checked",
-    "multimodal_audio_offset_clip_fingerprints",
-    "multimodal_audio_offset_excerpt_pairs",
-    "multimodal_audio_segments",
     "multimodal_dhash_oriented_checked",
-    "multimodal_dhash_oriented_near_pairs_checked",
-    "multimodal_image_crop_pairs",
-    "multimodal_image_dedup_keep_list",
     "multimodal_image_exif_checked",
-    "multimodal_image_offset_crop_pairs",
+    "multimodal_image_whash_checked",
     "multimodal_image_offset_tile_fingerprints",
     "multimodal_image_tile_fingerprints",
-    "multimodal_image_whash_checked",
-    "multimodal_video_dedup_keep_list",
+    "multimodal_audio_offset_clip_fingerprints",
+    "multimodal_audio_clip_fingerprints",
+    "multimodal_dhash_oriented_near_pairs_checked",
+    "multimodal_audio_segments",
+    "multimodal_image_crop_pairs",
     "multimodal_whash_near_pairs",
+    "multimodal_image_offset_crop_pairs",
+    "multimodal_audio_offset_excerpt_pairs",
+    "multimodal_audio_excerpt_pairs",
+    "media_ingest_admission_twin",
+    "duplicate_span_pairs",
+    "chargram_lang_id",
+    "clip_duplicate_spans_stats",
+    "multimodal_image_dedup_keep_list",
+    "emb_cosine_near_dup",
     "perceptron_quality_scores",
-    "pretrain_pipeline_e2e",
+    "multimodal_audio_dedup_keep_list",
+    "multimodal_video_dedup_keep_list",
+    "bpe_train_merges",
     "semantic_dedup_keep_list",
+    "emb_near_dup_clusters",
+    "media_phase_excerpt_admission_twin",
     "semantic_dedup_text_e2e",
+    "bpe_doc_token_stats",
+    "media_excerpt_admission_twin",
+    "dedup_recall_audit",
+    "dedup_clusters_star",
+    "cluster_weighted_sample",
+    "curation_pipeline_kept_docs",
+    "dedup_keep_best_quality",
 )
 
 

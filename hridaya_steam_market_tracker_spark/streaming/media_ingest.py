@@ -339,15 +339,17 @@ def _mode_string(
     excerpt: bool, phases: int = 1, image_plane: str = "grid",
     audio_plane: str = "window",
 ) -> str:
-    if image_plane not in ("grid", "cdt"):
+    if image_plane not in ("grid", "cdt", "hybrid"):
         raise ValueError(
             f"image_plane={image_plane!r}: expected 'grid' (phase-"
-            "shifted tile grids) or 'cdt' (content-defined tiling)"
+            "shifted tile grids), 'cdt' (content-defined tiling), or "
+            "'hybrid' (cdt with per-item low-entropy grid fallback)"
         )
-    if audio_plane not in ("window", "cdt"):
+    if audio_plane not in ("window", "cdt", "hybrid"):
         raise ValueError(
             f"audio_plane={audio_plane!r}: expected 'window' (phased "
-            "window tokens) or 'cdt' (content-defined anchors)"
+            "window tokens), 'cdt' (content-defined anchors), or "
+            "'hybrid' (cdt with per-clip low-entropy window fallback)"
         )
     if not excerpt:
         return "plain"
@@ -604,6 +606,19 @@ def ingest_any_media_batch(
     (round 12) is the 1-D twin: ``"cdt"`` rejects audio excerpts cut
     at ANY sample offset via content-defined sample anchors.
 
+    ``"hybrid"`` (round 13, both planes): cdt anchors with a
+    PER-ITEM fallback to the phased grid/window plane for LOW-ENTROPY
+    content — flat/gradient rasters and silent/tonal clips collapse
+    the anchor set to ~0-3 distinct tokens (the round-12 honest
+    finding), leaving their crops/excerpts under-evidenced in pure
+    cdt mode; the hybrid gate detects the collapse per item
+    (`image_cdt_anchor_density` / `audio_cdt_anchor_density`,
+    integer-exact) and indexes such items by the phased grid TOO, so
+    lattice-aligned crops/excerpts of low-entropy items are rejected
+    at r11 strength while content-ful items keep the exact
+    any-offset guarantee. ``excerpt_phases`` then sizes the fallback
+    grids.
+
     ``auto_compact_files`` (round 11): after the batch's appends, if
     the store's parquet part-file count exceeds this threshold,
     `compact_any_media_store` runs inside the batch — the same
@@ -668,7 +683,9 @@ def ingest_any_media_batch(
                 ),
                 "image_decoded": decode_image_signature_tiles(
                     batch, phases=excerpt_phases,
-                    include_cdt=(excerpt_image_plane == "cdt"),
+                    include_cdt=(
+                        excerpt_image_plane in ("cdt", "hybrid")
+                    ),
                 ),
             }
             for df in decode_kw.values():
@@ -894,19 +911,23 @@ def media_winnow_fps(
     )
     from hridaya_steam_market_tracker_spark.operators.multimodal import (
         audio_cdt_fingerprints,
+        audio_hybrid_fingerprints,
         audio_window_token_text,
         image_cdt_fingerprints,
+        image_hybrid_fingerprints,
         image_tile_fingerprints,
         video_frame_token_text,
     )
 
-    if image_plane not in ("grid", "cdt"):
+    if image_plane not in ("grid", "cdt", "hybrid"):
         raise ValueError(
-            f"image_plane={image_plane!r}: expected 'grid' or 'cdt'"
+            f"image_plane={image_plane!r}: expected 'grid', 'cdt', or "
+            "'hybrid'"
         )
-    if audio_plane not in ("window", "cdt"):
+    if audio_plane not in ("window", "cdt", "hybrid"):
         raise ValueError(
-            f"audio_plane={audio_plane!r}: expected 'window' or 'cdt'"
+            f"audio_plane={audio_plane!r}: expected 'window', 'cdt', "
+            "or 'hybrid'"
         )
     toks = video_frame_token_text(batch, frames=video_frames)
     if audio_plane == "window":
@@ -923,16 +944,29 @@ def media_winnow_fps(
         wfps = wfps.dropDuplicates(["media_id", "fp"])
     if audio_plane == "cdt":
         wfps = wfps.unionByName(audio_cdt_fingerprints(batch))
-    if image_plane == "cdt":
-        # one-decode path: the shared relation carries the anchors
-        # when built with include_cdt=True; otherwise the fps plane
-        # pays its own Arrow pass (documented mode cost)
-        cdt_decoded = (
-            image_decoded
-            if image_decoded is not None and "cdt" in image_decoded.columns
-            else None
+    elif audio_plane == "hybrid":
+        # anchors + per-clip low-entropy window fallback; the window
+        # tokens ride the gate's shared phased decode, the anchors and
+        # the density decision share one Arrow pass
+        wfps = wfps.unionByName(
+            audio_hybrid_fingerprints(
+                batch, phases=phases, windows=audio_windows
+            )
         )
+    # one-decode path (cdt/hybrid): the shared relation carries the
+    # anchors when built with include_cdt=True; otherwise the fps
+    # plane pays its own Arrow pass (documented mode cost)
+    cdt_decoded = (
+        image_decoded
+        if image_decoded is not None and "cdt" in image_decoded.columns
+        else None
+    )
+    if image_plane == "cdt":
         ifps = image_cdt_fingerprints(batch, decoded=cdt_decoded)
+    elif image_plane == "hybrid":
+        ifps = image_hybrid_fingerprints(
+            batch, phases=phases, decoded=cdt_decoded
+        )
     else:
         ifps = image_tile_fingerprints(
             batch, decoded=image_decoded, phases=phases

@@ -1110,3 +1110,121 @@ def test_any_media_cdt_gate_closes_arbitrary_offset_audio_excerpt(
     ingest_any_media_batch(pick(0), store2, excerpt_tau=0.8,
                            excerpt_audio_plane="cdt")
     assert _stored_ids(spark, store2) == {1, 0}
+
+def test_any_media_hybrid_gate_low_entropy_fallback(spark, tmp_path):
+    """excerpt_image_plane/audio_plane='hybrid' (round 13) closes the
+    round-12 honest finding at the FULL gate: LOW-ENTROPY content
+    collapses the CDT anchor set, so pure cdt mode admits even
+    lattice-ALIGNED crops/excerpts of such items when the dHash
+    signature plane is blind too. The planted image pair makes all
+    three planes' roles explicit: a two-region host (descending ramp
+    top half, ascending bottom) and its tile-aligned bottom-half crop
+    sit at dHash Hamming 32 (band gate blind — same-direction ramps
+    collide at 0, which is why the plain gradient fixture's crop is
+    caught by dHash instead), have 6 and 0 distinct anchors (cdt
+    excerpt tier blind), and share all 4 of the crop's grid fps
+    (hybrid fallback catches). The audio silence pair is blind-gate
+    admitted under cdt and rejected under hybrid the same way. The
+    checked hybrid fixtures flow through the full gate with the
+    oracled twin's exact decisions; _GATE_MODE covers the new mode
+    string; directionality holds."""
+    from pyspark.sql import functions as F
+
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+        checked_audio_hybrid_df,
+        checked_image_hybrid_df,
+    )
+    from hridaya_steam_market_tracker_spark.streaming.media_ingest import (
+        ingest_any_media_batch,
+    )
+
+    _, encode = _pixel_codec()
+
+    def png_of(vals, ww, hh):
+        rgb = bytes(p for row in vals for p in row for _ in range(3))
+        return bytearray(encode(ww, hh, rgb, "png"))
+
+    host = [[(255 - x) if y < 24 else x for x in range(64)]
+            for y in range(48)]
+    crop = [[x + 16 for x in range(32)] for y in range(24)]
+    two_region = spark.createDataFrame(
+        [(3100, "image", "png", png_of(host, 64, 48), None, None, None),
+         (3101, "image", "png", png_of(crop, 32, 24), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    aud = checked_audio_hybrid_df(spark).withColumn(
+        "media_id", F.col("media_id") + 2000
+    )
+    img = checked_image_hybrid_df(spark).withColumn(
+        "media_id", F.col("media_id") + 3000
+    )
+    mixed = aud.unionByName(img).unionByName(two_region)
+
+    def pick(*ids):
+        return mixed.filter(mixed["media_id"].isin(list(ids)))
+
+    # blindness control at the FULL gate: under pure cdt mode the
+    # two-region ALIGNED crop and the silence ALIGNED excerpt are both
+    # ADMITTED (band plane blind by Hamming, cdt excerpt plane blind
+    # by anchor collapse)
+    blind = str(tmp_path / "blind")
+    ingest_any_media_batch(pick(2002, 3100), blind, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt",
+                           excerpt_audio_plane="cdt")
+    ingest_any_media_batch(pick(2003, 3101), blind, excerpt_tau=0.8,
+                           excerpt_image_plane="cdt",
+                           excerpt_audio_plane="cdt")
+    assert _stored_ids(spark, blind) == {2002, 3100, 2003, 3101}
+
+    # hybrid: both rejected through the per-item fallback planes
+    store = str(tmp_path / "hybrid")
+    ingest_any_media_batch(pick(2002, 3100), store, excerpt_tau=0.8,
+                           excerpt_image_plane="hybrid",
+                           excerpt_audio_plane="hybrid")
+    ingest_any_media_batch(pick(2003, 3101), store, excerpt_tau=0.8,
+                           excerpt_image_plane="hybrid",
+                           excerpt_audio_plane="hybrid")
+    assert _stored_ids(spark, store) == {2002, 3100}
+    with open(os.path.join(store, "_GATE_MODE")) as f:
+        assert f.read() == "excerpt:image=hybrid:audio=hybrid"
+
+    # lifetime contract: the hybrid store refuses a cdt batch
+    with pytest.raises(ValueError, match="mixed-mode"):
+        ingest_any_media_batch(pick(3006), store, excerpt_tau=0.8,
+                               excerpt_image_plane="cdt",
+                               excerpt_audio_plane="cdt")
+
+    # the checked fixtures through the full hybrid gate: content
+    # crop/excerpt keep their any-offset CDT rejections; blobs and
+    # unrelated hosts admit. The gradient OFF-lattice crop 3004 — the
+    # excerpt-TIER residual the oracled twin pins as admitted — is
+    # band-rejected at the full gate (every monotone-ascending ramp
+    # dHashes to all-zero bits, so it sits at Hamming 0 from its
+    # host): the layered gate's signature plane covering exactly the
+    # wholesale low-entropy re-upload class the hybrid docstring
+    # promises it to.
+    full = str(tmp_path / "full")
+    ingest_any_media_batch(pick(2000, 3000, 3002), full,
+                           excerpt_tau=0.8,
+                           excerpt_image_plane="hybrid",
+                           excerpt_audio_plane="hybrid")
+    ingest_any_media_batch(pick(2001, 2005, 3001, 3004, 3005, 3006),
+                           full, excerpt_tau=0.8,
+                           excerpt_image_plane="hybrid",
+                           excerpt_audio_plane="hybrid")
+    assert _stored_ids(spark, full) == {
+        2000, 3000, 3002, 2005, 3005, 3006,
+    }
+
+    # directionality: low-entropy crop stored first, host admitted
+    # (most of the host's grid fps are new)
+    store2 = str(tmp_path / "dir")
+    ingest_any_media_batch(pick(3101), store2, excerpt_tau=0.8,
+                           excerpt_image_plane="hybrid",
+                           excerpt_audio_plane="hybrid")
+    ingest_any_media_batch(pick(3100), store2, excerpt_tau=0.8,
+                           excerpt_image_plane="hybrid",
+                           excerpt_audio_plane="hybrid")
+    assert _stored_ids(spark, store2) == {3101, 3100}

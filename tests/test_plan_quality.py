@@ -545,6 +545,21 @@ def test_sample_first_names_all_registered(registry):
         ("multimodal_audio_cdt_anchors_checked", 0),
         ("multimodal_image_cdt_crop_pairs", 9),
         ("multimodal_audio_cdt_excerpt_pairs", 9),
+        # round-13 hybrid planes: density is one count aggregate over
+        # the anchor scan + the dims join (image: 3 — count, dims
+        # join, audio: 2); the hybrid pairs keep the cdt pairs' df-
+        # capped containment shape plus the low-entropy semi-join
+        # riding the same exchanges; the decision twin matches the
+        # cdt twin's 12 (lazy fps-stage checkpoints truncate the
+        # fan-out at runtime, invisible to the cold plan)
+        ("multimodal_image_cdt_density_checked", 3),
+        ("multimodal_audio_cdt_density_checked", 2),
+        # the round-13 I_PCM tier is a pure Arrow scan-stage decode:
+        # container walk + bitstream parse + PCM tokens, zero exchanges
+        ("multimodal_avc1_ipcm_decode_checked", 0),
+        ("multimodal_image_hybrid_crop_pairs", 9),
+        ("multimodal_audio_hybrid_excerpt_pairs", 9),
+        ("media_hybrid_admission_twin", 12),
         # CDC boundary detection is scan-stage array algebra: the
         # chunk relation leaves the scan with ZERO exchanges
         ("cdc_chunks_checked", 0),
@@ -687,3 +702,30 @@ def test_ccnet_buckets_no_whole_source_sort(spark, registry):
         else:
             raise AssertionError(f"unexpected Window partitioning: {ln}")
     assert saw_source_only and saw_tie_group
+
+
+def test_ccnet_buckets_approx_no_sort_one_shuffle(spark, registry):
+    """The corpus tier (`ccnet_buckets_approx`, registered round 13)
+    must keep its advertised shape: NO per-source sort of ANY width —
+    no Window, no Sort, no ntile — just the mergeable
+    percentile_approx aggregate and the broadcast cutoff join; the
+    only non-broadcast exchange is the sketch aggregate's partial ->
+    final shuffle (the scoring subtree sits under a lazy
+    localCheckpoint, so the cold plan shows its one exchange too)."""
+    import re
+
+    plan = _plan(registry, spark, "ccnet_buckets_approx")
+    # NB: "ntile" alone would false-positive on perce-NTILE_approx —
+    # match the window function call shape only
+    assert not re.search(r"(?<![a-z_])ntile\(", plan)
+    assert not re.search(r"\bWindow\b", plan)
+    assert not re.search(r"\bSort\b", plan)
+    assert "BroadcastHashJoin" in plan
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "Reused" not in line
+    )
+    assert shuffles <= 1

@@ -305,6 +305,28 @@ def flagged_queries() -> dict[str, str]:
     return out
 
 
+_COSTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "query_costs.json")
+_DEFAULT_COST = 10.0  # median-ish; unknown queries sort mid-tier
+
+
+def query_costs() -> dict[str, float]:
+    """Measured per-query drive cost in seconds (sf0.01, the driver's
+    correctness scale), from ``tools/query_costs.json`` — generated by
+    parsing a full driver-contract drive log (see the file's
+    ``_provenance`` key) and refreshed whenever a full drive runs.
+    Absolute values are contention-noisy; only the ORDERING is
+    consumed (cheap-first within a priority tier), for which run-to-run
+    rank stability is plenty. Missing file -> empty (cost ordering
+    degrades to the alphabetic tiebreak)."""
+    try:
+        with open(_COSTS_PATH) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {k: float(v) for k, v in data.items() if not k.startswith("_")}
+
+
 def suggested_head(cap: int = 50) -> list[str]:
     """Flagged queries first — never-driver-sampled ahead of stalest
     green round — then unflagged stalest greens, truncated to cap.
@@ -320,22 +342,34 @@ def suggested_head(cap: int = 50) -> list[str]:
     failure in the raw record; the real value signal for each lives in
     its oracled ``*_checked`` twin and pytest, so a head slot spent on
     one buys almost nothing and costs record hygiene (round-10 verdict
-    ask #7: zero err rows in the sampled head)."""
+    ask #7: zero err rows in the sampled head).
+
+    Round 13 (the r12 empty-record lesson): WITHIN each priority tier
+    the tiebreak is measured per-query cost, CHEAP FIRST
+    (`query_costs`), so a time-budgeted or dying driver run records as
+    many rows as possible before any cutoff — CORRECTNESS_r12 came
+    back `{}` and a cost-blind head would have spent its first minutes
+    on the most expensive twins. The tier structure (what NEEDS
+    sampling) is untouched; cost only orders equals."""
     from hridaya_steam_market_tracker_spark.queries import load_all
 
     registry = load_all()
     latest = latest_green_round()
     flagged = flagged_queries()
+    costs = query_costs()
 
     def rows_only(n: str) -> bool:
         return registry[n].oracle is None
 
+    def cost(n: str) -> float:
+        return costs.get(n, _DEFAULT_COST)
+
     flagged_order = sorted(
-        flagged, key=lambda n: (rows_only(n), latest.get(n, -1), n)
+        flagged, key=lambda n: (rows_only(n), latest.get(n, -1), cost(n), n)
     )
     rest = sorted(
         (n for n in registry if n not in flagged),
-        key=lambda n: (rows_only(n), latest.get(n, 0), n),
+        key=lambda n: (rows_only(n), latest.get(n, 0), cost(n), n),
     )
     merged = [n for n in flagged_order + rest if not rows_only(n)] + [
         n for n in flagged_order + rest if rows_only(n)

@@ -700,12 +700,16 @@ def main() -> None:
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument(
-        "--image-plane", default="grid", choices=("grid", "cdt"),
+        "--image-plane", default="grid",
+        choices=("grid", "cdt", "hybrid"),
         help="round-12 content-defined image plane for the any-media "
              "excerpt rehearsal (constant index mass, no offset lattice)")
     ap.add_argument(
-        "--audio-plane", default="window", choices=("window", "cdt"),
-        help="round-12 content-defined audio plane (1-D twin)")
+        "--audio-plane", default="window",
+        choices=("window", "cdt", "hybrid"),
+        help="round-12 content-defined audio plane (1-D twin); "
+             "'hybrid' (round 13) adds the per-item low-entropy "
+             "grid/window fallback on both planes")
     ap.add_argument(
         "--excerpt-phases", type=int, default=1,
         help="streaming-any-media: run the gate phase-aware (round 11) "
