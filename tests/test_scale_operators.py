@@ -2899,3 +2899,47 @@ def test_minhash_decontaminate_catches_paraphrase_overlap(spark):
         tri_set(para) | tri_set(base)
     )
     assert abs(got[0]["jaccard"] - round(j, 6)) < 1e-9
+
+
+def test_image_cdt_density_tiny_image_edge(spark):
+    """Sub-dHash-grid images (the round-13 density docstring's stated
+    degradation): width/height ride the shared decode's SIGNATURE
+    stage, so a decodable image smaller than the 9x8 dHash grid has
+    NULL dims -> expected_anchors coalesces to 0 -> threshold
+    greatest(1, 0) = 1, and with no (or an unlucky-mask) anchor the
+    image classifies low_entropy and rides the grid fallback — where
+    an 8x8 image still owns exactly one tile fp. The hybrid plane
+    therefore never silently drops tiny decodable images."""
+    from hridaya_steam_market_tracker_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _pixel_codec,
+        image_cdt_anchor_density,
+        image_hybrid_fingerprints,
+    )
+
+    _, encode = _pixel_codec()
+
+    def png_of(vals, ww, hh):
+        rgb = bytes(p for row in vals for p in row for _ in range(3))
+        return bytearray(encode(ww, hh, rgb, "png"))
+
+    tiny8 = [[(x * x * 3 + y * y * 7 + x * y) % 251 for x in range(8)]
+             for y in range(8)]
+    tiny7 = [[(x + y) % 251 for x in range(7)] for y in range(7)]
+    media = spark.createDataFrame(
+        [(0, "image", "png", png_of(tiny8, 8, 8), None, None, None),
+         (1, "image", "png", png_of(tiny7, 7, 7), None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    dens = {r["media_id"]: r for r in image_cdt_anchor_density(media).collect()}
+    for mid in (0, 1):
+        r = dens[mid]
+        assert r["decode_ok"] and r["width"] is None
+        assert r["expected_anchors"] == 0
+    fps = image_hybrid_fingerprints(media).groupBy("media_id").count()
+    counts = {r["media_id"]: r["count"] for r in fps.collect()}
+    # the 8x8 image fingerprints via its single grid tile (plus any
+    # lucky anchor); the 7x7 one genuinely has nothing to index and is
+    # the presence-row case the gate's left join covers
+    assert counts.get(0, 0) >= 1
+    assert 1 not in counts
