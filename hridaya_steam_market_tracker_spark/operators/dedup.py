@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
 
-from hridaya_steam_market_tracker_spark.operators.text import tokens
+from hridaya_steam_market_tracker_spark.operators.text import bind1, tokens
 
 # 60-bit hash from a salted md5 — portable across engines:
 # spark: conv(substr(md5(s),1,15),16,10) ; duckdb: ('0x'||substr(md5(s),1,15))::BIGINT
@@ -40,16 +40,21 @@ def shingles(text: Column, n: int = 3) -> Column:
 
     Documents shorter than n tokens produce no shingles (Spark's
     sequence(1, 0) would count DOWN, so the short case is guarded).
-    """
-    toks = tokens(F.lower(text))
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    The token array is bound ONCE per row via ``bind1`` — inlining it
+    into the per-position lambda re-tokenizes the document at every
+    position (no CSE inside lambdas), which measured ~10x slower on the
+    sf0.1 corpus. ``array_join(slice(...))`` emits the identical string
+    as the previous per-token ``concat_ws`` (tokens are non-null)."""
+
+    def build(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind1(tokens(F.lower(text)), build)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -722,19 +727,22 @@ def positional_grams(
     position, which is what span-level (substring) dedup needs.
     Documents shorter than n tokens produce no rows. Scan-stage array
     algebra + one explode; no shuffle."""
-    toks = tokens(F.lower(F.col(text_col)))
-    entries = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.struct(
-            (i - 1).cast("long").alias("pos"),
-            F.concat_ws(
-                " ", *[F.element_at(toks, (i + k).cast("int")) for k in range(n)]
-            ).alias("gram"),
-        ),
-    )
-    guarded = F.when(F.size(toks) >= n, entries).otherwise(
-        F.array().cast("array<struct<pos:bigint,gram:string>>")
-    )
+    def entries(toks: Column) -> Column:
+        es = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+            ),
+        )
+        return F.when(F.size(toks) >= n, es).otherwise(
+            F.array().cast("array<struct<pos:bigint,gram:string>>")
+        )
+
+    # bind1: tokenize ONCE per row — the inlined token expression was
+    # re-evaluated per position inside the transform lambda (no CSE in
+    # lambdas), making the explode O(len^2) per document.
+    guarded = bind1(tokens(F.lower(F.col(text_col))), entries)
     return (
         _spread(df, id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(guarded).alias("e"))

@@ -74,16 +74,43 @@ def dsir_importance_weights(
     selected) — weight is the exact BIGINT micro-nat sum; selected is
     the deterministic sign gate.
     """
+    # The explicit isNotNull is a no-op on the data (md5 of a non-null
+    # gram) but makes every consumer branch's subtree canonically
+    # IDENTICAL: the two join branches get `isnotnull(bucket)` inferred
+    # from their equi-join key while the totals branch would not,
+    # which is enough of a difference to defeat exchange reuse and
+    # re-run the whole explode for totals.
     bi = _bigram_rows(docs, text_col, id_col).withColumn(
         "bucket", _bucket(F.col("gram")) % buckets
-    )
+    ).filter(F.col("bucket").isNotNull())
     is_target = F.col("source").isin(*target_sources)
-    counts = bi.groupBy("bucket").agg(
-        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("ct"),
-        F.sum(F.when(is_target, 0).otherwise(1)).cast("long").alias("cr"),
+    # ONE pass over the bigram explode (round-13 optimization): both the
+    # bucket model and the per-doc scoring counts derive from the same
+    # (doc, bucket) aggregation, so the two consumers share an identical
+    # first exchange and Spark's exchange reuse computes the md5-heavy
+    # bigram explode ONCE instead of three times (model, totals and
+    # scoring each re-ran the full scan in the old shape). The target
+    # flag is deliberately an AGGREGATE RESULT (max over the per-doc
+    # constant), not a grouping key: a plain `source` column filter
+    # would be pushed below the aggregation into the scoring branch's
+    # scan, making the two subtrees differ and defeating exchange
+    # reuse. Bucket counts are exact sums of the per-doc c's.
+    docb_all = bi.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.max(is_target.cast("int")).alias("__t"),
     )
-    totals = counts.agg(
-        F.sum("ct").cast("long").alias("nt"), F.sum("cr").cast("long").alias("nr")
+    tflag = F.col("__t") == 1
+    counts = docb_all.groupBy("bucket").agg(
+        F.sum(F.when(tflag, F.col("c")).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(tflag, 0).otherwise(F.col("c"))).cast("long").alias("cr"),
+    )
+    # totals over docb_all, NOT over counts: a totals branch re-deriving
+    # counts' lineage planned as its own (non-reused) subtree and re-ran
+    # the explode a second time; as a direct third consumer of the same
+    # (doc, bucket) aggregation it rides the one reused exchange.
+    totals = docb_all.agg(
+        F.sum(F.when(tflag, F.col("c")).otherwise(0)).cast("long").alias("nt"),
+        F.sum(F.when(tflag, 0).otherwise(F.col("c"))).cast("long").alias("nr"),
     )
     lr_micro = F.round(
         (
@@ -98,11 +125,7 @@ def dsir_importance_weights(
         .crossJoin(F.broadcast(totals))
         .select("bucket", lr_micro.alias("lr_micro"))
     )
-    docb = (
-        bi.filter(~is_target)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    docb = docb_all.filter(~tflag).select(id_col, "bucket", "c")
     scored = (
         docb.join(F.broadcast(model), "bucket")
         .groupBy(id_col)

@@ -116,6 +116,22 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), WS_SPLIT_RE), lambda t: t != "")
 
 
+def bind1(value: Column, body) -> Column:
+    """``let`` for Column expressions: evaluate ``value`` exactly once
+    per row and pass it to ``body`` as a bound lambda variable.
+
+    Catalyst performs no common-subexpression elimination inside
+    higher-order-function lambdas, so an expression referenced inside a
+    per-element lambda is RE-EVALUATED for every element — e.g. a
+    tokenizer inlined into an n-gram ``transform`` re-splits the whole
+    document once per position, O(len^2) per row (measured 10x on the
+    sf0.1 corpus). Binding the value as a single-element array's
+    ``transform`` variable pins one evaluation per row; lambda-variable
+    references are cheap slot lookups. Results are bit-identical to the
+    inlined form."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def token_count_ws(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -496,22 +512,26 @@ def source_prefix_boilerplate(
     signal here, not a shuffle bomb: at most max_len rows per doc)."""
     from pyspark.sql import Window
 
-    toks = tokens(F.lower(F.col(text_col)))
-    entries = F.transform(
-        F.sequence(F.lit(1), F.least(F.lit(max_len), F.size(toks))),
-        lambda L: F.struct(
-            L.cast("int").alias("L"),
-            F.array_join(F.slice(toks, 1, L), " ").alias("prefix"),
-        ),
-    )
+    # bind1: tokenize ONCE per row — the inlined token expression was
+    # re-evaluated for every prefix length inside the transform lambda
+    # (no CSE in lambdas), re-splitting each document up to max_len
+    # times.
+    def entries(toks: Column) -> Column:
+        es = F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_len), F.size(toks))),
+            lambda L: F.struct(
+                L.cast("int").alias("L"),
+                F.array_join(F.slice(toks, 1, L), " ").alias("prefix"),
+            ),
+        )
+        return F.when(F.size(toks) >= 1, es).otherwise(
+            F.array().cast("array<struct<L:int,prefix:string>>")
+        )
+
     pre = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(source_col).alias("source"),
-        F.explode(
-            F.when(F.size(toks) >= 1, entries).otherwise(
-                F.array().cast("array<struct<L:int,prefix:string>>")
-            )
-        ).alias("e"),
+        F.explode(bind1(tokens(F.lower(F.col(text_col))), entries)).alias("e"),
     ).select("doc_id", "source", "e.L", "e.prefix")
     counts = pre.groupBy("source", "L", "prefix").agg(
         F.count(F.lit(1)).alias("cnt")
