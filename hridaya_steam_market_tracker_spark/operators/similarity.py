@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
+from hridaya_steam_market_tracker_spark.operators.text import bind1
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -89,16 +90,29 @@ def cosine_topk(
     broadcast). Output: (query_id, vec_id, cos_sim, rank)."""
     from pyspark.sql import Window
 
+    # Squared norms are precomputed ONCE PER VECTOR before the pair
+    # join instead of re-folding inside cosine() per pair row (each
+    # corpus vector meets every query): cos = dot / sqrt(nv * nq) is
+    # bit-identical — the same _norm2 fold over the same array, only
+    # evaluated earlier — so oracle value-hashes are unchanged.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm2(F.col(vec_col)).alias("__nq"),
     )
-    joined = embeddings.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col("query_id")
+    joined = (
+        embeddings.withColumn("__nv", _norm2(F.col(vec_col)))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
     )
     scored = joined.select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(F.col("__nv") * F.col("__nq")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -137,23 +151,30 @@ def cosine_self_join(
         [(x, y) for x in range(n_blocks) for y in range(x, n_blocks)],
         "bl int, br int",
     )
+    # Squared norms precomputed per vector BEFORE tiling: each vector is
+    # replicated across a whole tile row/column and then meets n/B
+    # counterparts, so folding _norm2 inside cosine() per pair row costs
+    # 2 of every 3 folds for values that never change. dot/sqrt(na*nb)
+    # is bit-identical to cosine() (same folds, evaluated earlier).
     a = embeddings.select(
         F.col(id_col).alias("ia"),
         F.col(vec_col).alias("va"),
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("ba"),
+        _norm2(F.col(vec_col)).alias("__na"),
     )
     b = embeddings.select(
         F.col(id_col).alias("ib"),
         F.col(vec_col).alias("vb"),
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("bb"),
+        _norm2(F.col(vec_col)).alias("__nb"),
     )
     # Replicate each row across its tile row/column (broadcast of the
     # tiny grid), then ONE shuffle joins matching tiles.
     a_tiles = a.join(F.broadcast(grid), a["ba"] == grid["bl"]).select(
-        "ia", "va", "bl", "br"
+        "ia", "va", "__na", "bl", "br"
     )
     b_tiles = b.join(F.broadcast(grid), b["bb"] == grid["br"]).select(
-        "ib", "vb", "bl", "br"
+        "ib", "vb", "__nb", "bl", "br"
     )
     tiles = a_tiles.join(b_tiles, ["bl", "br"])
     # Off-diagonal tiles see each unordered pair once (a holds the lower
@@ -161,7 +182,7 @@ def cosine_self_join(
     pairs = tiles.filter(
         (F.col("bl") != F.col("br")) | (F.col("ia") < F.col("ib"))
     )
-    c = cosine(F.col("va"), F.col("vb"))
+    c = _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("__na") * F.col("__nb"))
     return (
         pairs.filter(c >= threshold)
         .select(
@@ -257,9 +278,18 @@ def lsh_topk(
             dots = F.transform(
                 F.element_at(F.col("hp"), t + 1), lambda pl: _dot(vec, pl)
             )
+            # bind1: _bucket_from_dots references the dots array once
+            # per plane; inlined, each reference re-ran the whole
+            # per-table dot-product transform (no CSE across repeated
+            # subtrees in interpreted HOF expressions) — binding the
+            # array evaluates the planes_per_table fused dot products
+            # exactly once per (row, table).
             per_table.append(
                 F.struct(
-                    F.lit(t).alias("tbl"), _bucket_from_dots(dots, planes_per_table).alias("bucket")
+                    F.lit(t).alias("tbl"),
+                    bind1(
+                        dots, lambda d: _bucket_from_dots(d, planes_per_table)
+                    ).alias("bucket"),
                 )
             )
         return F.array(*per_table)
@@ -268,15 +298,23 @@ def lsh_topk(
         _widen_small_scan(embeddings)
         .crossJoin(F.broadcast(planes_df))
         .select(
-            F.col(id_col), F.col(vec_col), F.explode(buckets(F.col(vec_col))).alias("bb")
+            F.col(id_col),
+            F.col(vec_col),
+            _norm2(F.col(vec_col)).alias("__nv"),
+            F.explode(buckets(F.col(vec_col))).alias("bb"),
         )
-        .select(id_col, vec_col, "bb.tbl", "bb.bucket")
+        .select(id_col, vec_col, "__nv", "bb.tbl", "bb.bucket")
     )
     q_b = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .crossJoin(F.broadcast(planes_df))
-        .select("query_id", "q_vec", F.explode(buckets(F.col("q_vec"))).alias("bb"))
-        .select("query_id", "q_vec", "bb.tbl", "bb.bucket")
+        .select(
+            "query_id",
+            "q_vec",
+            _norm2(F.col("q_vec")).alias("__nq"),
+            F.explode(buckets(F.col("q_vec"))).alias("bb"),
+        )
+        .select("query_id", "q_vec", "__nq", "bb.tbl", "bb.bucket")
     )
     # Score BEFORE deduplicating: cosine is deterministic, so a candidate
     # pair seen in several (table[, probe]) buckets scores identically
@@ -292,7 +330,14 @@ def lsh_topk(
         .select(
             "query_id",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+            # norms precomputed per vector on each side before the
+            # bucket join (bit-identical to cosine(): same folds,
+            # evaluated once per vector instead of once per candidate)
+            F.round(
+                _dot(F.col(vec_col), F.col("q_vec"))
+                / F.sqrt(F.col("__nv") * F.col("__nq")),
+                6,
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", id_col])
     )
@@ -331,15 +376,23 @@ def lsh_multiprobe_topk(
     planes_df = _planes_hp_df(embeddings.sparkSession, tables, planes_per_table, dim)
 
     def bucket_structs(vec: Column, with_flips: bool) -> Column:
-        out = []
-        for t in range(tables):
+        def per_table(t: int) -> Column:
             dots = F.transform(
                 F.element_at(F.col("hp"), t + 1), lambda pl: _dot(vec, pl)
             )
-            bucket = _bucket_from_dots(dots, planes_per_table)
-            out.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket")))
-            if with_flips:
-                absd = F.transform(dots, lambda d: F.abs(d))
+
+            # bind1: every reference to `dots` below (one per plane for
+            # the bucket, plus the |dot| argmin for the flip) would
+            # otherwise re-run the whole per-table dot-product transform
+            # — no CSE across repeated subtrees in interpreted HOF
+            # expressions. Binding evaluates the fused dot products
+            # exactly once per (row, table).
+            def build(d: Column) -> Column:
+                bucket = _bucket_from_dots(d, planes_per_table)
+                own = F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+                if not with_flips:
+                    return F.array(own)
+                absd = F.transform(d, lambda x: F.abs(x))
                 flip = F.array_position(absd, F.array_min(absd)) - 1
                 # .otherwise(0): a NaN embedding component makes every dot
                 # NaN, array_min returns NULL, and flip matches no arm —
@@ -351,13 +404,17 @@ def lsh_multiprobe_topk(
                     [(flip == p, F.lit(1 << p).cast("long")) for p in range(1, planes_per_table)],
                     F.when(flip == 0, F.lit(1).cast("long")),
                 ).otherwise(F.lit(0).cast("long"))
-                out.append(
+                return F.array(
+                    own,
                     F.struct(
                         F.lit(t).alias("tbl"),
                         bucket.bitwiseXOR(flip_mask).alias("bucket"),
-                    )
+                    ),
                 )
-        return F.array(*out)
+
+            return bind1(dots, build)
+
+        return F.flatten(F.array(*[per_table(t) for t in range(tables)]))
 
     emb_b = (
         _widen_small_scan(embeddings)
@@ -365,9 +422,10 @@ def lsh_multiprobe_topk(
         .select(
             F.col(id_col),
             F.col(vec_col),
+            _norm2(F.col(vec_col)).alias("__nv"),
             F.explode(bucket_structs(F.col(vec_col), with_flips=False)).alias("bb"),
         )
-        .select(id_col, vec_col, "bb.tbl", "bb.bucket")
+        .select(id_col, vec_col, "__nv", "bb.tbl", "bb.bucket")
     )
     q_b = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -375,9 +433,10 @@ def lsh_multiprobe_topk(
         .select(
             "query_id",
             "q_vec",
+            _norm2(F.col("q_vec")).alias("__nq"),
             F.explode(bucket_structs(F.col("q_vec"), with_flips=True)).alias("bb"),
         )
-        .select("query_id", "q_vec", "bb.tbl", "bb.bucket")
+        .select("query_id", "q_vec", "__nq", "bb.tbl", "bb.bucket")
     )
     # Score BEFORE deduplicating: cosine is deterministic, so a candidate
     # pair seen in several (table[, probe]) buckets scores identically
@@ -393,7 +452,14 @@ def lsh_multiprobe_topk(
         .select(
             "query_id",
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+            # norms precomputed per vector on each side before the
+            # bucket join (bit-identical to cosine(): same folds,
+            # evaluated once per vector instead of once per candidate)
+            F.round(
+                _dot(F.col(vec_col), F.col("q_vec"))
+                / F.sqrt(F.col("__nv") * F.col("__nq")),
+                6,
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", id_col])
     )
@@ -472,12 +538,26 @@ def assign_cells(
     """Nearest-centroid cell per vector; broadcast argmin. ``metric`` is
     "cosine" (max similarity — IVF) or "l2" (min distance — PQ)."""
     if metric == "cosine":
-        score = cosine(F.col(vec_col), F.col("centroid"))
+        # norms once per vector / per centroid, not per (vector,
+        # centroid) row (bit-identical to cosine(): same folds)
+        score = _dot(F.col(vec_col), F.col("centroid")) / F.sqrt(
+            F.col("__nv") * F.col("__nc")
+        )
         order = F.col("__sim").desc()
+        scored = (
+            embeddings.withColumn("__nv", _norm2(F.col(vec_col)))
+            .crossJoin(
+                F.broadcast(centroids.withColumn("__nc", _norm2(F.col("centroid"))))
+            )
+            .withColumn("__sim", score)
+            .drop("__nv", "__nc")
+        )
     else:
         score = l2sq(F.col(vec_col), F.col("centroid"))
         order = F.col("__sim").asc()
-    scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn("__sim", score)
+        scored = embeddings.crossJoin(F.broadcast(centroids)).withColumn(
+            "__sim", score
+        )
     w = Window.partitionBy(id_col).orderBy(order, F.col("cell"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -512,13 +592,20 @@ def ivf_topk(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "q_vec", "cell")
     )
-    cands = inverted.join(F.broadcast(probes), "cell").filter(
-        F.col(id_col) != F.col("query_id")
+    cands = (
+        inverted.withColumn("__nv", _norm2(F.col(vec_col)))
+        .join(F.broadcast(probes.withColumn("__nq", _norm2(F.col("q_vec")))), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
     )
+    # norms once per vector/probe, not per candidate (bit-identical)
     scored = cands.select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(F.col("__nv") * F.col("__nq")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -669,13 +756,19 @@ def ivf_pretrained_topk(
         .select("query_id", "q_vec", cell_col)
     )
     cands = (
-        embeddings.join(F.broadcast(probes), cell_col)
+        embeddings.withColumn("__nv", _norm2(F.col(vec_col)))
+        .join(F.broadcast(probes.withColumn("__nq", _norm2(F.col("q_vec")))), cell_col)
         .filter(F.col(id_col) != F.col("query_id"))
     )
+    # norms once per vector/probe, not per candidate (bit-identical)
     scored = cands.select(
         "query_id",
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        F.round(
+            _dot(F.col(vec_col), F.col("q_vec"))
+            / F.sqrt(F.col("__nv") * F.col("__nq")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -881,9 +974,11 @@ def sign_cells(
         [(hp,)], "hp array<array<double>>"
     )
     dots = F.transform(F.col("hp"), lambda pl: _dot(F.col(vec_col), pl))
+    # bind1: _bucket_from_dots references dots once per plane; inlined,
+    # each reference re-ran all `planes` fused dot products per row.
     return (
         embeddings.crossJoin(F.broadcast(planes_df))
-        .withColumn("cell", _bucket_from_dots(dots, planes))
+        .withColumn("cell", bind1(dots, lambda d: _bucket_from_dots(d, planes)))
         .drop("hp")
     )
 
@@ -916,13 +1011,21 @@ def semantic_dedup_pairs(
     Returns (cell, i, j, cos_sim) with i < j.
     """
     cells = sign_cells(embeddings, planes, dim, seed, id_col, vec_col)
+    # Norms precomputed per vector before the cell join (bit-identical
+    # to cosine(): same folds, once per vector instead of per pair).
     a = cells.select(
-        F.col("cell"), F.col(id_col).alias("i"), F.col(vec_col).alias("va")
+        F.col("cell"),
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("va"),
+        _norm2(F.col(vec_col)).alias("__na"),
     )
     b = cells.select(
-        F.col("cell"), F.col(id_col).alias("j"), F.col(vec_col).alias("vb")
+        F.col("cell"),
+        F.col(id_col).alias("j"),
+        F.col(vec_col).alias("vb"),
+        _norm2(F.col(vec_col)).alias("__nb"),
     )
-    c = cosine(F.col("va"), F.col("vb"))
+    c = _dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("__na") * F.col("__nb"))
     return (
         a.join(b, "cell")
         .filter(F.col("i") < F.col("j"))
