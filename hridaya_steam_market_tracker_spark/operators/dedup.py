@@ -1069,20 +1069,33 @@ def content_defined_chunks(
         lambda s: s["h"] % divisor == 0,
     )
     ends = F.transform(ends_raw, lambda s: s["i"])
-    all_ends = F.when(
-        (F.size(ends) > 0) & (F.element_at(ends, -1) == n), ends
-    ).otherwise(F.concat(ends, F.array(n)))
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(all_ends)),
-        lambda m: F.struct(
-            (m - 1).cast("int").alias("chunk_idx"),
-            F.when(m == 1, F.lit(1))
-            .otherwise(F.element_at(all_ends, (m - 1).cast("int")) + 1)
-            .cast("int")
-            .alias("start_pos"),
-            F.element_at(all_ends, m.cast("int")).cast("int").alias("end_pos"),
-        ),
-    )
+
+    # Nested bind1 (round-13): `all_ends` referenced `ends` three times
+    # and the chunk transform referenced `all_ends` per chunk — each
+    # reference re-ran the ENTIRE O(len * window) rolling-hash sweep,
+    # making chunking O(len^2 / divisor) per document (measured 21 s at
+    # sf0.01 for the checked query). Binding evaluates the sweep once
+    # per row; boundaries and hashes are bit-identical.
+    def chunk_structs(e: Column) -> Column:
+        all_ends = F.when(
+            (F.size(e) > 0) & (F.element_at(e, -1) == n), e
+        ).otherwise(F.concat(e, F.array(n)))
+        return bind1(
+            all_ends,
+            lambda ae: F.transform(
+                F.sequence(F.lit(1), F.size(ae)),
+                lambda m: F.struct(
+                    (m - 1).cast("int").alias("chunk_idx"),
+                    F.when(m == 1, F.lit(1))
+                    .otherwise(F.element_at(ae, (m - 1).cast("int")) + 1)
+                    .cast("int")
+                    .alias("start_pos"),
+                    F.element_at(ae, m.cast("int")).cast("int").alias("end_pos"),
+                ),
+            ),
+        )
+
+    chunks = bind1(ends, chunk_structs)
     exploded = (
         df.filter(n > 0)
         .withColumn("__codes", codes)

@@ -74,13 +74,25 @@ def dsir_importance_weights(
     selected) — weight is the exact BIGINT micro-nat sum; selected is
     the deterministic sign gate.
     """
+    from hridaya_steam_market_tracker_spark.operators.similarity import (
+        _widen_small_scan,
+    )
+
+    # _widen_small_scan: the md5-heavy explode now runs exactly once
+    # (see below), so on a single-file fixture scan it would serialize
+    # onto one task; the conditional ROUND-ROBIN widen parallelizes the
+    # map stage ahead of the shared exchange and is a no-op at real
+    # scale (round-robin, not doc-keyed, deliberately: a doc_id-keyed
+    # spread would satisfy the (doc, bucket) clustering and move the
+    # shared-subtree boundary BELOW the explode, making every consumer
+    # re-run it).
     # The explicit isNotNull is a no-op on the data (md5 of a non-null
     # gram) but makes every consumer branch's subtree canonically
     # IDENTICAL: the two join branches get `isnotnull(bucket)` inferred
     # from their equi-join key while the totals branch would not,
     # which is enough of a difference to defeat exchange reuse and
     # re-run the whole explode for totals.
-    bi = _bigram_rows(docs, text_col, id_col).withColumn(
+    bi = _bigram_rows(_widen_small_scan(docs), text_col, id_col).withColumn(
         "bucket", _bucket(F.col("gram")) % buckets
     ).filter(F.col("bucket").isNotNull())
     is_target = F.col("source").isin(*target_sources)

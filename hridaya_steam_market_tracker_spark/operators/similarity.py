@@ -661,19 +661,34 @@ def pq_train(
             "silently drop from codebooks and ADC distances"
         )
     dsub = dim // m
-    books = None
-    for s in range(m):
+
+    def train_one(s: int) -> DataFrame:
         sub = embeddings.select(
             F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sub")
         )
-        cb = kmeans_lite(
+        return kmeans_lite(
             sub, k=ksub, iters=iters, id_col=id_col, vec_col="sub", metric="l2"
         ).select(
             F.lit(s).alias("subspace"),
             F.col("cell").alias("code"),
             F.col("centroid"),
         )
-        books = cb if books is None else books.unionByName(cb)
+
+    # The m sub-space Lloyd runs are INDEPENDENT (each reads its own
+    # slice, trains its own codebook) but their per-round
+    # stage_checkpoints are eager, so a sequential loop serializes
+    # m * iters small jobs on the driver. Submitting them from a small
+    # thread pool overlaps the rounds across subspaces (Spark schedules
+    # concurrent jobs FIFO; later jobs back-fill idle slots) — each
+    # subspace's training plan, seeds and arithmetic are UNCHANGED, so
+    # the codebooks are identical to the sequential loop's.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        cbs = list(pool.map(train_one, range(m)))
+    books = cbs[0]
+    for cb in cbs[1:]:
+        books = books.unionByName(cb)
     return books
 
 

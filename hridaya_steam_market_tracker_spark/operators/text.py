@@ -137,8 +137,11 @@ def token_count_ws(text: Column) -> Column:
 
 
 def token_count_bpe_ish(text: Column) -> Column:
-    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct runs)."""
-    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+    """Count of BPE-ish pre-tokens (letter runs / digit runs / punct runs).
+
+    regexp_count instead of size(regexp_extract_all): the same match
+    count without materializing an array of every match string."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RE))
 
 
 def stopword_ratio(text: Column) -> Column:

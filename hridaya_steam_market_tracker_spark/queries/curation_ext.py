@@ -20,11 +20,11 @@ compute the same values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hridaya_steam_market_tracker_spark.operators import dedup as D
-from hridaya_steam_market_tracker_spark.operators.text import with_repetition_stats
+from hridaya_steam_market_tracker_spark.operators.text import bind1, with_repetition_stats
 from hridaya_steam_market_tracker_spark.queries import register
 from hridaya_steam_market_tracker_spark.tables import table
 
@@ -455,14 +455,20 @@ def chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(20.0)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(F.slice(words, i * 20 + 1, 20), " "),
-    )
+
+    # bind1: split ONCE per row — the word array inlined into the
+    # per-chunk lambda was re-split for every chunk (no CSE inside
+    # lambdas), making the chunking O(len^2/chunk).
+    def chunks_of(words: Column) -> Column:
+        n_chunks = F.ceil(F.size(words) / F.lit(20.0)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(words, i * 20 + 1, 20), " "),
+        )
+
     exploded = docs.select(
-        "doc_id", F.posexplode(chunks).alias("idx", "chunk")
+        "doc_id",
+        F.posexplode(bind1(F.split("text", " "), chunks_of)).alias("idx", "chunk"),
     )
     w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
     flagged = exploded.withColumn("rn", F.row_number().over(w))

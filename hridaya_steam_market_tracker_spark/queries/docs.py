@@ -9,12 +9,13 @@ row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hridaya_steam_market_tracker_spark.operators import dedup as D
 from hridaya_steam_market_tracker_spark.operators.text import (
     EN_STOPWORDS,
+    bind1,
     with_text_stats,
 )
 from hridaya_steam_market_tracker_spark.queries import register
@@ -768,15 +769,27 @@ def _hashed_doc_embeddings(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(0).cast("long"), F.lit(_HASH_DIM - 1).cast("long")),
         lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0).cast("long")),
     )
-    norm = F.sqrt(
-        F.aggregate(arr, F.lit(0.0), lambda acc, c: acc + (c * c).cast("double"))
-    )
-    emb = F.transform(
-        arr,
-        lambda c: F.when(norm > 0, F.round(c.cast("double") / norm, 6)).otherwise(
-            F.lit(0.0)
-        ),
-    )
+
+    # Nested bind1: the norm is an aggregate over the dense array, and
+    # referencing it inside the per-component lambda re-ran the whole
+    # fold (and the map-lookup transform under it) for every component
+    # — O(dim^2) map lookups per document. Bind the array, then the
+    # norm, once per row; values are bit-identical.
+    def normalize(a: Column) -> Column:
+        norm = F.sqrt(
+            F.aggregate(a, F.lit(0.0), lambda acc, c: acc + (c * c).cast("double"))
+        )
+        return bind1(
+            norm,
+            lambda nn: F.transform(
+                a,
+                lambda c: F.when(nn > 0, F.round(c.cast("double") / nn, 6)).otherwise(
+                    F.lit(0.0)
+                ),
+            ),
+        )
+
+    emb = bind1(arr, normalize)
     return dense.select("doc_id", emb.alias("embedding"))
 
 
