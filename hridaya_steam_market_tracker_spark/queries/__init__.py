@@ -66,14 +66,15 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # Round-13 composition (cost-aware — the r12 empty-record lesson): the
 # twelve never-driver-sampled queries lead (the six r12 CDT/fuzzy
 # queries whose r12 record came back empty, plus the five new hybrid/
-# density queries and the avc1 I_PCM decode), then the cohort whose transitive fingerprints
-# changed this round (the hybrid plumbing touches every media family;
-# the stage_checkpoint rename + dedup banding changes touch the
-# checkpointing and dedup families); the staleness rotation fills the
-# rest. WITHIN each tier the order is measured per-query cost, CHEAP
-# FIRST (tools/query_costs.json) — total expected head runtime ~298 s
-# at sf0.01 under load (PLANS.md round-13 note) — so a time-budgeted
-# driver run records as many rows as possible before any cutoff.
+# density queries and the avc1 I_PCM decode), then the cohort whose
+# transitive fingerprints changed in the round-13 OPTIMIZATION work
+# (bind1 rewrites touch the n-gram/shingle/chunk/embedding families;
+# the precomputed-norm rewrite touches the similarity family; the DSIR
+# single-pass restructure flags dsir_importance_weights directly), then
+# the staleness rotation. WITHIN each tier the order is measured
+# per-query cost, CHEAP FIRST (tools/query_costs.json) — so a
+# time-budgeted driver run records as many rows as possible before any
+# cutoff.
 _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_image_cdt_anchors_checked",
     "multimodal_audio_cdt_anchors_checked",
@@ -87,8 +88,18 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_avc1_ipcm_decode_checked",
     "multimodal_image_cdt_density_checked",
     "media_hybrid_admission_twin",
+    "strip_source_prefix_stats",
+    "chunk_dedup_reassemble",
+    "dsir_importance_weights",
     "ccnet_perplexity_buckets",
+    "doc_embeddings_hashed",
+    "source_prefix_boilerplate",
     "vocab_growth_curve",
+    "containment_pairs",
+    "multimodal_video_subclip_pairs",
+    "duplicate_span_stats",
+    "hybrid_rrf_search",
+    "strip_then_span_stats",
     "multimodal_audio_fingerprint_checked",
     "multimodal_dhash_oriented_checked",
     "multimodal_image_exif_checked",
@@ -115,16 +126,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_video_dedup_keep_list",
     "bpe_train_merges",
     "semantic_dedup_keep_list",
-    "emb_near_dup_clusters",
-    "media_phase_excerpt_admission_twin",
-    "semantic_dedup_text_e2e",
-    "bpe_doc_token_stats",
-    "media_excerpt_admission_twin",
-    "dedup_recall_audit",
-    "dedup_clusters_star",
-    "cluster_weighted_sample",
-    "curation_pipeline_kept_docs",
-    "dedup_keep_best_quality",
 )
 
 
