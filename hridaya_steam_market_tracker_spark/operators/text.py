@@ -202,74 +202,150 @@ def chargram_lang_scores(
     prediction bit-for-bit. Output: (doc_id, lang, pred_lang,
     oop_dist), one row per document with >= 1 n-gram.
 
-    Scale shape: the gram explode is scan-stage array algebra; one
-    (doc, gram) count shuffle + one doc-keyed rank window; the
-    language profiles aggregate the ALREADY-REDUCED (doc, gram) counts
-    and their per-language rank window partitions on a vocabulary-
-    bounded relation (distinct char n-grams <= |alphabet|^n, corpus-
-    size-independent), after which profiles are <= n_langs * k rows —
-    broadcast to both the candidate cross join and the rank lookup, so
-    the scoring pass never shuffles the corpus against the model."""
+    Scale shape (round 13): the DOCUMENT side never shuffles at all.
+    Per-doc gram counts and the top-``k`` (count DESC, gram ASC) ranks
+    are computed scan-stage with array algebra (sort -> run-length
+    runs -> comparator sort -> slice), replacing the former corpus-wide
+    (doc, gram) count exchange + doc-keyed rank window. Training
+    aggregates the ALREADY-REDUCED per-doc run-length counts into the
+    vocabulary-bounded (lang, gram) relation (distinct char n-grams <=
+    |alphabet|^n, corpus-size-independent); the <= n_langs * k profile
+    rows collapse into one broadcast row of per-language gram->rank
+    maps, and scoring + argmin (out-of-place distance, (dist, lang)
+    tie-break via struct array_min) run inside the document scan. Every
+    quantity stays an integer with the same explicit tie-breaks, so
+    values are bit-identical to the windowed form."""
     from pyspark.sql import Window
 
+    from hridaya_steam_market_tracker_spark.operators.similarity import (
+        _widen_small_scan,
+    )
+
     norm = F.array_join(tokens(F.lower(F.col(text_col))), " ")
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).alias("lang"),
-        norm.alias("t"),
+    # The per-row gram algebra below replaced the old corpus-wide
+    # shuffles, so on a tiny single-file scan it would serialize onto
+    # one task — widen (no-op at real scale, like the DSIR explode).
+    base = (
+        _widen_small_scan(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("lang"),
+            norm.alias("t"),
+        )
+        .filter(F.length("t") >= n)
     )
-    grams = base.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.when(
-                F.length("t") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - (n - 1)),
-                    lambda i: F.col("t").substr(i.cast("int"), F.lit(n)),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (n - 1)),
+        lambda i: F.col("t").substr(i.cast("int"), F.lit(n)),
+    )
+
+    def _run_counts(g: Column) -> Column:
+        # (c, gram) per DISTINCT gram of one document: sort the gram
+        # array, mark run starts, difference consecutive run starts.
+        # O(len log len) per row, no shuffle, no per-element re-eval
+        # (both the sorted array and the run starts are bind1-bound).
+        # F.get (0-based, null past the end) keeps every lookup
+        # ANSI-safe: element_at would throw on index 0 / overflow.
+        # sort_array, not array_sort-with-comparator: the natural-order
+        # sort is a native expression; a lambda comparator is evaluated
+        # interpreted per COMPARISON (measured 3x slower end-to-end).
+        return bind1(
+            F.sort_array(g),
+            lambda s: bind1(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(s)),
+                    lambda i: (i == F.lit(1))
+                    | (F.get(s, i - 1) != F.get(s, i - 2)),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
+                lambda st: F.transform(
+                    F.sequence(F.lit(1), F.size(st)),
+                    lambda j: F.struct(
+                        (
+                            F.coalesce(F.get(st, j), F.size(s) + 1)
+                            - F.get(st, j - 1)
+                        ).cast("long").alias("c"),
+                        F.element_at(s, F.get(st, j - 1)).alias("gram"),
+                    ),
+                ),
+            ),
+        )
+
+    def _topk(counts: Column) -> Column:
+        # Positions in this slice ARE the doc ranks: natural ascending
+        # struct order on (-c, gram) is exactly the old window's ORDER
+        # BY c DESC, gram ASC (grams are distinct after the run-length
+        # pass, so the order is total), and sort_array needs no
+        # interpreted comparator lambda.
+        return F.slice(
+            F.sort_array(
+                F.transform(
+                    counts,
+                    lambda x: F.struct(
+                        (-x["c"]).alias("negc"), x["gram"].alias("gram")
+                    ),
+                )
+            ),
+            1,
+            k,
+        )
+
+    lc = (
+        base.select("lang", F.explode(_run_counts(grams)).alias("cg"))
+        .groupBy("lang", F.col("cg.gram").alias("gram"))
+        .agg(F.sum("cg.c").alias("c"))
     )
-    dc = grams.groupBy("doc_id", "lang", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    wd = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), "gram")
-    dr = (
-        dc.withColumn("r_doc", F.row_number().over(wd))
-        .filter(F.col("r_doc") <= k)
-        .select("doc_id", "lang", "gram", "r_doc")
-    )
-    lc = dc.groupBy("lang", "gram").agg(F.sum("c").alias("c"))
     wl = Window.partitionBy("lang").orderBy(F.col("c").desc(), "gram")
     # The profile IS the trained model (<= n_langs * k rows):
     # materialize it once so the scoring plan doesn't re-derive the
-    # corpus-sized (doc, gram) counts for the profile AND the
-    # candidate-language branches — train one pass, score one pass.
+    # corpus-sized counts — train one pass, score one pass.
     profile = (
         lc.withColumn("r_lang", F.row_number().over(wl))
         .filter(F.col("r_lang") <= k)
         .select(F.col("lang").alias("cand_lang"), "gram", "r_lang")
     ).transform(stage_checkpoint)
-    langs = profile.select("cand_lang").distinct()
-    scored = (
-        dr.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(profile), ["cand_lang", "gram"], "left")
-        .groupBy("doc_id", "lang", "cand_lang")
+    # One broadcast row: [(cand_lang, gram->rank map), ...]. array_min
+    # over (oop_dist, cand_lang) structs is commutative, so collect
+    # order doesn't matter.
+    model = (
+        profile.groupBy("cand_lang")
         .agg(
-            F.sum(
-                F.coalesce(F.abs(F.col("r_doc") - F.col("r_lang")), F.lit(k))
-            ).cast("long").alias("oop_dist")
+            F.map_from_entries(
+                F.collect_list(F.struct("gram", "r_lang"))
+            ).alias("gmap")
         )
+        .agg(F.collect_list(F.struct("cand_lang", "gmap")).alias("model"))
     )
-    wp = Window.partitionBy("doc_id").orderBy("oop_dist", "cand_lang")
-    return (
-        scored.withColumn("rk", F.row_number().over(wp))
-        .filter(F.col("rk") == 1)
-        .select(
-            "doc_id", "lang", F.col("cand_lang").alias("pred_lang"),
-            "oop_dist",
-        )
+    k_long = F.lit(k).cast("long")
+    best = bind1(
+        _topk(_run_counts(grams)),
+        lambda top: F.array_min(
+            F.transform(
+                F.col("model"),
+                lambda m: F.struct(
+                    F.aggregate(
+                        F.sequence(F.lit(1), F.size(top)),
+                        F.lit(0).cast("long"),
+                        lambda acc, i: acc
+                        + F.coalesce(
+                            F.abs(
+                                i.cast("long")
+                                - F.try_element_at(
+                                    m["gmap"], F.element_at(top, i)["gram"]
+                                ).cast("long")
+                            ),
+                            k_long,
+                        ),
+                    ).alias("oop_dist"),
+                    m["cand_lang"].alias("cand_lang"),
+                ),
+            )
+        ),
+    )
+    return base.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        "lang",
+        best["cand_lang"].alias("pred_lang"),
+        best["oop_dist"].alias("oop_dist"),
     )
 
 
@@ -318,51 +394,83 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle loses. Ties on the mode count break to the lexicographically
     greatest bigram (struct max), mirroring the oracle's
     ``ORDER BY c DESC, gram DESC``.
+
+    Every stat is a SELF-CONTAINED ``bind1`` tree (round 13): the
+    earlier ``withColumns`` layering (``__toksl``/``__bg``/``__top``
+    helper columns) was undone by predicate-pushdown alias substitution
+    the moment a consumer filtered or joined this relation — the
+    substituted ``__bg`` landed INSIDE the bigram-mode lambda, so the
+    whole tokenize+gram pipeline re-ran once per distinct bigram,
+    O(len²·tokenize) per row (measured: a plain doc_id join over this
+    relation went 0.8 s → 113 s at sf0.01, 52 ``split(`` calls in the
+    composed plan). Bound lambda variables cannot be substituted
+    through, so each stat now costs one bounded evaluation no matter
+    how the consumer plan rewrites around it; values are bit-identical.
     """
-    toksl, bg, tg = F.col("__toksl"), F.col("__bg"), F.col("__tg")
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(bg),
-            lambda g: F.struct(
-                F.size(F.filter(bg, lambda x: x == g)).alias("c"), g.alias("g")
-            ),
+    t = F.col(text_col)
+
+    def _toksl(body: "object") -> Column:
+        return bind1(tokens(F.lower(t)), body)
+
+    def _top(bg: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda g: F.struct(
+                    F.size(F.filter(bg, lambda x: x == g)).alias("c"),
+                    g.alias("g"),
+                ),
+            )
         )
-    )
+
     # Every denominator is when-guarded: docs with < n tokens have empty
     # gram arrays (and empty docs have no tokens at all), and this
     # session runs Spark 4 ANSI mode where 0/0 THROWS rather than
     # nulling — a short doc must yield 0.0 stats, not kill the job.
-    dup_tok = F.when(
-        F.size(toksl) > 0,
-        F.round(
-            (F.size(toksl) - F.size(F.array_distinct(toksl)))
-            / F.size(toksl).cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    dup_tri = F.when(
-        F.size(tg) > 0,
-        F.round(
-            (F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg).cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
-    top_bg = F.when(
-        F.size(bg) > 0,
-        F.round(
-            F.col("__top.c")
-            * F.length(F.col("__top.g"))
-            / F.length(F.array_join(toksl, " ")).cast("double"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    dup_tok = _toksl(
+        lambda tk: F.when(
+            F.size(tk) > 0,
+            F.round(
+                (F.size(tk) - F.size(F.array_distinct(tk)))
+                / F.size(tk).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+    )
+    dup_tri = _toksl(
+        lambda tk: bind1(
+            word_grams(tk, 3),
+            lambda tg: F.when(
+                F.size(tg) > 0,
+                F.round(
+                    (F.size(tg) - F.size(F.array_distinct(tg)))
+                    / F.size(tg).cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    top_bg = _toksl(
+        lambda tk: bind1(
+            word_grams(tk, 2),
+            lambda bg: bind1(
+                _top(bg),
+                lambda top: F.when(
+                    F.size(bg) > 0,
+                    F.round(
+                        top["c"]
+                        * F.length(top["g"])
+                        / F.length(F.array_join(tk, " ")).cast("double"),
+                        6,
+                    ),
+                ).otherwise(F.lit(0.0)),
+            ),
+        )
+    )
     return (
-        df.withColumn("__toksl", tokens(F.lower(F.col(text_col))))
-        .withColumns({"__bg": word_grams(toksl, 2), "__tg": word_grams(toksl, 3)})
-        .withColumn("__top", top)
-        .withColumns(
+        df.withColumns(
             {
-                "n_tokens": F.size(toksl).cast("long"),
+                "n_tokens": _toksl(lambda tk: F.size(tk)).cast("long"),
                 "dup_token_frac": dup_tok,
                 "top_bigram_char_frac": top_bg,
                 "dup_trigram_frac": dup_tri,
@@ -373,7 +481,6 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("top_bigram_char_frac") > 0.15)
             | (F.col("dup_trigram_frac") > 0.02),
         )
-        .drop("__toksl", "__bg", "__tg", "__top")
     )
 
 

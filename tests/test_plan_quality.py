@@ -358,11 +358,12 @@ def test_tpch_rest_shuffle_budget(spark, registry, name, max_shuffles):
         ("fuzzy_decontaminate_pairs", 3),
         # spread + gram-df groupBy + join-back/doc rollup
         ("duplicate_span_stats", 3),
-        # (doc,gram) count + doc rank window + score groupBy + argmin
-        # window + the two tiny checkpointed-profile branches; the
-        # trained profile itself is materialized (localCheckpoint), so
-        # its corpus pass doesn't appear in the scoring plan
-        ("chargram_lang_id", 6),
+        # round 13: the document side is scan-stage array algebra (no
+        # (doc,gram) count shuffle, no doc rank window, no argmin
+        # window) — the only exchanges are the adaptive scan widen and
+        # the two tiny model-map aggregations over the checkpointed
+        # profile; scoring rides a one-row model broadcast
+        ("chargram_lang_id", 3),
         # + keep-join, pair join, (i,j,d) window, span groupBy
         ("duplicate_span_pairs", 6),
         # jaccard_pairs' guarded shape: df-capped candidates + two
@@ -389,6 +390,17 @@ def test_pipeline_ext_shuffle_budget(spark, registry, name, max_shuffles):
         and "Reused" not in line
     )
     assert shuffles <= max_shuffles
+
+
+def test_chargram_scoring_has_no_rank_windows(spark, registry):
+    """Round-13 rewrite gate: chargram_lang_id's per-doc ranks and the
+    argmin are per-row array algebra riding the scan, and the trained
+    profile is materialized before the scoring plan — so the executed
+    plan must contain NO window operator at all (the old shape had a
+    doc-rank window, a per-lang rank window, and an argmin window)."""
+    plan = _plan(registry, spark, "chargram_lang_id")
+    assert "row_number" not in plan
+    assert "Window" not in plan
 
 
 def test_q11_threshold_is_broadcast_scalar_not_collect(spark, registry):

@@ -936,6 +936,43 @@ def test_repetition_stats_plan_has_no_shuffle(spark):
     assert "EvalPython" not in plan
 
 
+def test_repetition_stats_composed_plan_stays_bounded(spark):
+    """Round-13 regression gate: a consumer that filters/joins the
+    repetition relation must NOT re-inline the tokenizer into the
+    bigram-mode lambda. Before the bind1 rewrite, predicate-pushdown
+    alias substitution put ``split(text)`` INSIDE the per-distinct-
+    bigram lambda — O(len²·tokenize) per row, measured 0.8 s → 113 s
+    at sf0.01 for a plain doc_id join. With self-contained bind1
+    stats the composed physical plan keeps a bounded number of
+    tokenizer calls, none of them element-position-dependent."""
+    import re
+
+    from hridaya_steam_market_tracker_spark.operators.text import (
+        with_repetition_stats,
+        with_text_stats,
+    )
+
+    docs = table(spark, SF, "documents").filter(F.length("text") > 0)
+    gated = (
+        with_text_stats(docs)
+        .select("doc_id", "quality_score")
+        .filter(F.col("quality_score") >= 0.7)
+    )
+    rep = (
+        with_repetition_stats(docs)
+        .filter(F.col("n_tokens") >= 3)
+        .select("doc_id", "repetitive")
+    )
+    composed = gated.join(rep, "doc_id").filter(~F.col("repetitive"))
+    plan = composed._jdf.queryExecution().executedPlan().toString()
+    n_split = len(re.findall(r"split\(", plan))
+    # Pre-fix composed plan carried 52 split( calls (and the quadratic
+    # lambda nesting); the bounded rewrite sits well under 20 even
+    # after full pushdown/collapse.
+    assert n_split < 20, f"tokenizer re-inlined {n_split}x in composed plan"
+    assert "EvalPython" not in plan
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     """Winnowing's core property (SIGMOD'03): two docs sharing a run of
     >= k+w-1 words (here 6) must share at least one fingerprint."""
