@@ -56,10 +56,21 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _adjacent_pairs(words: DataFrame) -> DataFrame:
     """Explode each vocabulary word into its adjacent token pairs,
     weighted by word count (overlapping positions count — standard
-    BPE pair statistics)."""
-    pairs = F.expr(
-        "transform(sequence(0, size(split(repr, '\x1f')) - 2), "
-        "i -> struct(split(repr, '\x1f')[i] AS l, split(repr, '\x1f')[i+1] AS r))"
+    BPE pair statistics).
+
+    The token split is bind1-bound (round 13): inlined it re-split the
+    whole repr twice per pair position — O(len²) per word, paid once
+    per merge round."""
+    from hridaya_steam_market_tracker_spark.operators.text import bind1
+
+    pairs = bind1(
+        F.split(F.col("repr"), SEP),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.get(toks, i).alias("l"), F.get(toks, i + 1).alias("r")
+            ),
+        ),
     )
     return (
         words.select("cnt", F.explode(pairs).alias("p"))

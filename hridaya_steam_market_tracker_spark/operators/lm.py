@@ -37,17 +37,31 @@ def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _doc_bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, w1, w2) rows: BOS-padded adjacent pairs."""
-    padded = F.concat(F.array(F.lit(BOS)), F.col("toks"))
-    pairs = F.expr(
-        "transform(sequence(0, size(toks) - 1), "
-        "i -> struct(element_at(padded, i + 1) AS w1, "
-        "element_at(padded, i + 2) AS w2))"
-    )
+    """(doc_id, w1, w2) rows: BOS-padded adjacent pairs.
+
+    The padded array is bind1-bound (round 13): as a ``withColumn``
+    helper it was substituted by CollapseProject into the pair lambda,
+    re-running the BOS concat (an O(len) array copy) twice per
+    position — O(len²) per document. Bound, it is built once per row."""
+    from hridaya_steam_market_tracker_spark.operators.text import bind1
+
     return (
         _doc_tokens(docs, text_col, id_col)
-        .withColumn("padded", padded)
-        .select(id_col, F.explode(pairs).alias("p"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                bind1(
+                    F.concat(F.array(F.lit(BOS)), F.col("toks")),
+                    lambda padded: F.transform(
+                        F.sequence(F.lit(0), F.size(padded) - 2),
+                        lambda i: F.struct(
+                            F.element_at(padded, i + 1).alias("w1"),
+                            F.element_at(padded, i + 2).alias("w2"),
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
         .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
 
@@ -63,13 +77,30 @@ def bigram_lm_doc_scores(
     perplexity) — score is the exact BIGINT micro-nat sum; the float
     columns derive from it (identical IEEE ops both engines)."""
     bi = _doc_bigrams(docs, text_col, id_col)
-    big_counts = bi.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c12")
+    # Round 13: the unigram table and the vocabulary size derive from
+    # the ALREADY-REDUCED bigram counts — c1(w1) == sum of c12 over w2,
+    # and the vocabulary is exactly bc's distinct key values — instead
+    # of re-aggregating the corpus-sized bigram explode two more times
+    # (three scans of it for the vocab union). The explicit isnotnull
+    # filter is a semantic no-op (w1/w2 come from concat/element_at
+    # over non-null arrays) that keeps every consumer's subtree
+    # canonically identical after the scoring join's inferred-notnull
+    # pushdown, so the one (w1, w2) exchange is reused (the DSIR
+    # exchange-reuse lesson from this round).
+    big_counts = (
+        bi.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
     )
-    uni_counts = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    vocab = bi.select(F.col("w1").alias("w")).union(
-        bi.select(F.col("w2").alias("w"))
-    ).distinct().agg(F.count(F.lit(1)).cast("long").alias("v"))
+    uni_counts = big_counts.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    vocab = (
+        big_counts.select(F.col("w1").alias("w"))
+        .union(big_counts.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
 
     logp_micro = F.round(
         F.log(

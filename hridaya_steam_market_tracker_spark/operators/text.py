@@ -205,7 +205,8 @@ def chargram_lang_scores(
     Scale shape (round 13): the DOCUMENT side never shuffles at all.
     Per-doc gram counts and the top-``k`` (count DESC, gram ASC) ranks
     are computed scan-stage with array algebra (sort -> run-length
-    runs -> comparator sort -> slice), replacing the former corpus-wide
+    runs -> natural struct sort on (-count, gram) -> slice), replacing
+    the former corpus-wide
     (doc, gram) count exchange + doc-keyed rank window. Training
     aggregates the ALREADY-REDUCED per-doc run-length counts into the
     vocabulary-bounded (lang, gram) relation (distinct char n-grams <=

@@ -974,11 +974,20 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     bi = _doc_bigrams(docs, "text", "doc_id")
-    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    uc = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    # Round 13 (same derivation as operators/lm.py): uc and vv derive
+    # from the reduced bigram counts instead of re-aggregating the
+    # corpus-sized explode three more times; the isnotnull filter is a
+    # no-op that keeps the shared (w1, w2) subtree canonical across
+    # consumers so its exchange is reused.
+    bc = (
+        bi.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
     vv = (
-        bi.select(F.col("w1").alias("w"))
-        .union(bi.select(F.col("w2").alias("w")))
+        bc.select(F.col("w1").alias("w"))
+        .union(bc.select(F.col("w2").alias("w")))
         .distinct()
         .agg(F.count(F.lit(1)).cast("long").alias("v"))
     )
@@ -1983,12 +1992,19 @@ def stupid_backoff_eval_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_train = F.col("source").isin(*_EVAL_SOURCES)
     train = bi.filter(is_train)
-    tb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
-    tu = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    tw = train.groupBy(F.col("w2").alias("w")).agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
+    # Round 13: the unigram/continuation/total tables all derive from
+    # the reduced bigram counts — before, each re-ran the corpus-sized
+    # bigram explode PLUS its doc->source join (four passes; now one).
+    tb = (
+        train.filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
     )
-    nn = train.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tu = tb.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    tw = tb.groupBy(F.col("w2").alias("w")).agg(
+        F.sum("c12").cast("long").alias("c2")
+    )
+    nn = tb.agg(F.sum("c12").cast("long").alias("n"))
     lp = F.when(
         F.coalesce(F.col("c12"), F.lit(0)) > 0,
         F.log(F.col("c12") / F.col("c1").cast("double")),
