@@ -88,11 +88,15 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_avc1_ipcm_decode_checked",
     "multimodal_image_cdt_density_checked",
     "media_hybrid_admission_twin",
+    "doc_repetition_stats",
     "strip_source_prefix_stats",
     "chunk_dedup_reassemble",
     "dsir_importance_weights",
+    "domain_mix_weights",
+    "stupid_backoff_eval_scores",
     "ccnet_perplexity_buckets",
     "doc_embeddings_hashed",
+    "bigram_lm_doc_scores",
     "source_prefix_boilerplate",
     "vocab_growth_curve",
     "containment_pairs",
@@ -122,10 +126,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_image_dedup_keep_list",
     "emb_cosine_near_dup",
     "perceptron_quality_scores",
-    "multimodal_audio_dedup_keep_list",
-    "multimodal_video_dedup_keep_list",
-    "bpe_train_merges",
-    "semantic_dedup_keep_list",
 )
 
 
