@@ -90,10 +90,18 @@ def bpe_train(docs: DataFrame, n_merges: int = 8, text_col: str = "text") -> Dat
     words = word_vocab(docs, text_col).transform(stage_checkpoint)
     out: DataFrame | None = None
     for rnd in range(1, n_merges + 1):
+        # Checkpoint the round's winning pair (round 13): `top` feeds
+        # BOTH the merge application below and the output row, and as a
+        # lazy plan the full _adjacent_pairs aggregation over the
+        # vocabulary re-ran for each consumer — twice per merge round.
+        # The one-row checkpoint (lazy: the merge broadcast is the
+        # action that materializes it) runs the aggregation once; the
+        # chosen pair and every downstream value are unchanged.
         top = (
             _adjacent_pairs(words)
             .orderBy(F.col("freq").desc(), F.col("left").asc(), F.col("right").asc())
             .limit(1)
+            .transform(lambda d: stage_checkpoint(d, eager=False))
         )
         words = (
             words.crossJoin(F.broadcast(top.select("left", "right")))

@@ -77,7 +77,13 @@ def connected_components(
                     F.col("component"), F.coalesce("nmin", "component")
                 ).alias("component"),
             )
-            .transform(stage_checkpoint)
+            # Lazy checkpoint (round 13): the eager variant ran a
+            # dedicated materialization job per round and the `changed`
+            # count then re-read the blocks as a SECOND job. With
+            # eager=False the count job below materializes the
+            # checkpoint blocks while it computes — one job per round
+            # instead of two, identical blocks and lineage cut.
+            .transform(lambda d: stage_checkpoint(d, eager=False))
         )
         changed = (
             proposed.withColumnRenamed("component", "new_component")
@@ -167,16 +173,23 @@ def alternating_components(
     12 rounds the algorithm's geometric contraction covers chains of
     length ~2^12, so reaching the fallback means pathological input.
     """
+    # Lazy checkpoints (round 13): each round's signature aggregation
+    # below is the action that materializes that round's checkpoint
+    # blocks — one job per round instead of a dedicated materialization
+    # job plus a signature job. Blocks, lineage cuts and the fixpoint
+    # trajectory are identical.
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col(src) != F.col(dst))
         .distinct()
-        .transform(stage_checkpoint)
+        .transform(lambda d: stage_checkpoint(d, eager=False))
     )
     prev_sig = None
     converged = False
     for rounds in range(1, 2 * max_iter + 1):
-        e = _small_star(_large_star(e)).transform(stage_checkpoint)
+        e = _small_star(_large_star(e)).transform(
+            lambda d: stage_checkpoint(d, eager=False)
+        )
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             # bit_xor: order-independent, cannot overflow under ANSI mode.

@@ -962,9 +962,18 @@ def _mmr_oracle(k: int = _MMR_K) -> str:
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # Checkpoint the candidate pools FIRST: psim's pair join references
+    # the pool twice (a and b sides), so building it from the lazy
+    # cosine_topk plan executed the brute-force cross-join + window
+    # subtree twice inside the psim job and a third time for the cands
+    # checkpoint itself. Deriving psim from the materialized pool makes
+    # the expensive top-k run exactly once; the pair rows are identical
+    # (same pool, deterministic top-k), so the greedy trajectory and the
+    # oracle hashes are unchanged.
     cands = (
         S.cosine_topk(emb, queries, k=_MMR_POOL)
         .select("query_id", F.col("vec_id").alias("cand_id"), F.col("cos_sim").alias("simq"))
+        .localCheckpoint(eager=True)
     )
     vecs = emb.select(F.col("vec_id").alias("cand_id"), "embedding")
     cv = cands.join(vecs, "cand_id")
@@ -976,7 +985,6 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "a", "b", F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
         .localCheckpoint(eager=True)
     )
-    cands = cands.localCheckpoint(eager=True)
 
     w = Window.partitionBy("query_id")
     first = (
