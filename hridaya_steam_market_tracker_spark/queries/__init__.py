@@ -97,6 +97,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "doc_embeddings_hashed",
     "bigram_lm_doc_scores",
+    "mmr_diverse_topk",
     "source_prefix_boilerplate",
     "vocab_growth_curve",
     "containment_pairs",
@@ -125,7 +126,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "clip_duplicate_spans_stats",
     "multimodal_image_dedup_keep_list",
     "emb_cosine_near_dup",
-    "perceptron_quality_scores",
 )
 
 

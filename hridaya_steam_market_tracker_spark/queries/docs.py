@@ -660,11 +660,24 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hridaya_steam_market_tracker_spark.checkpoints import stage_checkpoint
+
     docs = table(spark, sf_dir, "documents")
-    exact = D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=64).select("i", "j")
-    mh = D.minhash_near_duplicates(
-        docs, num_hashes=32, bands=16, threshold=0.5
-    ).select("i", "j")
+    # Each pair set has THREE consumers (its own count, and both sides
+    # of the missed/spurious exceptAlls); as lazy plans the full exact
+    # APSS and the banded MinHash pipeline each re-ran per consumer.
+    # The lazy checkpoints materialize each pair set once (round 13);
+    # the audit's counts are set operations over identical pair sets.
+    exact = stage_checkpoint(
+        D.jaccard_pairs(docs, threshold=0.5, max_shingle_df=64).select("i", "j"),
+        eager=False,
+    )
+    mh = stage_checkpoint(
+        D.minhash_near_duplicates(
+            docs, num_hashes=32, bands=16, threshold=0.5
+        ).select("i", "j"),
+        eager=False,
+    )
     missed = exact.exceptAll(mh)
     spurious = mh.exceptAll(exact)
     return (
