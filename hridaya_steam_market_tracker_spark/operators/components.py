@@ -17,16 +17,27 @@ here because real dedup graphs never get deep and the per-round cost is
 lower.
 
 Scale notes (100 TB posture):
-  * The edge list is repartitioned by source and cached once — every
-    round reuses the same co-partitioned edges, so only the (small)
-    label side moves.
+  * The edge list (including one self-loop per node, see below) is
+    repartitioned by the JOIN key and cached once — every round reuses
+    the same co-partitioned edges, so only the (small) label side moves.
+  * Self-loops fold the proposal step into the neighbor aggregation:
+    min over labels of nbrs(v) ∪ {v} IS the new label, so a round is
+    ONE join + ONE aggregation — no join back onto the previous label
+    relation (round 13; the old shape paid a second corpus-keyed
+    shuffle per round for that left join).
   * Each round stage-checkpoints the labels: iterative joins otherwise
     stack lineage, and round N replans rounds 1..N-1 (exponential plan
     growth). On a real cluster set spark.hridaya.reliableCheckpoints
     (checkpoints.py) to route every round through a reliable
     `checkpoint()` to the DFS checkpoint dir instead.
-  * Convergence is detected by counting changed labels — one cheap
-    count action per round, no collect of data rows.
+  * Convergence is detected with the same order-insensitive
+    (xor-of-hash, swapped-args xor-of-hash) signature pair the
+    alternating variant uses — one tiny aggregation action per round
+    over the CURRENT label blocks only, instead of the old
+    changed-label count that joined each round's labels against the
+    previous round's (re-reading both checkpoint block sets). Labels
+    are monotone non-increasing, so labels-stable ⟺ signature-stable
+    up to a simultaneous 64+64-bit collision.
 """
 
 from __future__ import annotations
@@ -52,48 +63,59 @@ def connected_components(
     Returns (node, component); component == min id in the node's
     connected component, so `node == component` marks one canonical
     survivor per cluster. Nodes absent from `edges` come out as
-    singletons labeled by themselves.
+    singletons labeled by themselves. Precondition (every in-repo pair
+    miner satisfies it by construction — pairs are mined from the same
+    relation the nodes come from): edge endpoints ⊆ `nodes`; an edge
+    referencing an unknown id would add that id to the output.
+
+    Per-round shape (round 13): ONE edge-label equi-join + ONE
+    min-aggregation. The symmetric edge relation carries a self-loop
+    per node, so min(component over nbrs(v) ∪ {v}) is already the
+    proposed label — the old second shuffle per round (left-joining
+    proposals back onto the previous labels for `least(...)` and the
+    changed-count) is gone, and convergence is the alternating
+    variant's double xor-hash signature over the current round's
+    blocks only. The label TRAJECTORY is unchanged: round k's labels
+    equal the old implementation's round k labels exactly.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .repartition("s")
+        # one self-loop per node: folds `least(own, neighbor-min)` into
+        # the aggregation and guarantees every node a row each round
+        .unionByName(
+            nodes.select(F.col(id_col).alias("s"), F.col(id_col).alias("d"))
+        )
+        # co-partition on the JOIN key (labels attach on d == node; the
+        # old code partitioned by s, which no per-round operator used,
+        # so at scale every round re-shuffled the cached edges)
+        .repartition("d")
         .cache()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
     )
+    prev_sig = None
     for _ in range(max_iter):
-        neighbor_min = (
+        labels = (
             sym.join(labels, sym["d"] == labels["node"])
             .groupBy(F.col("s").alias("node"))
-            .agg(F.min("component").alias("nmin"))
-        )
-        proposed = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nmin", "component")
-                ).alias("component"),
-            )
-            # Lazy checkpoint (round 13): the eager variant ran a
-            # dedicated materialization job per round and the `changed`
-            # count then re-read the blocks as a SECOND job. With
-            # eager=False the count job below materializes the
-            # checkpoint blocks while it computes — one job per round
-            # instead of two, identical blocks and lineage cut.
+            .agg(F.min("component").alias("component"))
+            # Lazy checkpoint: the signature action below materializes
+            # the round's blocks while it computes — one job per round.
             .transform(lambda d: stage_checkpoint(d, eager=False))
         )
-        changed = (
-            proposed.withColumnRenamed("component", "new_component")
-            .join(labels, "node")
-            .filter(F.col("new_component") != F.col("component"))
-            .count()
-        )
-        labels = proposed
-        if changed == 0:
+        row = labels.agg(
+            # bit_xor: order-independent, cannot overflow under ANSI.
+            # Swapped-argument variant is an independent second checksum
+            # (same convergence detector as alternating_components).
+            F.expr("bit_xor(xxhash64(node, component))").alias("h1"),
+            F.expr("bit_xor(xxhash64(component, node))").alias("h2"),
+        ).first()
+        sig = (row["h1"], row["h2"])
+        if prev_sig == sig:
             break
+        prev_sig = sig
     sym.unpersist()
     return labels
 
