@@ -175,7 +175,16 @@ def apss_cosine_pairs(
     flagged = wgt.join(n2, "doc_id").withColumn(
         "in_prefix", suffix2 / F.col("n2").cast("double") >= F.lit(bound)
     )
-    prefix = flagged.filter(F.col("in_prefix")).select(F.col("doc_id").alias("p"), "t")
+    # Persisted (round 13): the cost probe AND the posting branch's
+    # candidate join both read the prefix rows — without the persist the
+    # corpus-keyed prefix window ran twice whenever posting won. Carries
+    # df so the probe is a plain SUM over these rows (below). Same
+    # lifecycle contract as wgt/maps.
+    prefix = (
+        flagged.filter(F.col("in_prefix"))
+        .select(F.col("doc_id").alias("p"), "t", "df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     full = wgt.select(F.col("doc_id").alias("q"), "t")
 
     # COST PROBE (two tiny aggregates over the persisted wgt): the
@@ -211,15 +220,18 @@ def apss_cosine_pairs(
     )
 
     if strategy == "auto":
+        # est = sum_t prefix_df(t) * df(t) = sum over prefix ROWS of df
+        # (each prefix row (doc, t) contributes df(t) exactly once), so
+        # the old groupBy("t") + join back onto df re-derived a number
+        # the prefix rows already carry. One action computes est and
+        # n_docs together (round 13; was three driver round-trips).
         est_row = (
-            prefix.groupBy("t")
-            .agg(F.count(F.lit(1)).alias("pc"))
-            .join(df.withColumnRenamed("df", "fc"), "t")
-            .agg(F.sum(F.col("pc") * F.col("fc")).alias("est"))
+            prefix.agg(F.sum("df").alias("est"))
+            .crossJoin(n2.agg(F.count(F.lit(1)).alias("n_docs")))
             .first()
         )
         est = est_row["est"] or 0
-        n_docs = n2.count()
+        n_docs = est_row["n_docs"]
         use_posting = est < n_docs * n_docs // 2
     else:
         use_posting = strategy == "posting"

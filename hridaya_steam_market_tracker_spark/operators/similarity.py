@@ -100,8 +100,13 @@ def cosine_topk(
         F.col(vec_col).alias("q_vec"),
         _norm2(F.col(vec_col)).alias("__nq"),
     )
+    # _widen_small_scan (round 13): the brute scan is |emb| x |queries|
+    # per-row folds; a one-file fixture scan serialized it on one task.
+    # Value-safe — every output is a per-row round(dot/sqrt), no
+    # cross-row float aggregation, so partitioning cannot move a value.
     joined = (
-        embeddings.withColumn("__nv", _norm2(F.col(vec_col)))
+        _widen_small_scan(embeddings)
+        .withColumn("__nv", _norm2(F.col(vec_col)))
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
     )
@@ -651,9 +656,20 @@ def pq_train(
     the vector into ``m`` subspaces of dim/m and train an independent
     L2 kmeans-lite codebook of ``ksub`` centroids in each.
 
-    Returns (subspace, code, centroid). Training is m small Lloyd runs
-    — each a pair of Catalyst plans per iteration over (id, subvector)
-    projections; nothing collects to the driver.
+    Returns (subspace, code, centroid). Round 13: the m per-subspace
+    Lloyd runs train JOINTLY — one (id, subspace, subvec) relation, one
+    broadcast-argmin assignment and one (subspace, cell)-keyed
+    element-wise mean per round — so a Lloyd round is ONE plan / ONE
+    eager checkpoint job covering every codebook, instead of m
+    thread-pooled per-subspace loops (m * iters driver-scheduled jobs;
+    ~167 jobs at the fixture's 16x2). Seeds, cell numbering and the
+    per-round argmin tie-breaks replicate the sequential variant
+    exactly: the seed hash salts the id only, so every subspace seeded
+    with the SAME k lowest-hash ids before and does now; the only
+    permitted difference is float-mean summation order inside each
+    (subspace, cell, pos) group, which the shuffle already made
+    layout-dependent (both consumers are rows-only/recall-bounded —
+    the value-oracled PQ tier trains offline via sign_codebooks).
     """
     if dim % m:
         raise ValueError(
@@ -661,35 +677,50 @@ def pq_train(
             "silently drop from codebooks and ADC distances"
         )
     dsub = dim // m
-
-    def train_one(s: int) -> DataFrame:
-        sub = embeddings.select(
-            F.col(id_col), F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("sub")
+    sub_all = _subvectors(
+        embeddings.select(F.col(id_col), F.col(vec_col)), [id_col], vec_col, m, dsub
+    )
+    seeds = embeddings.orderBy(
+        F.md5(F.concat(F.lit("seed:"), F.col(id_col).cast("string"))), id_col
+    ).limit(ksub)
+    seed_cells = seeds.select(
+        F.row_number().over(Window.orderBy(id_col)).alias("cell"), F.col(vec_col)
+    )
+    books = _subvectors(seed_cells, ["cell"], vec_col, m, dsub).select(
+        "subspace",
+        "cell",
+        F.transform(F.col("subvec"), lambda x: x.cast("double")).alias("centroid"),
+    )
+    for _ in range(iters):
+        scored = sub_all.join(F.broadcast(books), "subspace").withColumn(
+            "__sim", l2sq(F.col("subvec"), F.col("centroid"))
         )
-        return kmeans_lite(
-            sub, k=ksub, iters=iters, id_col=id_col, vec_col="sub", metric="l2"
-        ).select(
-            F.lit(s).alias("subspace"),
-            F.col("cell").alias("code"),
-            F.col("centroid"),
+        w = Window.partitionBy(id_col, "subspace").orderBy(
+            F.col("__sim").asc(), F.col("cell")
         )
-
-    # The m sub-space Lloyd runs are INDEPENDENT (each reads its own
-    # slice, trains its own codebook) but their per-round
-    # stage_checkpoints are eager, so a sequential loop serializes
-    # m * iters small jobs on the driver. Submitting them from a small
-    # thread pool overlaps the rounds across subspaces (Spark schedules
-    # concurrent jobs FIFO; later jobs back-fill idle slots) — each
-    # subspace's training plan, seeds and arithmetic are UNCHANGED, so
-    # the codebooks are identical to the sequential loop's.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
-        cbs = list(pool.map(train_one, range(m)))
-    books = cbs[0]
-    for cb in cbs[1:]:
-        books = books.unionByName(cb)
-    return books
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("subspace", "cell", F.col("subvec"))
+        )
+        # eager checkpoint per round (the kmeans_lite discipline): keeps
+        # plan depth constant; one tiny (m * ksub)-row materialization.
+        books = (
+            _elementwise_mean(
+                assigned.select(
+                    F.struct("subspace", "cell").alias("sc"), F.col("subvec")
+                ),
+                "sc",
+                "subvec",
+            )
+            .select(
+                F.col("sc.subspace").alias("subspace"),
+                F.col("sc.cell").alias("cell"),
+                "centroid",
+            )
+            .transform(stage_checkpoint)
+        )
+    return books.select("subspace", F.col("cell").alias("code"), "centroid")
 
 
 def _subvectors(df: DataFrame, id_cols: list[str], vec_col: str, m: int, dsub: int):
@@ -716,6 +747,11 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
+    # NOT widened (round 13, measured): the encode fan-out runs inside
+    # one codegen'd scan→explode→broadcast-join pipeline whose output
+    # feeds a window exchange anyway; splitting the scan with a
+    # round-robin exchange made the whole query ~40% SLOWER at fixture
+    # scale (the parallelism gain is smaller than the extra exchange).
     sub = _subvectors(embeddings, [id_col], vec_col, m, dsub)
     scored = sub.join(F.broadcast(codebooks), "subspace").withColumn(
         "__d", l2sq(F.col("subvec"), F.col("centroid"))
@@ -877,6 +913,8 @@ def pq_pretrained_topk(
     """
     dsub = dim // m
     dist_micro = lambda a, b: F.round(l2sq(a, b) * F.lit(1000000.0), 0).cast("long")
+    # NOT widened (round 13, measured — see pq_encode): widening this
+    # encode fan-out regressed ann_pq_sign_topk 7.2 → 11.0 s.
     sub = _subvectors(embeddings, [id_col], vec_col, m, dsub)
     enc_scored = sub.join(F.broadcast(codebooks), "subspace").select(
         id_col, "subspace", "code", dist_micro(F.col("subvec"), F.col("centroid")).alias("__d")

@@ -70,8 +70,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # transitive fingerprints changed in the round-13 OPTIMIZATION work
 # (bind1 rewrites touch the n-gram/shingle/chunk/embedding families;
 # the precomputed-norm rewrite touches the similarity family; the DSIR
-# single-pass restructure flags dsir_importance_weights directly), then
-# the staleness rotation. WITHIN each tier the order is measured
+# single-pass restructure flags dsir_importance_weights directly; the
+# second round-13 batch flags the apss probe, the widened brute tiers,
+# the components consumers and the media twins), then the staleness
+# rotation. WITHIN each tier the order is measured
 # per-query cost, CHEAP FIRST (tools/query_costs.json) — so a
 # time-budgeted driver run records as many rows as possible before any
 # cutoff.
@@ -88,6 +90,9 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_avc1_ipcm_decode_checked",
     "multimodal_image_cdt_density_checked",
     "media_hybrid_admission_twin",
+    "tfidf_cosine_pairs_tiled",
+    "tfidf_cosine_pairs_posting",
+    "tfidf_cosine_pairs",
     "doc_repetition_stats",
     "strip_source_prefix_stats",
     "chunk_dedup_reassemble",
@@ -97,6 +102,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "ccnet_perplexity_buckets",
     "doc_embeddings_hashed",
     "bigram_lm_doc_scores",
+    "ann_pq_recall_vs_brute",
     "mmr_diverse_topk",
     "source_prefix_boilerplate",
     "vocab_growth_curve",
@@ -122,10 +128,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_audio_excerpt_pairs",
     "media_ingest_admission_twin",
     "duplicate_span_pairs",
-    "chargram_lang_id",
-    "clip_duplicate_spans_stats",
-    "multimodal_image_dedup_keep_list",
-    "emb_cosine_near_dup",
 )
 
 

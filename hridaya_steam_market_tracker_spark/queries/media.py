@@ -1577,11 +1577,18 @@ def media_ingest_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fixture = checked_oriented_dhash_df(spark, n=34)
+    # One fixture synthesis for the whole twin (round 13): both band
+    # derivations and the final id join scan this relation.
+    fixture = fixture.localCheckpoint(eager=False)
     stored = fixture.filter(F.col("media_id").isin([0, 8]))
     batch = fixture.filter(F.col("media_id").isin([5, 13, 18, 19, 26, 33]))
+    # Lazy band-stage boundary (round 13): the decision references the
+    # batch bands twice (both join sides) — the checkpoint decodes each
+    # batch image once. Stored bands are referenced once; no boundary.
     stored_bands = dhash_bands(image_dhash_oriented(stored))
     rejects = media_admission_rejects(
-        stored_bands, dhash_bands(image_dhash_oriented(batch))
+        stored_bands,
+        dhash_bands(image_dhash_oriented(batch)).localCheckpoint(eager=False),
     )
     return (
         batch.select("media_id")
@@ -1715,13 +1722,21 @@ def any_media_ingest_admission_twin(
         "media_id", F.col("media_id") + 2000
     )
     mixed = img.unionByName(vid).unionByName(aud)
+    # One fixture synthesis for the whole twin (round 13): every
+    # decode plane and the final id join scan this union, so without
+    # a boundary each scan re-ran all the fixture generators.
+    mixed = mixed.localCheckpoint(eager=False)
     stored = mixed.filter(F.col("media_id").isin([0, 1000, 2000]))
     batch = mixed.filter(
         F.col("media_id").isin([5, 18, 19, 1001, 1003, 1017, 2001, 2016, 2018])
     )
+    # Lazy band-stage boundaries (round 13): the decision references
+    # batch bands twice (both join sides) — without the checkpoint each
+    # reference re-ran the full three-modality signature decode. The
+    # streaming gate itself persist()s its band relations the same way.
     rejects = media_admission_rejects(
-        _any_bands(media_signatures(stored)),
-        _any_bands(media_signatures(batch)),
+        _any_bands(media_signatures(stored)).localCheckpoint(eager=False),
+        _any_bands(media_signatures(batch)).localCheckpoint(eager=False),
         keys=_ANY_KEYS,
     )
     return (
@@ -3150,6 +3165,10 @@ def media_hybrid_admission_twin(
         "media_id", F.col("media_id") + 3000
     )
     mixed = aud.unionByName(img)
+    # One fixture synthesis for the whole twin (round 13): every
+    # decode plane and the final id join scan this union, so without
+    # a boundary each scan re-ran all the fixture generators.
+    mixed = mixed.localCheckpoint(eager=False)
     stored = mixed.filter(
         F.col("media_id").isin(list(_HYBRID_TWIN_STORED))
     )
@@ -3445,12 +3464,24 @@ def media_excerpt_admission_twin(
         "media_id", F.col("media_id") + 3000
     )
     mixed = vid.unionByName(aud).unionByName(img)
+    # One fixture synthesis for the whole twin (round 13): every
+    # decode plane and the final id join scan this union, so without
+    # a boundary each scan re-ran all the fixture generators.
+    mixed = mixed.localCheckpoint(eager=False)
     stored = mixed.filter(
         F.col("media_id").isin(list(_EXCERPT_TWIN_STORED))
     )
     batch = mixed.filter(F.col("media_id").isin(list(_EXCERPT_TWIN_BATCH)))
+    # Lazy fps-stage boundaries (the subclip-pairs lesson, round 13 —
+    # the phase/cdt siblings already had them): the decision fans each
+    # fps relation out ~4 ways (population, evidence, denominator), and
+    # WITHOUT the checkpoints every reference re-ran the whole fixture
+    # synthesis + three decode planes + winnow. The checkpoints decode
+    # each payload once at first execution.
     rejects = media_excerpt_rejects(
-        media_winnow_fps(stored), media_winnow_fps(batch), 0.8
+        media_winnow_fps(stored).localCheckpoint(eager=False),
+        media_winnow_fps(batch).localCheckpoint(eager=False),
+        0.8,
     )
     return (
         batch.select("media_id")
@@ -3559,6 +3590,10 @@ def media_phase_excerpt_admission_twin(
         "media_id", F.col("media_id") + 3000
     )
     mixed = aud.unionByName(img)
+    # One fixture synthesis for the whole twin (round 13): every
+    # decode plane and the final id join scan this union, so without
+    # a boundary each scan re-ran all the fixture generators.
+    mixed = mixed.localCheckpoint(eager=False)
     stored = mixed.filter(F.col("media_id").isin(list(_PHASE_TWIN_STORED)))
     batch = mixed.filter(F.col("media_id").isin(list(_PHASE_TWIN_BATCH)))
     # Lazy fps-stage boundaries (the subclip-pairs lesson): the
@@ -3680,6 +3715,10 @@ def media_cdt_excerpt_admission_twin(
         "media_id", F.col("media_id") + 3000
     )
     mixed = aud.unionByName(img)
+    # One fixture synthesis for the whole twin (round 13): every
+    # decode plane and the final id join scan this union, so without
+    # a boundary each scan re-ran all the fixture generators.
+    mixed = mixed.localCheckpoint(eager=False)
     stored = mixed.filter(F.col("media_id").isin(list(_CDT_TWIN_STORED)))
     batch = mixed.filter(F.col("media_id").isin(list(_CDT_TWIN_BATCH)))
     # Lazy fps-stage boundaries (the subclip-pairs lesson): the

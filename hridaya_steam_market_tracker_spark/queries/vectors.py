@@ -608,8 +608,12 @@ def ann_pq_recall_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dmicro")
     )
+    # _widen_small_scan (round 13): |emb| x |queries| per-row integer
+    # distances serialized on the one-file fixture scan; value-safe
+    # (integer dmicro per row, integer-ranked window).
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        S._widen_small_scan(emb)
+        .crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", dmicro)
     )
