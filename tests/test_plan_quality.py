@@ -533,8 +533,11 @@ def test_sample_first_names_all_registered(registry):
         # invisible to the cold plan string (the subclip-tier pattern)
         ("corpus_excerpt_admission_twin", 15),
         # BM25 arm's postings/df/stats shuffles + each arm's rank
-        # window + the O(arms x 50)-row fusion join and final window
-        ("hybrid_rrf_search", 8),
+        # window + the O(arms x 50)-row fusion join and final window,
+        # +1 (round 13): the vector arm's cosine_topk carries the
+        # conditional _widen_small_scan round-robin exchange on the
+        # one-file fixture scan (a no-op at real scale)
+        ("hybrid_rrf_search", 9),
         # round-11 phase-shifted planes: fingerprints are one distinct
         # over the Arrow pass (the k^2/k phase grids ride the same
         # decode — no extra exchange)
