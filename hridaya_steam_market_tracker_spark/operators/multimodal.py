@@ -2834,9 +2834,12 @@ def image_cdt_anchor_density(
     against its cdt_k/cdt_divisor markers by the anchor explode);
     omitted -> one Arrow pass of its own."""
     if decoded is None:
+        # Lazy boundary (round 13): the density diagnostic reads the
+        # decode twice (anchor tokens + the dims projection); one
+        # Arrow pass instead of two when standalone.
         decoded = decode_image_signature_tiles(
             media, include_cdt=True, cdt_k=k, cdt_divisor=divisor
-        )
+        ).localCheckpoint(eager=False)
     toks = image_cdt_anchor_tokens(media, k, divisor, decoded=decoded)
     counts = toks.groupBy("media_id").agg(
         F.count_distinct("tok").alias("n_anchor_tokens"),
@@ -2913,10 +2916,16 @@ def image_hybrid_fingerprints(
     ``include_cdt=True``); the only new work vs cdt mode is the
     per-image count aggregate and one media_id semi-join."""
     if decoded is None:
+        # Lazy boundary (round 13): the shared decode has FOUR lazy
+        # consumers below (anchor fps, the density count + dims, the
+        # grid fallback) — without it each consumer re-ran the whole
+        # Arrow decode pass. Bounded rows (tile/anchor structs, never
+        # rasters). The gate's shared-relation path (decoded passed in)
+        # is persisted by the caller and skips this.
         decoded = decode_image_signature_tiles(
             media, phases=phases, include_cdt=True,
             cdt_k=k, cdt_divisor=divisor,
-        )
+        ).localCheckpoint(eager=False)
     cdt_fps = image_cdt_fingerprints(media, k, divisor, decoded=decoded)
     low = (
         image_cdt_anchor_density(
@@ -7109,7 +7118,11 @@ def audio_hybrid_fingerprints(
         winnow_fingerprints,
     )
 
-    rows = audio_cdt_anchor_rows(media, k, divisor)
+    # Lazy boundary (round 13): `rows` has two lazy consumers (anchor
+    # fps + the density count) — one Arrow pass instead of two.
+    rows = audio_cdt_anchor_rows(media, k, divisor).localCheckpoint(
+        eager=False
+    )
     cdt_fps = (
         rows.filter(F.col("decode_ok") & F.col("tok").isNotNull())
         .select(
