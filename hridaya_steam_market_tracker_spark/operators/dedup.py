@@ -182,31 +182,40 @@ def _h31(col: Column, salt: str) -> Column:
 
 def signatures_from_sets(sets: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signatures from a (doc_id, sh: array<string>) frame via
-    higher-order functions: mh_s = array_min(transform(pairs, affine_s)).
+    higher-order functions: mh[s] = array_min(transform(pairs, affine_s)).
 
     ZERO shuffle and only TWO md5s per shingle — the affine family
     (a + s*b) mod P supplies all `num_hashes` permutations. The whole
     computation is a narrow map over the shingle array, so at 100 TB it
     rides inside the scan stage.
+
+    Output: (doc_id, mh: array<long>), mh[s] = the s-th permutation's
+    minimum (identical values to the former per-column mh_s layout).
+    ONE nested-lambda expression instead of `num_hashes` independent
+    trees: the per-column form cost ~2 s of DRIVER-side Catalyst
+    analysis per call at num_hashes=64 (measured round 13 — plan size,
+    not execution, guide §7.3), paid by every drive/test invocation.
+    The (a, b) pair array is bind1-bound so the md5 work stays one
+    evaluation per row regardless of consumer plan rewrites; the s-loop
+    walks the bound array exactly as the old per-column expressions
+    walked the shared `__ab` projection column.
     """
-    with_pairs = sets.withColumn(
-        "__ab",
-        F.transform(
-            F.col("sh"),
-            lambda x: F.struct(
-                _h31(x, "a:").alias("a"), _h31(x, "b:").alias("b")
-            ),
-        ),
+    from hridaya_steam_market_tracker_spark.operators.text import bind1
+
+    ab_expr = F.transform(
+        F.col("sh"),
+        lambda x: F.struct(_h31(x, "a:").alias("a"), _h31(x, "b:").alias("b")),
     )
-    cols = [
-        F.array_min(
-            F.transform(
-                F.col("__ab"), lambda p: (p["a"] + s * p["b"]) % MINHASH_P
-            )
-        ).alias(f"mh_{s}")
-        for s in range(num_hashes)
-    ]
-    return with_pairs.select("doc_id", *cols)
+
+    def sig(ab: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda s: F.array_min(
+                F.transform(ab, lambda p: (p["a"] + s * p["b"]) % MINHASH_P)
+            ),
+        )
+
+    return sets.select("doc_id", bind1(ab_expr, sig).alias("mh"))
 
 
 def minhash_signatures(
@@ -232,14 +241,27 @@ def banded_buckets(
     dedup: write it once per corpus, bucket-join each day's delta
     against it (minhash_delta_near_duplicates)."""
     rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"))
-        )
+    # One lambda over the band indices instead of `bands` literal
+    # structs (driver-side plan size; values identical — array_join of
+    # the casted slice emits the same "_"-joined string the former
+    # concat_ws built from the mh_i columns).
+    bb = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("mh"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                )
+            ).alias("bucket"),
+        ),
+    )
     return signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+        "doc_id", F.explode(bb).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
 

@@ -865,19 +865,36 @@ def sign_codebooks(
     """
     dsub = dim // m
     sub = _subvectors(embeddings.select(F.col(vec_col)), [], vec_col, m, dsub)
-    # One chained-when expression (not a per-subspace filter+union, which
-    # would scan the corpus m times): a single pass computes every
-    # subspace's bucket with its own plane constants.
-    code_expr = None
-    for s in range(m):
-        hp = hyperplanes(dsub, planes_per_subspace, seed=seed_base + seed_step * s)
-        branch = lsh_bucket(F.col("subvec"), hp)
-        code_expr = (
-            F.when(F.col("subspace") == s, branch)
-            if code_expr is None
-            else code_expr.when(F.col("subspace") == s, branch)
-        )
-    coded = sub.select("subspace", code_expr.alias("code"), "subvec")
+    # One pass over the data with the per-subspace plane bank shipped as
+    # a ONE-ROW broadcast (hp[subspace][plane][component]) — the former
+    # m-branch chained-when inlined m x planes x dsub literal plane
+    # constants and their HOF dot products into a single CaseWhen tree,
+    # costing seconds of DRIVER-side analysis per call (the
+    # _planes_hp_df lesson; measured round 13: ~4 s warm build for
+    # ann_pq_sign_topk). element_at picks the row's own subspace's
+    # planes; values are bit-identical (Python float -> DoubleType is
+    # exact, same fused dot-product fold, and the disjoint-bit sum in
+    # _bucket_from_dots equals lsh_bucket's shiftleft-OR).
+    hp = [
+        hyperplanes(dsub, planes_per_subspace, seed=seed_base + seed_step * s)
+        for s in range(m)
+    ]
+    bank = embeddings.sparkSession.createDataFrame(
+        [(hp,)], "hp array<array<array<double>>>"
+    )
+    dots = F.transform(
+        F.element_at(F.col("hp"), F.col("subspace") + 1),
+        lambda pl: _dot(F.col("subvec"), pl),
+    )
+    # bind1: _bucket_from_dots references dots once per plane; inlined,
+    # each reference would re-run every per-subspace dot product per row.
+    coded = sub.crossJoin(F.broadcast(bank)).select(
+        "subspace",
+        bind1(dots, lambda d: _bucket_from_dots(d, planes_per_subspace)).alias(
+            "code"
+        ),
+        "subvec",
+    )
     means = _elementwise_mean(
         coded.select(F.struct("subspace", "code").alias("sc"), F.col("subvec")),
         "sc",

@@ -72,7 +72,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # the precomputed-norm rewrite touches the similarity family; the DSIR
 # single-pass restructure flags dsir_importance_weights directly; the
 # second round-13 batch flags the apss probe, the widened brute tiers,
-# the components consumers and the media twins), then the staleness
+# the components consumers and the media twins; the fourth sitting's
+# array-signature/plane-bank rewrite re-flags the minhash family and
+# rotates minhash_estimate_error in), then the staleness
 # rotation. WITHIN each tier the order is measured
 # per-query cost, CHEAP FIRST (tools/query_costs.json) — so a
 # time-budgeted driver run records as many rows as possible before any
@@ -103,6 +105,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "doc_embeddings_hashed",
     "bigram_lm_doc_scores",
     "ann_pq_recall_vs_brute",
+    "minhash_estimate_error",
     "mmr_diverse_topk",
     "source_prefix_boilerplate",
     "vocab_growth_curve",
@@ -127,7 +130,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_audio_offset_excerpt_pairs",
     "multimodal_audio_excerpt_pairs",
     "media_ingest_admission_twin",
-    "duplicate_span_pairs",
 )
 
 

@@ -938,9 +938,8 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", D.shingles(F.col("text"), 3).alias("sh")
     ).filter(F.size("sh") > 0)
     sigs = D.signatures_from_sets(sets, num_hashes=32)
-    sig_arr = F.array(*[F.col(f"mh_{s}") for s in range(32)])
-    sa = sigs.select(F.col("doc_id").alias("i"), sig_arr.alias("sig_i"))
-    sb = sigs.select(F.col("doc_id").alias("j"), sig_arr.alias("sig_j"))
+    sa = sigs.select(F.col("doc_id").alias("i"), F.col("mh").alias("sig_i"))
+    sb = sigs.select(F.col("doc_id").alias("j"), F.col("mh").alias("sig_j"))
     k = F.size(
         F.filter(
             F.zip_with(F.col("sig_i"), F.col("sig_j"), lambda x, y: x == y),
