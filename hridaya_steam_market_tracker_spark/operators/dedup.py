@@ -57,6 +57,35 @@ def shingles(text: Column, n: int = 3) -> Column:
     return bind1(tokens(F.lower(text)), build)
 
 
+def _jaccard_raw(sh_a: Column, sh_b: Column) -> Column:
+    """|A∩B| / |A∪B| with the intersection SIZE bound once per
+    evaluation (bind1). Inlined, ``array_intersect`` appears twice in
+    the formula (numerator + union denominator) and the verify pattern
+    references the expression twice more (threshold filter +
+    projection, which Catalyst collapses into the join condition and
+    the output project) — four hash-set intersections per candidate
+    pair where one bounded evaluation per reference suffices (round 13,
+    read off the executed dedup_minhash_lsh plan)."""
+    from hridaya_steam_market_tracker_spark.operators.text import bind1
+
+    return bind1(
+        F.size(F.array_intersect(sh_a, sh_b)).cast("long"),
+        lambda it: it.cast("double") / (F.size(sh_a) + F.size(sh_b) - it),
+    )
+
+
+def _jaccard6(sh_a: Column, sh_b: Column) -> Column:
+    """round(jaccard, 6) — see _jaccard_raw for the bind1 rationale."""
+    from hridaya_steam_market_tracker_spark.operators.text import bind1
+
+    return bind1(
+        F.size(F.array_intersect(sh_a, sh_b)).cast("long"),
+        lambda it: F.round(
+            it.cast("double") / (F.size(sh_a) + F.size(sh_b) - it), 6
+        ),
+    )
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content hash: one survivor (min id) per group."""
     normalized = F.array_join(tokens(F.lower(F.col(text_col))), " ")
@@ -158,10 +187,8 @@ def jaccard_pairs(
     paired = cands.join(
         sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i")), "i"
     ).join(sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j")), "j")
-    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
-    jac = inter.cast("double") / (F.size("sh_i") + F.size("sh_j") - inter)
     return (
-        paired.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", _jaccard6(F.col("sh_i"), F.col("sh_j")))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
@@ -324,11 +351,8 @@ def minhash_near_duplicates(
     a = sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
     b = sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
     paired = cands.join(a, "i").join(b, "j")
-    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
-    union = F.size("sh_i") + F.size("sh_j") - inter
-    jac = inter.cast("double") / union
     return (
-        paired.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", _jaccard6(F.col("sh_i"), F.col("sh_j")))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
@@ -389,11 +413,8 @@ def minhash_delta_near_duplicates(
     a = all_sets.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
     b = d_sets.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
     paired = cands.join(a, "i").join(b, "j")
-    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_j")))
-    union = F.size("sh_i") + F.size("sh_j") - inter
-    jac = inter.cast("double") / union
     return (
-        paired.withColumn("jaccard", F.round(jac, 6))
+        paired.withColumn("jaccard", _jaccard6(F.col("sh_i"), F.col("sh_j")))
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
@@ -586,9 +607,7 @@ def minhash_decontaminate(
         F.col("doc_id").alias("eval_doc_id"), F.col("sh").alias("sh_e")
     )
     paired = cands.join(a, "doc_id").join(F.broadcast(b), "eval_doc_id")
-    inter = F.size(F.array_intersect(F.col("sh_t"), F.col("sh_e")))
-    union = F.size("sh_t") + F.size("sh_e") - inter
-    jac = inter.cast("double") / union
+    jac = _jaccard_raw(F.col("sh_t"), F.col("sh_e"))
     # Filter on the UNROUNDED jaccard — the exact-pair-set oracle joins
     # on the raw ratio, so rounding-before-filtering would admit a pair
     # sitting within 5e-7 below threshold that the oracle excludes

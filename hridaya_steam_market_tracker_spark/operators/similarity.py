@@ -278,8 +278,11 @@ def lsh_topk(
     planes_df = _planes_hp_df(embeddings.sparkSession, tables, planes_per_table, dim)
 
     def buckets(vec: Column) -> Column:
-        per_table = []
-        for t in range(tables):
+        # ONE lambda over the table indices instead of `tables` copies
+        # of the probe subtree (driver-side plan size — the same
+        # analysis-cost class as the sign-codebook plane bank; values
+        # and per-row work identical).
+        def per_table(t: Column) -> Column:
             dots = F.transform(
                 F.element_at(F.col("hp"), t + 1), lambda pl: _dot(vec, pl)
             )
@@ -289,15 +292,14 @@ def lsh_topk(
             # subtrees in interpreted HOF expressions) — binding the
             # array evaluates the planes_per_table fused dot products
             # exactly once per (row, table).
-            per_table.append(
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    bind1(
-                        dots, lambda d: _bucket_from_dots(d, planes_per_table)
-                    ).alias("bucket"),
-                )
+            return F.struct(
+                t.alias("tbl"),
+                bind1(
+                    dots, lambda d: _bucket_from_dots(d, planes_per_table)
+                ).alias("bucket"),
             )
-        return F.array(*per_table)
+
+        return F.transform(F.sequence(F.lit(0), F.lit(tables - 1)), per_table)
 
     emb_b = (
         _widen_small_scan(embeddings)
@@ -381,7 +383,10 @@ def lsh_multiprobe_topk(
     planes_df = _planes_hp_df(embeddings.sparkSession, tables, planes_per_table, dim)
 
     def bucket_structs(vec: Column, with_flips: bool) -> Column:
-        def per_table(t: int) -> Column:
+        # ONE lambda over the table indices instead of `tables` copies
+        # of the probe/flip subtree (driver-side plan size; values and
+        # per-row work identical — see buckets() in lsh_topk).
+        def per_table(t: Column) -> Column:
             dots = F.transform(
                 F.element_at(F.col("hp"), t + 1), lambda pl: _dot(vec, pl)
             )
@@ -394,7 +399,7 @@ def lsh_multiprobe_topk(
             # exactly once per (row, table).
             def build(d: Column) -> Column:
                 bucket = _bucket_from_dots(d, planes_per_table)
-                own = F.struct(F.lit(t).alias("tbl"), bucket.alias("bucket"))
+                own = F.struct(t.alias("tbl"), bucket.alias("bucket"))
                 if not with_flips:
                     return F.array(own)
                 absd = F.transform(d, lambda x: F.abs(x))
@@ -412,14 +417,16 @@ def lsh_multiprobe_topk(
                 return F.array(
                     own,
                     F.struct(
-                        F.lit(t).alias("tbl"),
+                        t.alias("tbl"),
                         bucket.bitwiseXOR(flip_mask).alias("bucket"),
                     ),
                 )
 
             return bind1(dots, build)
 
-        return F.flatten(F.array(*[per_table(t) for t in range(tables)]))
+        return F.flatten(
+            F.transform(F.sequence(F.lit(0), F.lit(tables - 1)), per_table)
+        )
 
     emb_b = (
         _widen_small_scan(embeddings)

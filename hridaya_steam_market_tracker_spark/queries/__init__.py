@@ -73,8 +73,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # single-pass restructure flags dsir_importance_weights directly; the
 # second round-13 batch flags the apss probe, the widened brute tiers,
 # the components consumers and the media twins; the fourth sitting's
-# array-signature/plane-bank rewrite re-flags the minhash family and
-# rotates minhash_estimate_error in), then the staleness
+# array-signature/plane-bank, LSH table-lambda, bound-jaccard and
+# textrank degree-join rewrites re-flag the minhash/LSH/textrank
+# families and rotate minhash_estimate_error + textrank_keywords in),
+# then the staleness
 # rotation. WITHIN each tier the order is measured
 # per-query cost, CHEAP FIRST (tools/query_costs.json) — so a
 # time-budgeted driver run records as many rows as possible before any
@@ -103,6 +105,7 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "stupid_backoff_eval_scores",
     "ccnet_perplexity_buckets",
     "doc_embeddings_hashed",
+    "textrank_keywords",
     "bigram_lm_doc_scores",
     "ann_pq_recall_vs_brute",
     "minhash_estimate_error",
@@ -129,7 +132,6 @@ _SAMPLE_FIRST: tuple[str, ...] = (
     "multimodal_image_offset_crop_pairs",
     "multimodal_audio_offset_excerpt_pairs",
     "multimodal_audio_excerpt_pairs",
-    "media_ingest_admission_twin",
 )
 
 

@@ -1783,20 +1783,23 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy("doc_id", F.col("u").alias("token")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
-    # contribution rides the edge list: join score+deg of the SOURCE v.
-    src = deg.select(
-        "doc_id", F.col("token").alias("v"), "deg"
+    # The source degree is STATIC across rounds, so it rides the edge
+    # list: one (doc, v)-keyed join at setup instead of a second
+    # corpus-token-sized join in EVERY round (round 13 — the
+    # connected-components one-join-per-round lesson; contributions are
+    # identical, the two inner equi-joins on the same key associate).
+    edges_w = edges.join(
+        deg.select("doc_id", F.col("token").alias("v"), "deg"), ["doc_id", "v"]
     ).localCheckpoint(eager=True)
     scores = deg.select(
         "doc_id", "token", F.lit(1000000).cast("long").alias("score")
     ).localCheckpoint(eager=True)
     for _ in range(_TR_ROUNDS):
         contrib = (
-            edges.join(
+            edges_w.join(
                 scores.select("doc_id", F.col("token").alias("v"), "score"),
                 ["doc_id", "v"],
             )
-            .join(src, ["doc_id", "v"])
             .select("doc_id", F.col("u").alias("token"), F.expr("score div deg").alias("c"))
         )
         scores = (

@@ -152,7 +152,12 @@ def test_streaming_twins_are_window_plans(spark, registry, name, max_shuffles):
 
 @pytest.mark.parametrize(
     ("name", "max_shuffles"),
-    [("ann_ivf_sign_topk", 6), ("ann_pq_sign_topk", 10)],
+    # ann_pq_sign_topk 10 -> 12 (round 13): sign_codebooks ships its
+    # per-subspace plane bank as a ONE-ROW BroadcastExchange (plan-size
+    # fix) and the codebook relation is consumed twice (encode + query
+    # distance tables), so the count gains two one-row broadcasts — not
+    # shuffles, no-ops at real scale.
+    [("ann_ivf_sign_topk", 6), ("ann_pq_sign_topk", 12)],
 )
 def test_sign_quantizer_ann_no_cartesian_no_python(spark, registry, name, max_shuffles):
     """Offline-quantizer ANN: the corpus may only meet queries through a
