@@ -82,56 +82,56 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 # time-budgeted driver run records as many rows as possible before any
 # cutoff.
 _SAMPLE_FIRST: tuple[str, ...] = (
-    "multimodal_image_cdt_anchors_checked",
     "multimodal_audio_cdt_anchors_checked",
-    "multimodal_image_cdt_crop_pairs",
-    "multimodal_audio_cdt_density_checked",
-    "multimodal_audio_cdt_excerpt_pairs",
-    "multimodal_audio_hybrid_excerpt_pairs",
-    "media_cdt_excerpt_admission_twin",
-    "fuzzy_decontaminate_pairs",
-    "multimodal_image_hybrid_crop_pairs",
     "multimodal_avc1_ipcm_decode_checked",
+    "multimodal_image_cdt_anchors_checked",
+    "multimodal_audio_cdt_density_checked",
     "multimodal_image_cdt_density_checked",
+    "multimodal_audio_cdt_excerpt_pairs",
+    "multimodal_image_cdt_crop_pairs",
+    "multimodal_audio_hybrid_excerpt_pairs",
+    "multimodal_image_hybrid_crop_pairs",
+    "fuzzy_decontaminate_pairs",
+    "media_cdt_excerpt_admission_twin",
     "media_hybrid_admission_twin",
     "tfidf_cosine_pairs_tiled",
     "tfidf_cosine_pairs_posting",
     "tfidf_cosine_pairs",
-    "doc_repetition_stats",
     "strip_source_prefix_stats",
+    "doc_repetition_stats",
     "chunk_dedup_reassemble",
-    "dsir_importance_weights",
-    "domain_mix_weights",
     "stupid_backoff_eval_scores",
+    "dsir_importance_weights",
     "ccnet_perplexity_buckets",
     "doc_embeddings_hashed",
-    "textrank_keywords",
+    "domain_mix_weights",
     "bigram_lm_doc_scores",
+    "textrank_keywords",
     "ann_pq_recall_vs_brute",
     "minhash_estimate_error",
     "mmr_diverse_topk",
     "source_prefix_boilerplate",
     "vocab_growth_curve",
     "containment_pairs",
-    "multimodal_video_subclip_pairs",
     "duplicate_span_stats",
-    "hybrid_rrf_search",
+    "multimodal_video_subclip_pairs",
     "strip_then_span_stats",
-    "multimodal_audio_fingerprint_checked",
+    "hybrid_rrf_search",
     "multimodal_dhash_oriented_checked",
+    "multimodal_audio_fingerprint_checked",
     "multimodal_image_exif_checked",
-    "multimodal_image_whash_checked",
-    "multimodal_image_offset_tile_fingerprints",
     "multimodal_image_tile_fingerprints",
-    "multimodal_audio_offset_clip_fingerprints",
+    "multimodal_image_whash_checked",
     "multimodal_audio_clip_fingerprints",
-    "multimodal_dhash_oriented_near_pairs_checked",
+    "multimodal_audio_offset_clip_fingerprints",
     "multimodal_audio_segments",
-    "multimodal_image_crop_pairs",
+    "multimodal_image_offset_tile_fingerprints",
+    "multimodal_dhash_oriented_near_pairs_checked",
     "multimodal_whash_near_pairs",
+    "multimodal_audio_excerpt_pairs",
+    "multimodal_image_crop_pairs",
     "multimodal_image_offset_crop_pairs",
     "multimodal_audio_offset_excerpt_pairs",
-    "multimodal_audio_excerpt_pairs",
 )
 
 
