@@ -75,15 +75,10 @@ def _jaccard_raw(sh_a: Column, sh_b: Column) -> Column:
 
 
 def _jaccard6(sh_a: Column, sh_b: Column) -> Column:
-    """round(jaccard, 6) — see _jaccard_raw for the bind1 rationale."""
-    from hridaya_steam_market_tracker_spark.operators.text import bind1
-
-    return bind1(
-        F.size(F.array_intersect(sh_a, sh_b)).cast("long"),
-        lambda it: F.round(
-            it.cast("double") / (F.size(sh_a) + F.size(sh_b) - it), 6
-        ),
-    )
+    """round(jaccard, 6) — round sits OUTSIDE the bind1, so the
+    intersection is still evaluated once per reference (r13 ADVICE:
+    the former duplicated _jaccard_raw body was equivalent)."""
+    return F.round(_jaccard_raw(sh_a, sh_b), 6)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -152,12 +152,11 @@ def test_streaming_twins_are_window_plans(spark, registry, name, max_shuffles):
 
 @pytest.mark.parametrize(
     ("name", "max_shuffles"),
-    # ann_pq_sign_topk 10 -> 12 (round 13): sign_codebooks ships its
-    # per-subspace plane bank as a ONE-ROW BroadcastExchange (plan-size
-    # fix) and the codebook relation is consumed twice (encode + query
-    # distance tables), so the count gains two one-row broadcasts — not
-    # shuffles, no-ops at real scale.
-    [("ann_ivf_sign_topk", 6), ("ann_pq_sign_topk", 12)],
+    # r13 ADVICE: count only NON-broadcast exchanges (the round-13
+    # one-row plane-bank broadcasts are not shuffles, and counting them
+    # inside a loosened budget left headroom for two real shuffles to
+    # slip past the gate) — so the SHUFFLE bound stays at 10.
+    [("ann_ivf_sign_topk", 6), ("ann_pq_sign_topk", 10)],
 )
 def test_sign_quantizer_ann_no_cartesian_no_python(spark, registry, name, max_shuffles):
     """Offline-quantizer ANN: the corpus may only meet queries through a
@@ -168,7 +167,12 @@ def test_sign_quantizer_ann_no_cartesian_no_python(spark, registry, name, max_sh
     plan = _plan(registry, spark, name)
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    assert plan.count("Exchange") <= max_shuffles
+    shuffles = sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert shuffles <= max_shuffles
 
 
 def test_semantic_dedup_is_cell_equijoin(spark, registry):
